@@ -1,0 +1,219 @@
+"""Vectorized hashing kernels: 64-bit url/content hashes, MinHash, SimHash, pHash.
+
+Reference semantics mirrored (see SURVEY.md §2.7/§2.8):
+  - exact content hash: md5/sha256 hex digests (Estrella.py:226, crawler.py:362-364)
+  - MinHash: 200 permutations of ``(a*x + b) mod 2**32`` over whitespace tokens,
+    estimated Jaccard = mean positional equality, threshold 0.8
+    (Estrella.py:93-114, 580-603) — re-implemented as a seeded, vectorized numpy
+    kernel (the reference seeds ``random`` implicitly; we use a fixed seed so the
+    engine and the oracle agree).
+  - pHash: DCT-based 64-bit perceptual hash (graft spec, BASELINE.json input_hint).
+
+All kernels take/return numpy arrays so they run zero-copy inside
+``map_batches(batch_format="pyarrow")`` bodies.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Sequence
+
+import numpy as np
+import polars as pl
+
+U64 = np.uint64
+_M32 = U64(0xFFFFFFFF)
+HASH_SEED = 1042
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Counter-based deterministic 64-bit mixer (public splitmix64 constants)."""
+    x = np.asarray(x, dtype=np.uint64)
+    x = x + U64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> U64(30))) * U64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> U64(27))) * U64(0x94D049BB133111EB)
+    return x ^ (x >> U64(31))
+
+
+def mix2(a: np.ndarray, b) -> np.ndarray:
+    """Combine two 64-bit streams deterministically."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    return splitmix64(a ^ splitmix64(b))
+
+
+def hash64(values: Sequence[str] | np.ndarray | "pl.Series", seed: int = HASH_SEED) -> np.ndarray:
+    """Vectorized 64-bit hash of a string column → uint64 numpy array.
+
+    Uses polars' Rust-side string hasher (vectorized, no Python loop). Stable
+    within this environment; both the Ray engine and the sequential oracle call
+    this same function, so parity never depends on cross-library stability.
+    """
+    s = pl.Series(values=values, dtype=pl.Utf8)
+    return s.hash(seed=seed).to_numpy()
+
+
+def md5_hex(values: Iterable[str]) -> list[str]:
+    """Exact-content hash, md5 hex — crawler.py:362-364 semantics."""
+    return [hashlib.md5(v.encode("utf-8")).hexdigest() for v in values]
+
+
+def sha256_hex(values: Iterable[str]) -> list[str]:
+    """Exact-content hash, sha256 hex — Estrella.py:226 semantics."""
+    return [hashlib.sha256(v.encode("utf-8")).hexdigest() for v in values]
+
+
+def _flatten_token_hashes(token_lists: Sequence[Sequence[str]]):
+    """Flatten ragged token lists → (flat uint64 hashes, doc offsets, lengths)."""
+    lengths = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+    flat: list[str] = [tok for toks in token_lists for tok in toks]
+    hashes = hash64(flat) if flat else np.empty(0, dtype=np.uint64)
+    offsets = np.zeros(len(token_lists), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    return hashes, offsets, lengths
+
+
+class MinHasher:
+    """Seeded 200-perm MinHash over token sets (mirrors Estrella.py:93-114).
+
+    signature[i] = min over tokens of (a_i * h32(token) + b_i) mod 2**32,
+    Jaccard estimate = mean positional equality (Estrella.py:580-582).
+    Vectorized: a whole batch of documents is signed with one reduceat pass.
+    """
+
+    def __init__(self, num_perms: int = 200, seed: int = 7_042):
+        rng = np.random.default_rng(seed)
+        self.num_perms = num_perms
+        self.a = rng.integers(1, 2**32 - 1, num_perms, dtype=np.uint64)
+        self.b = rng.integers(0, 2**32 - 1, num_perms, dtype=np.uint64)
+        self.empty = np.full(num_perms, _M32, dtype=np.uint64)
+
+    def signatures(self, token_lists: Sequence[Sequence[str]]) -> np.ndarray:
+        """(n_docs, num_perms) uint64 signature matrix (values < 2**32)."""
+        n = len(token_lists)
+        out = np.empty((n, self.num_perms), dtype=np.uint64)
+        if n == 0:
+            return out
+        hashes, offsets, lengths = _flatten_token_hashes(token_lists)
+        if len(hashes) == 0:
+            out[:] = self.empty
+            return out
+        x32 = hashes & _M32                                   # (T,)
+        perms = (x32[:, None] * self.a[None, :] + self.b[None, :]) & _M32  # (T, P)
+        nonempty = lengths > 0
+        # reduceat needs strictly valid segment starts; drop empty docs first
+        if nonempty.all():
+            out[:] = np.minimum.reduceat(perms, offsets, axis=0)
+        else:
+            out[:] = self.empty
+            ne_offsets = offsets[nonempty]
+            out[nonempty] = np.minimum.reduceat(perms, ne_offsets, axis=0)
+        return out
+
+    @staticmethod
+    def jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float(np.mean(sig_a == sig_b))
+
+    def band_keys(self, sigs: np.ndarray, bands: int = 25) -> np.ndarray:
+        """LSH band keys: (n_docs, bands) uint64; equal key → candidate pair.
+
+        bands must divide num_perms; rows-per-band = num_perms // bands.
+        """
+        n, p = sigs.shape
+        assert p % bands == 0, "bands must divide num_perms"
+        rows = p // bands
+        folded = sigs.reshape(n, bands, rows)
+        key = np.full((n, bands), U64(bands), dtype=np.uint64)
+        for r in range(rows):
+            key = mix2(key, folded[:, :, r])
+        # mix the band index in so band b of doc X can't collide with band c of doc Y
+        key = mix2(key, np.arange(bands, dtype=np.uint64)[None, :])
+        return key
+
+
+def simhash64(token_lists: Sequence[Sequence[str]]) -> np.ndarray:
+    """64-bit SimHash per document (sign of per-bit weighted sums)."""
+    n = len(token_lists)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    hashes, offsets, lengths = _flatten_token_hashes(token_lists)
+    if len(hashes) == 0:
+        return out
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((hashes[:, None] >> shifts[None, :]) & U64(1)).astype(np.int32)  # (T, 64)
+    signed = 2 * bits - 1
+    nonempty = lengths > 0
+    sums = np.zeros((n, 64), dtype=np.int64)
+    if nonempty.any():
+        sums[nonempty] = np.add.reduceat(signed, offsets[nonempty], axis=0)
+    packed = (sums > 0).astype(np.uint64)
+    out = (packed << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    out[~nonempty] = U64(0)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-element popcount of XOR of two uint64 arrays."""
+    x = np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+        m[0, :] = 1.0 / np.sqrt(n)
+        _DCT32 = m
+    return _DCT32
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """DCT perceptual hash of an (h, w) or (h, w, 3) uint8 image → signed int64.
+
+    Block-mean resize to 32×32 → orthonormal 2-D DCT → top-left 8×8 minus the
+    DC term → threshold at the median → 64 bits. Deterministic, pure numpy
+    (no image libraries in this sandbox). Signed int64 to match the mandated
+    ``phash:int64`` column type.
+    """
+    a = np.asarray(pixels, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    # block-mean (assumes h, w multiples of 32, true for the synthetic corpus;
+    # fall back to stride sampling otherwise)
+    if h % 32 == 0 and w % 32 == 0:
+        a = a.reshape(32, h // 32, 32, w // 32).mean(axis=(1, 3))
+    else:
+        yi = (np.arange(32) * h) // 32
+        xi = (np.arange(32) * w) // 32
+        a = a[np.ix_(yi, xi)]
+    d = _dct_matrix(32)
+    coefs = d @ a @ d.T
+    block = coefs[:8, :8].flatten()[1:]
+    bits = block > np.median(block)
+    val = U64(0)
+    for bit in bits:
+        val = (val << U64(1)) | U64(bool(bit))
+    return int(np.int64(val.astype(np.int64)))
+
+
+def phash_band_keys(phashes: np.ndarray, bands: int = 4) -> np.ndarray:
+    """Split 64-bit pHashes into ``bands`` chunks → (n, bands) uint64 keys.
+
+    Two images within Hamming distance < bands share at least one band key
+    (pigeonhole) → groupby-able candidate generation for near-dup.
+    """
+    ph = np.asarray(phashes).astype(np.uint64)
+    width = U64(64 // bands)
+    mask = (U64(1) << width) - U64(1)
+    keys = np.empty((len(ph), bands), dtype=np.uint64)
+    for b in range(bands):
+        chunk = (ph >> (U64(b) * width)) & mask
+        keys[:, b] = mix2(chunk, np.full(len(ph), U64(b + 101)))
+    return keys
