@@ -28,11 +28,12 @@ HASH_SEED = 1042
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Counter-based deterministic 64-bit mixer (public splitmix64 constants)."""
-    x = np.asarray(x, dtype=np.uint64)
-    x = x + U64(0x9E3779B97F4A7C15)
-    x = (x ^ (x >> U64(30))) * U64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> U64(27))) * U64(0x94D049BB133111EB)
-    return x ^ (x >> U64(31))
+    x = np.atleast_1d(np.asarray(x, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        x = x + U64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> U64(30))) * U64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> U64(27))) * U64(0x94D049BB133111EB)
+        return x ^ (x >> U64(31))
 
 
 def mix2(a: np.ndarray, b) -> np.ndarray:

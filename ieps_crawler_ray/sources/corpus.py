@@ -1,0 +1,325 @@
+"""Deterministic synthetic image+caption corpus — the "web" in this sandbox.
+
+BASELINE.json mandates the input table shape
+``(image_id:string, bytes:binary, w:int32, h:int32, fmt:string, caption:string,
+phash:int64)``; no external data exists, so the corpus is synthesized from a
+seed. Every attribute of image ``i`` — pixels, caption, host, out-links,
+robots rules — is a **pure counter-based function of (spec, i)** (splitmix64
+streams), so:
+
+  * generation runs as a Ray pipeline (``range(n) → map_batches``) with no
+    cross-partition state and scales to any n,
+  * the fetch actors can "fetch" any URL by recomputing / reading only their
+    partition,
+  * the single-threaded oracle (oracle.py) sees the *identical* web graph
+    without sharing code paths with the engine's execution.
+
+Web-graph shape (mirrors what the reference crawls, SURVEY §1.2/§7):
+  * hosts own **contiguous index ranges with Zipf-distributed sizes** →
+    hot-host skew (host0 is the giant domain, like the reference's single-site
+    crawl) that the engine must salt/split (north_rule).
+  * URL: ``http://host{h}.example/p{i%100:02d}/img{i:08d}`` — the ``p``
+    segment gives robots prefix rules uniform coverage at every scale.
+  * out-links of page i: 3–12 links, ~80 % same-host — a seeded function of i.
+  * ~2 % of captions are 1-word edits of an earlier caption (MinHash near-dup
+    targets, per FIXTURES.md §1); exact duplicates arise when two pages link
+    to the same image id.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.codecs import decode_image, encode_image
+from ..functions.hashing import U64, mix2, phash64, splitmix64
+
+# a small public-word vocabulary (data-engine flavored, overlaps the testdata
+# documents wordlist) — captions and anchor texts draw from it.
+WORDLIST = (
+    "table row scan query value part hash merge batch spark vector filter "
+    "window order data column agg join small line customer key group big "
+    "slow fast the a index sort shuffle block store cache read write plan "
+    "stage task node disk memory stream page frame image pixel caption "
+    "crawl frontier link host fetch robots delay seed rank score near dup"
+).split()
+
+DEFAULT_KEYWORDS = ("vector", "image", "frontier")
+
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class CorpusSpec:
+    n_images: int
+    n_hosts: int = 16
+    seed: int = 42
+    num_buckets: int = 8        # host-affine partition count (fetch routing)
+    zipf_s: float = 1.1         # host-size skew exponent
+    neardup_permille: int = 20  # ~2% near-dup captions
+    keywords: tuple = DEFAULT_KEYWORDS
+
+    def stream(self, idx, tag) -> np.ndarray:
+        """Independent uint64 stream per (image index, tag); tag may be an
+        int or an array broadcastable against idx."""
+        idx = np.asarray(idx, dtype=np.uint64)
+        tag = np.asarray(tag, dtype=np.uint64)
+        return mix2(mix2(idx, U64(self.seed)), tag)
+
+
+# ------------------------------------------------------------- host layout --
+
+
+def host_boundaries(spec: CorpusSpec) -> np.ndarray:
+    """(n_hosts+1,) index boundaries; host k owns [b[k], b[k+1])."""
+    k = np.arange(1, spec.n_hosts + 1, dtype=np.float64)
+    weights = 1.0 / k**spec.zipf_s
+    sizes = np.floor(weights / weights.sum() * spec.n_images).astype(np.int64)
+    sizes = np.maximum(sizes, 1)
+    # fix rounding drift onto the largest host
+    sizes[0] += spec.n_images - sizes.sum()
+    b = np.zeros(spec.n_hosts + 1, dtype=np.int64)
+    np.cumsum(sizes, out=b[1:])
+    return b
+
+
+def host_of_index(spec: CorpusSpec, idx) -> np.ndarray:
+    b = host_boundaries(spec)
+    return (np.searchsorted(b, np.asarray(idx, dtype=np.int64), side="right") - 1).astype(np.int32)
+
+
+def bucket_of_host(spec: CorpusSpec, host_ids) -> np.ndarray:
+    """Base host→partition routing (hot hosts additionally salted in crawl.py)."""
+    h = np.asarray(host_ids, dtype=np.uint64)
+    return (splitmix64(h + U64(spec.seed * 7919)) % U64(spec.num_buckets)).astype(np.int32)
+
+
+# ---------------------------------------------------------------- identity --
+
+_URL_RE = re.compile(r"^http://host(\d+)\.example/p\d{2}/img(\d{8})$")
+
+
+def image_id_of_index(i: int) -> str:
+    return f"img{i:08d}"
+
+
+def url_of_index(spec: CorpusSpec, idx) -> list[str]:
+    hosts = host_of_index(spec, idx)
+    return [
+        f"http://host{h}.example/p{int(i) % 100:02d}/img{int(i):08d}"
+        for i, h in zip(np.asarray(idx), hosts)
+    ]
+
+
+def index_of_url(url: str) -> int:
+    """Inverse of url_of_index (canonical URLs only); -1 if not a corpus URL."""
+    m = _URL_RE.match(url)
+    return int(m.group(2)) if m else -1
+
+
+def indices_of_urls(urls) -> np.ndarray:
+    return np.fromiter((index_of_url(u) for u in urls), dtype=np.int64, count=len(urls))
+
+
+# ----------------------------------------------------------------- content --
+
+_DIMS = np.array([32, 64, 128], dtype=np.int32)
+
+
+def dims_of_index(spec: CorpusSpec, idx) -> tuple[np.ndarray, np.ndarray]:
+    w = _DIMS[(spec.stream(idx, 1) % U64(3)).astype(np.int64)]
+    h = _DIMS[(spec.stream(idx, 2) % U64(3)).astype(np.int64)]
+    return w, h
+
+
+def fmt_of_index(spec: CorpusSpec, idx) -> np.ndarray:
+    return np.where(spec.stream(idx, 3) % U64(2) == 0, "png", "jpeg")
+
+
+def pixels_of_index(spec: CorpusSpec, i: int) -> np.ndarray:
+    """(h, w, 3) uint8 — gradient + two seeded sinusoids per channel (cheap,
+    fully deterministic, distinct pHashes across images)."""
+    w, h = dims_of_index(spec, np.array([i]))
+    w, h = int(w[0]), int(h[0])
+    p = spec.stream(np.full(12, i), np.arange(40, 52))  # 12 params
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        gx = float(p[c * 4 + 0] % U64(7)) - 3.0
+        gy = float(p[c * 4 + 1] % U64(7)) - 3.0
+        f1 = 0.05 + float(p[c * 4 + 2] % U64(100)) / 250.0
+        ph = float(p[c * 4 + 3] % U64(628)) / 100.0
+        val = (
+            128.0
+            + gx * xx
+            + gy * yy
+            + 60.0 * np.sin(f1 * xx + ph)
+            + 40.0 * np.cos(f1 * 0.7 * yy + ph * 0.5)
+        )
+        out[:, :, c] = np.mod(val, 256.0).astype(np.uint8)
+    return out
+
+
+def _base_caption(spec: CorpusSpec, i: int) -> list[str]:
+    n_words = 5 + int(spec.stream(np.array([i]), 4)[0] % U64(16))
+    picks = spec.stream(np.full(n_words, i), np.arange(100, 100 + n_words))
+    return [WORDLIST[int(p % U64(len(WORDLIST)))] for p in picks]
+
+
+def caption_of_index(spec: CorpusSpec, i: int) -> str:
+    """Caption text; ~neardup_permille/1000 of rows are a 1-word edit of an
+    earlier row's *base* caption (no recursion → pure)."""
+    r = spec.stream(np.array([i]), 5)[0]
+    if i > 0 and int(r % U64(1000)) < spec.neardup_permille:
+        j = int(spec.stream(np.array([i]), 6)[0] % U64(i))
+        words = _base_caption(spec, j)
+        pos = int(spec.stream(np.array([i]), 7)[0] % U64(len(words)))
+        repl = WORDLIST[int(spec.stream(np.array([i]), 8)[0] % U64(len(WORDLIST)))]
+        words = list(words)
+        words[pos] = repl
+        return " ".join(words)
+    return " ".join(_base_caption(spec, i))
+
+
+def rows_for_indices(spec: CorpusSpec, indices) -> pa.Table:
+    """Materialize corpus rows (the mandated 7-column schema) for a set of
+    indices. ``phash`` is computed from the *decoded stored bytes*, so the
+    lossy-format phash matches what a downstream decoder sees."""
+    ids, blobs, ws, hs, fmts, caps, phs = [], [], [], [], [], [], []
+    fmt_arr = fmt_of_index(spec, np.asarray(indices))
+    for k, i in enumerate(np.asarray(indices, dtype=np.int64)):
+        i = int(i)
+        px = pixels_of_index(spec, i)
+        fmt = str(fmt_arr[k])
+        data = encode_image(px, fmt)
+        decoded = decode_image(data, fmt)
+        ids.append(image_id_of_index(i))
+        blobs.append(data)
+        hs.append(px.shape[0])
+        ws.append(px.shape[1])
+        fmts.append(fmt)
+        caps.append(caption_of_index(spec, i))
+        phs.append(phash64(decoded))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+            "phash": pa.array(phs, pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------------------- links --
+
+
+def out_links_of_index(spec: CorpusSpec, i: int) -> tuple[list[int], list[str]]:
+    """Derived link graph: (target indices, anchor contexts) of page i.
+
+    3–12 out-links; ~80 % same-host (within the host's contiguous index
+    range), rest global. Anchor text = 6 seeded words; ~20 % of anchors
+    contain a priority keyword (feeds the M13 scorer).
+    """
+    b = host_boundaries(spec)
+    h = int(host_of_index(spec, np.array([i]))[0])
+    start, end = int(b[h]), int(b[h + 1])
+    n_out = 3 + int(spec.stream(np.array([i]), 10)[0] % U64(10))
+    js = np.arange(n_out)
+    same = (spec.stream(np.full(n_out, i), 20 + js) % U64(10)) < U64(8)
+    tmix = spec.stream(np.full(n_out, i), 30 + js)
+    targets = np.where(
+        same,
+        start + (tmix % U64(max(end - start, 1))).astype(np.int64),
+        (tmix % U64(spec.n_images)).astype(np.int64),
+    )
+    # avoid self-links deterministically
+    targets = np.where(targets == i, (targets + 1) % spec.n_images, targets)
+    anchors = []
+    for j in range(n_out):
+        wmix = spec.stream(np.full(6, i), 200 + 10 * j + np.arange(6))
+        words = [WORDLIST[int(p % U64(len(WORDLIST)))] for p in wmix]
+        if int(spec.stream(np.array([i]), 300 + j)[0] % U64(10)) < 2:
+            kw = spec.keywords[int(spec.stream(np.array([i]), 400 + j)[0] % U64(len(spec.keywords)))]
+            pos = int(spec.stream(np.array([i]), 500 + j)[0] % U64(6))
+            words[pos] = kw
+        anchors.append(" ".join(words))
+    return [int(t) for t in targets], anchors
+
+
+# ------------------------------------------------------------------ robots --
+
+
+@dataclass(frozen=True)
+class RobotsPolicy:
+    disallow_prefixes: tuple
+    crawl_delay_slots: int  # politeness budget: fetches per host per generation
+
+    def allowed(self, path: str) -> bool:
+        return not any(path.startswith(p) for p in self.disallow_prefixes)
+
+
+def robots_for_host(spec: CorpusSpec, host_id: int) -> RobotsPolicy:
+    """Synthetic robots.txt per host (M7/S3 analogue): every 5th host
+    disallows two /pNN prefix buckets (~2 % of its URLs); crawl-delay budget
+    1–4 fetch slots per generation (models crawler.py:204-210 crawl_delay)."""
+    base = mix2(np.array([host_id], dtype=np.uint64), np.array([U64(spec.seed * 31 + 5)]))[0]
+    prefixes: tuple = ()
+    if host_id % 5 == 3:
+        b1 = int(base % U64(100))
+        b2 = int(splitmix64(np.array([base]))[0] % U64(100))
+        prefixes = (f"/p{b1:02d}", f"/p{b2:02d}")
+    slots = 1 + int(splitmix64(np.array([base + U64(17)]))[0] % U64(4))
+    return RobotsPolicy(prefixes, slots)
+
+
+# ----------------------------------------------------------------- builder --
+
+
+def corpus_path(root: str, spec: CorpusSpec) -> str:
+    return (
+        f"{root}/corpus-n{spec.n_images}-h{spec.n_hosts}-s{spec.seed}"
+        f"-b{spec.num_buckets}"
+    )
+
+
+def build_corpus(spec: CorpusSpec, path: str, overwrite: bool = False) -> str:
+    """Generate the corpus as a Ray pipeline → Lance-layout table partitioned
+    by host bucket. Skips work if the table already exists (same spec ⇒ same
+    path ⇒ same bytes)."""
+    from . import lance_table
+
+    if lance_table.exists(path) and not overwrite:
+        return path
+    import ray.data as rd
+
+    spec_dict = spec.__dict__.copy()
+
+    def gen(batch: pa.Table) -> pa.Table:
+        sp = CorpusSpec(**spec_dict)
+        idx = batch["id"].to_numpy()
+        t = rows_for_indices(sp, idx)
+        hostid = host_of_index(sp, idx)
+        return t.append_column("part", pa.array(bucket_of_host(sp, hostid), pa.int32()))
+
+    n_blocks = max(spec.num_buckets, min(64, spec.n_images // 2000 + 1))
+    ds = rd.range(spec.n_images, override_num_blocks=n_blocks).map_batches(
+        gen, batch_format="pyarrow", batch_size=2048
+    )
+    lance_table.write_dataset(ds, path, partition_col="part")
+    return path
