@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``      — flagship pipeline on /root/testdata/sf0.001.
+* ``queries()``    — one callable per implemented operator (SURVEY.md §2).
+* ``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible subset;
+  rows-only entries (crawl loop, custom hashes, heuristics) are omitted.
 """
 
 from __future__ import annotations
@@ -18,27 +14,31 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from ieps_crawler_ray.pipelines import analytics
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: crawl-engine image pipeline at sf0.001 scale.
+
+    Builds the deterministic synthetic image+caption corpus (the mandated
+    Lance-layout input table), runs the decode → verify-phash → caption
+    fingerprint stage, and returns the verified-pages dataset.
+    """
+    from ieps_crawler_ray.pipelines import crawl_pipeline
+
+    return crawl_pipeline.entry_flagship()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = dict(analytics.QUERIES)
+    try:
+        from ieps_crawler_ray.pipelines import crawl_pipeline
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        q.update(crawl_pipeline.QUERIES)
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(analytics.ORACLE_SQL)

@@ -1,0 +1,919 @@
+"""SQL-expressible operators from SURVEY.md §2.5–§2.8 as Ray Data pipelines
+over the driver's testdata tables, plus the training-data-pipeline extensions
+(dedup family, similarity search, text analysis).
+
+Every function here takes ``sf_dir`` and returns a Dataset / pandas DataFrame;
+``ORACLE_SQL`` holds the equivalent DuckDB SQL with IDENTICAL column names
+(the driver hash-compares values after sorting columns by name).
+
+Scale notes (these run on 60 k rows in the gate but are written for 100 TB):
+  * aggregations pre-combine inside ``map_batches`` via pyarrow's C++
+    ``Table.group_by`` (one partial row per key per batch) before the
+    all-to-all ``groupby`` — the shuffle moves partials, not rows;
+  * dimension joins broadcast via ``ray.put`` (joins.BroadcastLookup),
+    never a per-batch re-ship, never a shuffle;
+  * large⋈large joins use Dataset.join (hash-partitioned);
+  * top-k = per-batch partial top-k, tiny global merge on the driver;
+  * reads prune columns (``columns=[...]``) and push filters into parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions import hashing, text as textfn
+
+# --------------------------------------------------------------- helpers ----
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _tbl(sf_dir: str, name: str, columns=None, **kw):
+    import ray.data as rd
+
+    return rd.read_parquet(_pq(sf_dir, name), columns=columns, **kw)
+
+
+def _dim(sf_dir: str, name: str, columns=None) -> pa.Table:
+    """Driver-side read of a small dimension table (broadcast side)."""
+    return pq.read_table(_pq(sf_dir, name), columns=columns)
+
+
+def _partial(batch: pa.Table, keys: list[str], aggs: list[tuple]) -> pa.Table:
+    """Per-batch combiner: pyarrow C++ group_by inside map_batches — emits one
+    partial row per key per batch so the groupby shuffle moves partials only
+    (ray_guide 'Aggregation at scale')."""
+    return batch.group_by(keys).aggregate(aggs)
+
+
+# ------------------------------------------------- A1: global counts ---------
+
+
+def q_global_counts(sf_dir: str) -> pd.DataFrame:
+    """COUNT(*) per table — Analize.py:16-37 / validate_crawler.py:54-63 (A1)."""
+    out = {}
+    for t in ("orders", "lineitem", "events", "documents"):
+        out[f"n_{t}"] = _tbl(sf_dir, t).count()
+    return pd.DataFrame([out]).astype("int64")
+
+
+# ------------------------------------------- A2: group-by counts/sums --------
+
+
+def q_events_by_type(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY event_type counts+sums — Analize.py:28-33 (A2)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+    parts = ds.map_batches(
+        lambda b: _partial(b, ["event_type"], [("value", "sum"), ([], "count_all")]),
+        batch_format="pyarrow",
+    )
+    out = (
+        parts.groupby("event_type")
+        .aggregate(Sum("value_sum", alias_name="tv"), Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    out["total_value"] = out["tv"].round(4)
+    return out[["event_type", "n", "total_value"]]
+
+
+def q_docs_by_lang(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY lang with AVG — validate_crawler.py:58-63 style (A2/A3)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["lang", "n_chars"])
+    parts = ds.map_batches(
+        lambda b: _partial(b, ["lang"], [("n_chars", "sum"), ([], "count_all")]),
+        batch_format="pyarrow",
+    )
+    out = (
+        parts.groupby("lang")
+        .aggregate(Sum("n_chars_sum", alias_name="s"), Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    out["avg_chars"] = (out["s"] / out["n"]).round(6)
+    return out[["lang", "n", "avg_chars"]]
+
+
+# ---------------------------------------------- A3: two-level aggregate ------
+
+
+def q_avg_items_per_order(sf_dir: str) -> pd.DataFrame:
+    """avg lineitems per order — Analize.py:40-48 (A3): per-key COUNT → AVG."""
+    from ray.data.aggregate import Mean, Sum
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey"])
+    parts = ds.map_batches(
+        lambda b: _partial(b, ["l_orderkey"], [([], "count_all")]), batch_format="pyarrow"
+    )
+    per_order = parts.groupby("l_orderkey").aggregate(Sum("count_all", alias_name="cnt"))
+    res = per_order.aggregate(Mean("cnt"))
+    return pd.DataFrame([{"avg_items": round(float(res["mean(cnt)"]), 6)}])
+
+
+# --------------------------------------------------- A4: top-k groups --------
+
+
+def q_top_customers(sf_dir: str) -> pd.DataFrame:
+    """top-10 customers by order count — monitoring.py:40-50 (A4)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    parts = ds.map_batches(
+        lambda b: _partial(b, ["o_custkey"], [("o_totalprice", "sum"), ([], "count_all")]),
+        batch_format="pyarrow",
+    )
+    out = (
+        parts.groupby("o_custkey")
+        .aggregate(Sum("count_all", alias_name="n_orders"), Sum("o_totalprice_sum", alias_name="t"))
+        .sort(["n_orders", "o_custkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    out["total_spent"] = out["t"].round(4)
+    return out[["o_custkey", "n_orders", "total_spent"]]
+
+
+# ------------------------------------------- A5: min/max + derived rate ------
+
+
+def q_events_span(sf_dir: str) -> pd.DataFrame:
+    """MIN/MAX(ts) → duration → rate — validate_crawler.py:378-408 (A5)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _tbl(sf_dir, "events", columns=["ts"])
+    res = ds.aggregate(Min("ts"), Max("ts"), Count())
+    ts_min, ts_max, n = res["min(ts)"], res["max(ts)"], res["count()"]
+    hours = (ts_max - ts_min).total_seconds() / 3600.0
+    return pd.DataFrame(
+        [
+            {
+                "ts_min": ts_min,
+                "ts_max": ts_max,
+                "n": np.int64(n),
+                "events_per_hour": round(n / hours, 4),
+            }
+        ]
+    )
+
+
+# ------------------------------------------------ A6: bucketed CASE agg ------
+
+
+def q_value_buckets(sf_dir: str) -> pd.DataFrame:
+    """CASE-bucketed counts — validate_crawler.py:334-349 (A6)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["value"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy()
+        lab = np.select([v < 10, v < 50, v < 200], ["low", "mid", "high"], default="top")
+        t = pa.table({"bucket": pa.array(lab, pa.string())})
+        return _partial(t, ["bucket"], [([], "count_all")])
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    return out[["bucket", "n"]]
+
+
+# ----------------------------------------------------- A8: distinct ----------
+
+
+def q_distinct_counts(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT …) — validate_crawler.py:247-249 (A8)."""
+    ds = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+    n_types = len(ds.unique("event_type"))
+    n_users = len(ds.unique("user_id"))
+    return pd.DataFrame([{"n_event_types": np.int64(n_types), "n_users": np.int64(n_users)}])
+
+
+# ------------------------------------------------- O1/O5: sort + limit -------
+
+
+def q_orders_topk_price(sf_dir: str) -> pd.DataFrame:
+    """ORDER BY … DESC LIMIT k — Estrella.py:657-667 recent-N analogue (O5)."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    return (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20).to_pandas()
+    )
+
+
+# ------------------------------------------- O4/J4: oldest-first winner ------
+
+
+def q_first_event_per_user(sf_dir: str) -> "object":
+    """keep-oldest row per key — database.py:416-458 keep-oldest dedup (O4/J4).
+
+    Two-level: per-batch partial min (cheap, vectorized) → per-key exact min
+    after the shuffle. Deterministic tiebreak (ts, event_id)."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def batch_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["ts", "event_id"]).groupby("user_id", as_index=False).head(1)
+
+    parts = ds.map_batches(batch_min, batch_format="pandas")
+    return parts.groupby("user_id").map_groups(batch_min, batch_format="pandas")
+
+
+# ------------------------------------------------ D1/D3: exact dedup ---------
+
+
+class _Md5Stage:
+    """content-hash column stage (M9; crawler.py:362-364 md5 semantics)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = hashing.md5_hex(batch["text"].to_pylist())
+        return batch.append_column("content_hash", pa.array(h, pa.string()))
+
+
+def q_dedup_first_wins_docs(sf_dir: str) -> "object":
+    """URL/content exact dedup, first-wins by id — D1 (crawldb.sql:30,
+    database.py:155-158): hash-partition on content hash, keep min doc_id."""
+    from ray.data.aggregate import Min
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = ds.map_batches(_Md5Stage, batch_format="pyarrow", concurrency=(1, 4))
+    parts = hashed.map_batches(
+        lambda b: _partial(b, ["content_hash"], [("doc_id", "min")]), batch_format="pyarrow"
+    )
+    out = parts.groupby("content_hash").aggregate(Min("doc_id_min", alias_name="doc_id"))
+    return out.select_columns(["doc_id"])
+
+
+def q_exact_dup_groups(sf_dir: str) -> "object":
+    """duplicate content groups — D3 (database.py:416-436)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = ds.map_batches(_Md5Stage, batch_format="pyarrow", concurrency=(1, 4))
+    parts = hashed.map_batches(
+        lambda b: _partial(b, ["content_hash"], [([], "count_all")]), batch_format="pyarrow"
+    )
+    grouped = parts.groupby("content_hash").aggregate(Sum("count_all", alias_name="n"))
+    out = (
+        grouped.map_batches(lambda b: b.filter(pc.greater(b["n"], 1)), batch_format="pyarrow")
+        .select_columns(["content_hash", "n"])
+        .to_pandas()
+    )
+    if out.empty:  # keep the schema visible even when no duplicate groups exist
+        out = pd.DataFrame({"content_hash": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")})
+    return out
+
+
+# --------------------------------------- TPC-H Q1-style pricing summary ------
+
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """grouped multi-aggregate with computed column (A2+§2.8 math)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        b = b.append_column("revenue", rev)
+        return _partial(
+            b,
+            ["l_returnflag", "l_linestatus"],
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("revenue", "sum"),
+                ("l_discount", "sum"),
+                ([], "count_all"),
+            ],
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="q"),
+            Sum("l_extendedprice_sum", alias_name="p"),
+            Sum("revenue_sum", alias_name="r"),
+            Sum("l_discount_sum", alias_name="d"),
+            Sum("count_all", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out["q"].round(4)
+    out["sum_price"] = out["p"].round(4)
+    out["revenue"] = out["r"].round(4)
+    out["avg_disc"] = (out["d"] / out["n"]).round(6)
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "revenue", "avg_disc", "n"]]
+
+
+# ------------------------------------- J2: broadcast dimension join ----------
+
+
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """orders⋈customer⋈nation via broadcast dims (J2; database.py:316-342
+    analogue). nation+customer are ray.put once, never re-shipped."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    cust = _dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    # pre-join the two dims driver-side (tiny), broadcast one combined dim
+    nk = nation.column("n_nationkey").to_numpy()
+    order = np.argsort(nk)
+    names = nation.column("n_name").take(pa.array(order))
+    pos = np.searchsorted(nk[order], cust.column("c_nationkey").to_numpy())
+    dim = pa.table(
+        {"o_custkey": cust["c_custkey"], "n_name": names.take(pa.array(pos, pa.int64()))}
+    )
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(ds, dim, "o_custkey", ["n_name"])
+    parts = joined.map_batches(
+        lambda b: _partial(b, ["n_name"], [("o_totalprice", "sum"), ([], "count_all")]),
+        batch_format="pyarrow",
+    )
+    out = (
+        parts.groupby("n_name")
+        .aggregate(Sum("o_totalprice_sum", alias_name="t"), Sum("count_all", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["t"].round(4)
+    return out[["n_name", "n_orders", "revenue"]]
+
+
+# --------------------------------------- J3: large⋈large hash join -----------
+
+
+def q_order_lineitem_join(sf_dir: str) -> pd.DataFrame:
+    """lineitem⋈orders (both fact-sized) → revenue per status — J3
+    (Vector_db_querier.py:73-77 analogue). Pre-aggregates lineitem per
+    orderkey BEFORE the hash join so the exchange moves one row per order."""
+    from ray.data.aggregate import Sum
+
+    li = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "revenue": rev})
+        return _partial(t, ["l_orderkey"], [("revenue", "sum"), ([], "count_all")])
+
+    li_agg = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_sum", alias_name="rev"), Sum("count_all", alias_name="n_items"))
+    )
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    joined = li_agg.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    parts = joined.map_batches(
+        lambda b: _partial(
+            b, ["o_orderstatus"], [("rev", "sum"), ("n_items", "sum")]
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        parts.groupby("o_orderstatus")
+        .aggregate(Sum("rev_sum", alias_name="r"), Sum("n_items_sum", alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue"] = out["r"].round(4)
+    return out[["o_orderstatus", "revenue", "n_items"]]
+
+
+# ----------------------------------------------- J6: LIKE substring ----------
+
+
+def q_source_like_docs(sf_dir: str) -> pd.DataFrame:
+    """substring filter + group count — J6 (Vector_db_querier.py:130-187)."""
+    from ray.data.aggregate import Sum
+
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["source", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        mask = pc.match_substring(b["text"], "vector")
+        return _partial(b.filter(mask), ["source"], [([], "count_all")])
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    return out[["source", "n"]]
+
+
+# ---------------------------------------------- text analysis family --------
+
+
+def q_token_stats_by_lang(sf_dir: str) -> pd.DataFrame:
+    """whitespace token counting per doc → per-lang stats (M12 analogue +
+    training-data token counting)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["lang", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        n_tok = textfn.token_counts(b["text"].to_pylist())
+        t = pa.table({"lang": b["lang"], "n_tok": pa.array(n_tok, pa.int64())})
+        return _partial(t, ["lang"], [("n_tok", "sum"), ([], "count_all")])
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_tok_sum", alias_name="total_tokens"), Sum("count_all", alias_name="nd"))
+        .to_pandas()
+    )
+    out["avg_tokens"] = (out["total_tokens"] / out["nd"]).round(6)
+    return out[["lang", "total_tokens", "avg_tokens"]]
+
+
+def q_doc_quality(sf_dir: str) -> "object":
+    """per-doc punct ratio + token count (quality scoring inputs) for a
+    deterministic id range — training-data quality scoring over documents."""
+    import ray.data as rd
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["doc_id"], 50)
+        b = b.filter(keep)
+        texts = b["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(textfn.token_counts(texts), pa.int64()),
+                "punct_ratio": pa.array(textfn.punct_ratios(texts), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_lang_id_docs(sf_dir: str) -> pd.DataFrame:
+    """n-gram language-ID over documents → predicted-lang histogram
+    (training-data lang-ID; heuristic, no SQL oracle — rows-only check)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        pred = textfn.lang_id(b["text"].to_pylist())
+        t = pa.table({"lang_pred": pa.array(pred, pa.string())})
+        return _partial(t, ["lang_pred"], [([], "count_all")])
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("lang_pred")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    return out[["lang_pred", "n"]]
+
+
+def q_doc_fingerprints(sf_dir: str) -> "object":
+    """rolling-hash winnowing fingerprint per doc (rows-only check)."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        fps = textfn.rolling_fingerprint(b["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "fp_min": pa.array([min(f) for f in fps], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------ windows / event-time family ------
+
+
+def q_events_per_day_by_type(sf_dir: str) -> pd.DataFrame:
+    """tumbling daily window counts (A7; monitoring.py:188-193 analogue)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["ts", "event_type"])
+
+    def f(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        t = pa.table({"day": day, "event_type": b["event_type"]})
+        return _partial(t, ["day", "event_type"], [([], "count_all")])
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    return out[["day", "event_type", "n"]]
+
+
+def q_user_sessions(sf_dir: str) -> "object":
+    """session windows (gap > 1 h) per user — streaming-shaped op (§2.9):
+    partition by key, sort by ts within the group, stateful scan in pandas."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds() > 3600
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [np.int64(1 + gaps.sum())]}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_event_rank_in_user(sf_dir: str) -> "object":
+    """row_number per key (first 3) — windowed rank via sorted map_groups."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).head(3).copy()
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["event_id", "rn"]]
+
+    return ds.groupby("user_id").map_groups(rank, batch_format="pandas")
+
+
+# ----------------------------------- D2: MinHash-LSH near-dup (docs) ---------
+
+_MH = None
+
+
+def _mh() -> hashing.MinHasher:
+    global _MH
+    if _MH is None:
+        _MH = hashing.MinHasher(num_perms=200, seed=7_042)
+    return _MH
+
+
+def q_docs_jaccard_pairs(sf_dir: str) -> "object":
+    """near-duplicate pairs by token-set Jaccard ≥ 0.8 — D2 (Estrella.py
+    580-603 MinHash semantics) via LSH banding (50 bands × 4 rows; miss
+    probability at s=0.8 is (1−0.8⁴)⁵⁰ ≈ 3e-12) + exact verification of
+    candidates. The SQL oracle computes the exact quadratic answer; the
+    pipeline must reproduce it without the quadratic scan."""
+    import ray
+    import ray.data as rd
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        toks = [sorted(set(t.split())) for t in b["text"].to_pylist()]
+        sigs = _mh().signatures(toks)
+        keys = _mh().band_keys(sigs, bands=50)  # (n, 50)
+        n, nb = keys.shape
+        return pa.table(
+            {
+                "band_key": pa.array(keys.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(b["doc_id"].to_numpy(), nb), pa.int64()),
+            }
+        )
+
+    bands = ds.map_batches(band_rows, batch_format="pyarrow")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = bands.groupby("band_key").map_groups(emit_pairs, batch_format="pandas")
+    # dedup candidate pairs discovered in multiple bands (exact, shuffle on pair)
+    cand = cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+    # exact verify: token sets broadcast (small table here; at scale this is a
+    # hash-join of shingle sets back onto the candidate pairs)
+    docs = _dim(sf_dir, "documents", columns=["doc_id", "text"])
+    tok_map = {int(i): frozenset(t.split()) for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())}
+    ref = ray.put(tok_map)
+
+    class Verify:
+        def __init__(self):
+            self.toks = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep = []
+            for a, b_ in zip(df["id_a"], df["id_b"]):
+                sa, sb = self.toks[int(a)], self.toks[int(b_)]
+                j = len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0
+                keep.append(j >= 0.8)
+            return df[np.array(keep, dtype=bool)] if len(df) else df
+
+    return cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+
+
+def q_simhash_docs(sf_dir: str) -> "object":
+    """64-bit SimHash per doc (rows-only; custom hash not SQL-expressible)."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        toks = [sorted(set(t.split())) for t in b["text"].to_pylist()]
+        sh = hashing.simhash64(toks).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"], "simhash": pa.array(sh, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------- similarity search over embeddings -----------
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(
+        _pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"], filters=[("vec_id", "=", 0)]
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
+def q_embedding_topk(sf_dir: str) -> pd.DataFrame:
+    """brute-force cosine top-k vs broadcast query vector — O2
+    (Vector_db_querier.py:66-92): per-batch numpy matmul partial top-k,
+    tiny global merge."""
+    import ray
+
+    q = _query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+    qref = ray.put(qn)
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class TopK:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy()
+            mask = ids != 0
+            e = np.array(b["embedding"].to_pylist(), dtype=np.float64)[mask]
+            ids = ids[mask]
+            if len(ids) == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+            en = e / np.linalg.norm(e, axis=1, keepdims=True)
+            sims = en @ self.q
+            k = min(10, len(ids))
+            top = np.argpartition(-sims, k - 1)[:k]
+            return pa.table(
+                {"vec_id": pa.array(ids[top], pa.int64()), "sim": pa.array(sims[top], pa.float64())}
+            )
+
+    parts = ds.map_batches(TopK, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    parts = parts.sort_values(["sim", "vec_id"], ascending=[False, True]).head(10)
+    return parts[["vec_id"]].reset_index(drop=True)
+
+
+def q_hybrid_topk(sf_dir: str) -> pd.DataFrame:
+    """hybrid keyword+vector ranking — O3 (Vector_db_querier.py:100-124):
+    0.6·cosine + 0.4·keyword-hit, keyword table broadcast."""
+    import ray
+
+    q = _query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+    docs = _dim(sf_dir, "documents", columns=["doc_id", "text"])
+    hits = {
+        int(i): ("vector" in t) for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    ref = ray.put((qn, hits))
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class Score:
+        def __init__(self):
+            self.q, self.hits = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy()
+            e = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+            en = e / np.linalg.norm(e, axis=1, keepdims=True)
+            sims = en @ self.q
+            kw = np.array([1.0 if self.hits.get(int(i), False) else 0.0 for i in ids])
+            score = 0.6 * sims + 0.4 * kw
+            k = min(10, len(ids))
+            top = np.argpartition(-score, k - 1)[:k]
+            return pa.table(
+                {"vec_id": pa.array(ids[top], pa.int64()), "score": pa.array(score[top], pa.float64())}
+            )
+
+    parts = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    parts = parts.sort_values(["score", "vec_id"], ascending=[False, True]).head(10)
+    return parts[["vec_id"]].reset_index(drop=True)
+
+
+def q_embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
+    """embedding-cosine near-dup pairs (≥ 0.4) — the embedding-based dedup
+    path: per-batch matmul against the broadcast normalized matrix. At 100 TB
+    this becomes LSH/IVF-bucketed; brute-force is the correctness baseline."""
+    import ray
+
+    full = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids_all = full["vec_id"].to_numpy()
+    E = np.array(full["embedding"].to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    order = np.argsort(ids_all)
+    ref = ray.put((ids_all[order], En[order]))
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.En = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy()
+            e = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+            en = e / np.linalg.norm(e, axis=1, keepdims=True)
+            sims = en @ self.En.T  # (batch, all)
+            rows, cols = np.where(sims >= 0.4)
+            a = ids[rows]
+            b_ = self.ids[cols]
+            keep = a < b_
+            return pa.table(
+                {"id_a": pa.array(a[keep], pa.int64()), "id_b": pa.array(b_[keep], pa.int64())}
+            )
+
+    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+
+
+# ----------------------------------------------------------- registry --------
+
+QUERIES = {
+    "global_counts": q_global_counts,
+    "events_by_type": q_events_by_type,
+    "docs_by_lang": q_docs_by_lang,
+    "avg_items_per_order": q_avg_items_per_order,
+    "top_customers": q_top_customers,
+    "events_span": q_events_span,
+    "value_buckets": q_value_buckets,
+    "distinct_counts": q_distinct_counts,
+    "orders_topk_price": q_orders_topk_price,
+    "first_event_per_user": q_first_event_per_user,
+    "dedup_first_wins_docs": q_dedup_first_wins_docs,
+    "exact_dup_groups": q_exact_dup_groups,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "order_lineitem_join": q_order_lineitem_join,
+    "source_like_docs": q_source_like_docs,
+    "token_stats_by_lang": q_token_stats_by_lang,
+    "doc_quality": q_doc_quality,
+    "lang_id_docs": q_lang_id_docs,
+    "doc_fingerprints": q_doc_fingerprints,
+    "events_per_day_by_type": q_events_per_day_by_type,
+    "user_sessions": q_user_sessions,
+    "event_rank_in_user": q_event_rank_in_user,
+    "docs_jaccard_pairs": q_docs_jaccard_pairs,
+    "simhash_docs": q_simhash_docs,
+    "embedding_topk": q_embedding_topk,
+    "hybrid_topk": q_hybrid_topk,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+}
+
+ORACLE_SQL = {
+    "global_counts": (
+        "SELECT (SELECT COUNT(*) FROM orders) AS n_orders,"
+        " (SELECT COUNT(*) FROM lineitem) AS n_lineitem,"
+        " (SELECT COUNT(*) FROM events) AS n_events,"
+        " (SELECT COUNT(*) FROM documents) AS n_documents"
+    ),
+    "events_by_type": (
+        "SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value"
+        " FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "docs_by_lang": (
+        "SELECT lang, COUNT(*) AS n, ROUND(AVG(n_chars), 6) AS avg_chars"
+        " FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    "avg_items_per_order": (
+        "SELECT ROUND(AVG(cnt), 6) AS avg_items FROM"
+        " (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey) t"
+    ),
+    "top_customers": (
+        "SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total_spent"
+        " FROM orders GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10"
+    ),
+    "events_span": (
+        "SELECT MIN(ts) AS ts_min, MAX(ts) AS ts_max, COUNT(*) AS n,"
+        " ROUND(COUNT(*) / (EPOCH(MAX(ts) - MIN(ts)) / 3600), 4) AS events_per_hour"
+        " FROM events"
+    ),
+    "value_buckets": (
+        "SELECT CASE WHEN value < 10 THEN 'low' WHEN value < 50 THEN 'mid'"
+        " WHEN value < 200 THEN 'high' ELSE 'top' END AS bucket, COUNT(*) AS n"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "distinct_counts": (
+        "SELECT COUNT(DISTINCT event_type) AS n_event_types,"
+        " COUNT(DISTINCT user_id) AS n_users FROM events"
+    ),
+    "orders_topk_price": (
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders"
+        " ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
+    ),
+    "first_event_per_user": (
+        "SELECT user_id, ts, event_id FROM (SELECT user_id, ts, event_id,"
+        " ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn"
+        " FROM events) t WHERE rn = 1"
+    ),
+    "dedup_first_wins_docs": (
+        "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id"
+    ),
+    "exact_dup_groups": (
+        "SELECT md5(text) AS content_hash, COUNT(*) AS n FROM documents"
+        " GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1"
+    ),
+    "pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty,"
+        " ROUND(SUM(l_extendedprice), 4) AS sum_price,"
+        " ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,"
+        " ROUND(AVG(l_discount), 6) AS avg_disc, COUNT(*) AS n"
+        " FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "revenue_by_nation": (
+        "SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS revenue"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"
+    ),
+    "order_lineitem_join": (
+        "SELECT o_orderstatus, ROUND(SUM(rev), 4) AS revenue, SUM(cnt)::BIGINT AS n_items FROM"
+        " (SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS rev,"
+        "  COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey) li"
+        " JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus ORDER BY 1"
+    ),
+    "source_like_docs": (
+        "SELECT source, COUNT(*) AS n FROM documents WHERE text LIKE '%vector%'"
+        " GROUP BY source ORDER BY source"
+    ),
+    "token_stats_by_lang": (
+        "SELECT lang, SUM(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS total_tokens,"
+        " ROUND(AVG(len(string_split_regex(trim(text), '\\s+'))), 6) AS avg_tokens"
+        " FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    "doc_quality": (
+        "SELECT doc_id, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,"
+        " (length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g')))"
+        "   * 1.0 / length(text) AS punct_ratio"
+        " FROM documents WHERE doc_id < 50 ORDER BY doc_id"
+    ),
+    "events_per_day_by_type": (
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n FROM events"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "user_sessions": (
+        "SELECT user_id, (1 + SUM(CASE WHEN prev_ts IS NOT NULL AND"
+        " EPOCH(ts - prev_ts) > 3600 THEN 1 ELSE 0 END))::BIGINT AS n_sessions"
+        " FROM (SELECT user_id, ts, LAG(ts) OVER"
+        "  (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) t"
+        " GROUP BY user_id ORDER BY user_id"
+    ),
+    "event_rank_in_user": (
+        "SELECT event_id, rn FROM (SELECT event_id, ROW_NUMBER() OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) t"
+        " WHERE rn <= 3"
+    ),
+    "docs_jaccard_pairs": (
+        "WITH toks AS (SELECT doc_id,"
+        " list_distinct(string_split_regex(trim(text), '\\s+')) AS ts FROM documents)"
+        " SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM toks a, toks b"
+        " WHERE a.doc_id < b.doc_id AND"
+        " len(list_intersect(a.ts, b.ts)) * 1.0 /"
+        " len(list_distinct(a.ts || b.ts)) >= 0.8 ORDER BY 1, 2"
+    ),
+    "embedding_topk": (
+        "SELECT vec_id FROM embeddings WHERE vec_id <> 0 ORDER BY"
+        " list_cosine_similarity(embedding,"
+        "  (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id LIMIT 10"
+    ),
+    "hybrid_topk": (
+        "SELECT e.vec_id FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id"
+        " ORDER BY 0.6 * list_cosine_similarity(e.embedding,"
+        "  (SELECT embedding FROM embeddings WHERE vec_id = 0))"
+        " + 0.4 * (CASE WHEN d.text LIKE '%vector%' THEN 1 ELSE 0 END) DESC,"
+        " e.vec_id LIMIT 10"
+    ),
+    "embedding_neardup_pairs": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b"
+        " WHERE a.vec_id < b.vec_id AND"
+        " list_cosine_similarity(a.embedding, b.embedding) >= 0.4 ORDER BY 1, 2"
+    ),
+    # rows-only (no SQL oracle): lang_id_docs, doc_fingerprints, simhash_docs
+}
