@@ -1,0 +1,705 @@
+"""The Ray-Data-native crawl engine: sharded URL frontier + fetch scheduler.
+
+Implements the generational best-first semantics of ``semantics.py`` (the
+contract proven against the sequential oracle in tests/test_crawl_parity.py)
+as a sequence of Ray Data pipelines per generation — the engine's "how" is
+entirely Dataset/map_batches/groupby; nothing here mirrors the reference's
+threaded loop (SURVEY §3.1) structurally.
+
+Per-generation dataflow (SURVEY §7.4 shuffle plan)::
+
+    frontier ckpt (Lance layout, partitioned by url_hash bucket)
+      └─ admission:   map_batches per-host pre-prune (combiner)
+                      → groupby(host_id).map_groups(top-budget)     [shuffle 1]
+                      → sort(priority, seq) → limit(cap)            [shuffle 2]
+      └─ fetch:       groupby(part).map_groups(fetch)               [shuffle 3]
+                      part = host-affine bucket, hot hosts salted into
+                      sub-parts (north_rule skew-splitting); "fetch" reads
+                      only the matching corpus partition, columns pruned
+      └─ dedup:       map_batches(signatures) → banded index join
+                      groupby(band_key) over new ∪ pruned-old bands [shuffle 4]
+                      → verified similarity edges → sequential winner
+                      resolution (driver; edge count is dup-rate bounded)
+      └─ links:       map_batches(extract + canonicalize + M13 score)
+      └─ frontier′:   old frontier minus admitted (broadcast filter, no
+                      shuffle) ∪ new links first-wins + seen anti-join per
+                      url_hash bucket (bloom pre-filter → exact check)
+                                                                    [shuffle 5]
+
+Scale notes (10^10-URL frontier):
+  * Only the *admitted* set of a generation is ever driver-materialized; its
+    size is bounded by the politeness budget (Σ host slots), not by data
+    size. Frontier / seen / pages / bands / links stay distributed.
+  * Every checkpoint table is partitioned (url_hash bucket, band bucket, or
+    generation), written atomically via the Lance-layout manifest — a crashed
+    generation is invisible and rolled back on resume (per-partition
+    lineage, north_rule).
+  * The seen anti-join reads only the url_hash-bucket partitions that new
+    links actually hash into, after a per-bucket bloom pre-filter; the exact
+    per-bucket join stays authoritative (bloom false positives cost a read,
+    never a wrong drop — SURVEY §7.5.2).
+  * The banded dedup index is read partition-pruned to the band buckets
+    present in the generation's new pages.
+
+Reference parity citations: admission order database.py:209-235; seen-before-
+robots Estrella.py:467-477; dup semantics Estrella.py:223-257 +
+database.py:416-436; first-wins frontier crawler.py:873-898.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hamming64, hash64, phash_band_keys
+from ..functions.priority import SEED_PRIORITY, link_priorities
+from ..functions.urls import paths_of
+from ..semantics import (
+    MINHASH_BANDS,
+    MINHASH_THRESHOLD,
+    PHASH_BANDS,
+    PHASH_HAM_MAX,
+    CrawlParams,
+    default_seeds,
+    link_seq,
+    minhasher,
+)
+from ..sources import corpus as C
+from ..sources import lance_table as lt
+from ..state.seen_filter import BloomFilter
+
+FRONTIER_COLS = ["url", "url_hash", "idx", "host_id", "priority", "seq", "uh_bucket"]
+
+
+@dataclass
+class CrawlConfig:
+    params: CrawlParams
+    root: str                      # checkpoint root directory
+    num_uh_buckets: int = 16       # url_hash partitions (seen/frontier)
+    num_bk_buckets: int = 16       # band-key partitions (dedup index)
+    hot_salts: int = 4             # sub-parts for hot hosts (skew splitting)
+    hot_threshold: int = 256       # admitted-rows/host above which we salt
+    bloom_capacity: int = 1 << 20  # per-uh-bucket seen-filter sizing
+    max_generations: int | None = None  # stop early (resume/crash tests)
+
+
+@dataclass
+class CrawlResult:
+    root: str
+    n_pages: int = 0
+    n_generations: int = 0
+    finished: bool = False
+    metrics: list = field(default_factory=list)
+
+    def pages_table(self) -> pa.Table:
+        gens = _gens_of(self.root, "pages")
+        t = pa.concat_tables([lt.read_pyarrow(_gd(self.root, "pages", g)) for g in gens])
+        return t.sort_by("rank")
+
+    def links_table(self) -> pa.Table:
+        gens = _gens_of(self.root, "links")
+        tabs = [lt.read_pyarrow(_gd(self.root, "links", g)) for g in gens]
+        return pa.concat_tables(tabs) if tabs else pa.table({"from_rank": [], "to_url": []})
+
+    def seen_urls(self) -> set:
+        out: set = set()
+        for g in _gens_of(self.root, "seen"):
+            out.update(lt.read_pyarrow(_gd(self.root, "seen", g), columns=["url"])["url"].to_pylist())
+        return out
+
+
+# ---------------------------------------------------------------- ckpt util --
+
+
+def _gd(root: str, name: str, gen: int) -> str:
+    return os.path.join(root, name, f"gen{gen}")
+
+
+def _gens_of(root: str, name: str) -> list[int]:
+    base = os.path.join(root, name)
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        int(d[3:]) for d in os.listdir(base) if d.startswith("gen") and lt.exists(os.path.join(base, d))
+    )
+
+
+def _state_path(root: str) -> str:
+    return os.path.join(root, "state.json")
+
+
+def _load_state(root: str) -> dict | None:
+    p = _state_path(root)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _save_state(root: str, st: dict) -> None:
+    tmp = _state_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(st, f)
+    os.replace(tmp, _state_path(root))
+
+
+def _rollback(root: str, last_complete_gen: int) -> None:
+    """Delete any generation directories newer than the committed state —
+    a generation whose state.json update never landed never happened."""
+    for name in ("frontier", "seen", "pages", "links", "bands", "metrics", "blooms"):
+        base = os.path.join(root, name)
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            if d.startswith("gen") and int(d[3:]) > last_complete_gen:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+
+# ----------------------------------------------------------------- stages ----
+
+
+def _frontier_row_table(cfg: CrawlConfig, urls, idxs, priorities, seqs) -> pa.Table:
+    spec = cfg.params.spec
+    idxs = np.asarray(idxs, dtype=np.int64)
+    hosts = C.host_of_index(spec, idxs)
+    uh = hash64(list(urls))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "url_hash": pa.array(uh, pa.uint64()),
+            "idx": pa.array(idxs, pa.int64()),
+            "host_id": pa.array(hosts, pa.int32()),
+            "priority": pa.array(np.asarray(priorities, dtype=np.float64), pa.float64()),
+            "seq": pa.array(np.asarray(seqs, dtype=np.int64), pa.int64()),
+            "uh_bucket": pa.array((uh % np.uint64(cfg.num_uh_buckets)).astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def _bootstrap(cfg: CrawlConfig) -> dict:
+    os.makedirs(cfg.root, exist_ok=True)
+    seeds = list(cfg.params.seeds or default_seeds(cfg.params.spec))
+    idxs = [C.index_of_url(u) for u in seeds]
+    t = _frontier_row_table(cfg, seeds, idxs, [SEED_PRIORITY] * len(seeds), list(range(len(seeds))))
+    lt.write_table(t, _gd(cfg.root, "frontier", 0), partition_col="uh_bucket")
+    os.makedirs(os.path.join(cfg.root, "blooms", "gen0"), exist_ok=True)
+    for b in range(cfg.num_uh_buckets):
+        with open(os.path.join(cfg.root, "blooms", "gen0", f"bloom-{b}.bin"), "wb") as f:
+            f.write(BloomFilter(cfg.bloom_capacity).to_bytes())
+    st = {"gen": 0, "rank": 0, "finished": False}
+    _save_state(cfg.root, st)
+    return st
+
+
+# per-worker-process cache of pruned corpus partition lookups
+_PART_CACHE: dict = {}
+
+
+def _corpus_lookup(corpus_path: str, base_part: int):
+    key = (corpus_path, base_part)
+    hit = _PART_CACHE.get(key)
+    if hit is None:
+        t = lt.read_pyarrow(
+            corpus_path, columns=["image_id", "caption", "phash"], partitions=[base_part]
+        )
+        idx = np.fromiter((int(s[3:]) for s in t["image_id"].to_pylist()), dtype=np.int64)
+        pos = dict(zip(idx.tolist(), range(len(idx))))
+        hit = (t["caption"].to_pylist(), t["phash"].to_numpy(), pos)
+        _PART_CACHE[key] = hit
+    return hit
+
+
+def _make_fetch_fn(cfg: CrawlConfig, corpus_path: str, gen: int):
+    spec_dict = cfg.params.spec.__dict__.copy()
+    salts = cfg.hot_salts
+
+    def fetch_part(group: pa.Table) -> pa.Table:
+        """One host-affine (salted) partition of the admitted set → page rows.
+        Stateful per-partition work: corpus partition load is cached per
+        worker process; robots policies per host are derived once per group
+        (ST4 host-affinity ⇒ hit rate ≈ 1, SURVEY §2.3)."""
+        spec = C.CorpusSpec(**spec_dict)
+        base = int(group["part"][0].as_py()) // salts
+        caps, phs, pos = _corpus_lookup(corpus_path, base)
+        urls = group["url"].to_pylist()
+        idxs = group["idx"].to_numpy()
+        hosts = group["host_id"].to_numpy()
+        paths = paths_of(urls)
+        policies = {h: C.robots_for_host(spec, int(h)) for h in np.unique(hosts)}
+        n = len(urls)
+        captions, phashes, status = [""] * n, np.zeros(n, dtype=np.int64), [""] * n
+        for i in range(n):
+            if not policies[hosts[i]].allowed(paths[i]):
+                status[i] = "disallowed"
+                continue
+            p = pos[int(idxs[i])]
+            captions[i], phashes[i] = caps[p], phs[p]
+            status[i] = "fetched"
+        return pa.table(
+            {
+                "rank": group["rank"],
+                "gen": pa.array(np.full(n, gen, dtype=np.int32), pa.int32()),
+                "url": group["url"],
+                "idx": group["idx"],
+                "host_id": group["host_id"],
+                "priority": group["priority"],
+                "seq": group["seq"],
+                "status": pa.array(status, pa.string()),
+                "caption": pa.array(captions, pa.string()),
+                "phash": pa.array(phashes, pa.int64()),
+            }
+        )
+
+    return fetch_part
+
+
+def _sig_batch(cfg: CrawlConfig):
+    nbk = cfg.num_bk_buckets
+
+    def fn(b: pa.Table) -> pa.Table:
+        """Fetched pages → exploded band rows, two families:
+
+        * family 1 — 50 MinHash bands × 4 rows, payload = the 200-perm sig.
+          Any pair with est-Jaccard ≥ 0.8 collides in ≥ 1 band (pigeonhole,
+          semantics.MINHASH_BANDS); exact-equal captions have est-J = 1.0,
+          so the reference's md5 exact-dup check (M9/D3) is subsumed.
+        * family 2 — 8 pHash bands × 8 bits, payload = the phash. Any pair
+          with Hamming ≤ 7 collides in ≥ 1 band.
+
+        Payload lives on the band rows so verification is a single
+        self-contained groupby — no second join to a sig table. At 10^10-page
+        scale the family-1 payload (50 × 800 B per page) is the knob to
+        shrink: store the sig once in a rank-partitioned side table and
+        fetch it only for banded candidates.
+        """
+        mh = minhasher()
+        caps = b["caption"].to_pylist()
+        ranks = b["rank"].to_numpy()
+        phs = b["phash"].to_numpy()
+        sigs = mh.signatures([c.split() for c in caps])          # (n, 200)
+        mh_keys = mh.band_keys(sigs, bands=MINHASH_BANDS)        # (n, 50)
+        ph_keys = phash_band_keys(phs, bands=PHASH_BANDS)        # (n, 8)
+        n = len(ranks)
+        sig_blobs = [sigs[i].astype(np.uint32).tobytes() for i in range(n)]
+        key = np.concatenate([mh_keys.ravel(), ph_keys.ravel()])
+        fam = np.concatenate(
+            [np.full(n * MINHASH_BANDS, 1, dtype=np.int8), np.full(n * PHASH_BANDS, 2, dtype=np.int8)]
+        )
+        rank_col = np.concatenate([np.repeat(ranks, MINHASH_BANDS), np.repeat(ranks, PHASH_BANDS)])
+        ph_col = np.concatenate([np.zeros(n * MINHASH_BANDS, dtype=np.int64), np.repeat(phs, PHASH_BANDS)])
+        sig_col = [s for s in sig_blobs for _ in range(MINHASH_BANDS)] + [b""] * (n * PHASH_BANDS)
+        return pa.table(
+            {
+                "band_key": pa.array(key, pa.uint64()),
+                "bk_bucket": pa.array((key % np.uint64(nbk)).astype(np.int32), pa.int32()),
+                "rank": pa.array(rank_col, pa.int64()),
+                "family": pa.array(fam, pa.int8()),
+                "phash": pa.array(ph_col, pa.int64()),
+                "sig": pa.array(sig_col, pa.binary()),
+            }
+        )
+
+    return fn
+
+
+_EMPTY_EDGES = pa.table({"rank_a": pa.array([], pa.int64()), "rank_b": pa.array([], pa.int64())})
+
+
+def _verify_group(group: pa.Table) -> pa.Table:
+    """One (family, band_key) group → verified similarity edges
+    (old_rank < new_rank). Group sizes are collision-bounded; the exact
+    family predicate runs only on banded candidates (D2, SURVEY §2.7)."""
+    ranks = group["rank"].to_numpy()
+    if len(ranks) < 2:
+        return _EMPTY_EDGES
+    is_new = group["is_new"].to_numpy()
+    if not is_new.any():
+        return _EMPTY_EDGES
+    fam = int(group["family"][0].as_py())
+    if fam == 1:
+        sigs = np.stack(
+            [np.frombuffer(s, dtype=np.uint32) for s in group["sig"].to_pylist()]
+        )
+    else:
+        phs = group["phash"].to_numpy().astype(np.uint64)
+    order = np.argsort(ranks, kind="stable")
+    ra, rb = [], []
+    for jj in range(len(order)):
+        j = order[jj]
+        if not is_new[j]:
+            continue
+        for ii in range(jj):
+            i = order[ii]
+            if ranks[i] == ranks[j]:
+                continue
+            if fam == 1:
+                ok = np.mean(sigs[i] == sigs[j]) >= MINHASH_THRESHOLD
+            else:
+                ok = int(hamming64(phs[i : i + 1], phs[j : j + 1])[0]) <= PHASH_HAM_MAX
+            if ok:
+                ra.append(int(ranks[i]))
+                rb.append(int(ranks[j]))
+    return pa.table({"rank_a": pa.array(ra, pa.int64()), "rank_b": pa.array(rb, pa.int64())})
+
+
+def _resolve_dups(edges: pd.DataFrame, new_ranks: np.ndarray) -> dict[int, int]:
+    """Sequential winner resolution (keep-oldest, duplicates never become
+    winners — database.py:416-436). Edge count is dup-rate bounded, so this
+    driver step is O(edges), not O(pages)."""
+    dup_of: dict[int, int] = {}
+    if edges.empty:
+        return dup_of
+    by_new: dict[int, list[int]] = {}
+    for a, b in zip(edges["rank_a"].to_numpy(), edges["rank_b"].to_numpy()):
+        by_new.setdefault(int(b), []).append(int(a))
+    for rb in np.sort(new_ranks):
+        partners = [ra for ra in by_new.get(int(rb), []) if ra not in dup_of]
+        if partners:
+            dup_of[int(rb)] = min(partners)
+    return dup_of
+
+
+def _make_link_fn(cfg: CrawlConfig):
+    spec_dict = cfg.params.spec.__dict__.copy()
+    keywords = tuple(cfg.params.keywords)
+    nuh = cfg.num_uh_buckets
+
+    def links_batch(b: pa.Table) -> pa.Table:
+        """Non-dup HTML pages → scored frontier-candidate link rows
+        (M2 extraction + M1 canonical form + M13 priority)."""
+        spec = C.CorpusSpec(**spec_dict)
+        urls, idxs, prios, seqs, from_ranks = [], [], [], [], []
+        for rank, idx in zip(b["rank"].to_numpy(), b["idx"].to_numpy()):
+            targets, anchors = C.out_links_of_index(spec, int(idx))
+            pr = link_priorities(anchors, keywords)
+            tu = C.url_of_index(spec, np.array(targets))
+            for j, (t, u) in enumerate(zip(targets, tu)):
+                urls.append(u)
+                idxs.append(t)
+                prios.append(float(pr[j]))
+                seqs.append(link_seq(int(rank), j))
+                from_ranks.append(int(rank))
+        hosts = C.host_of_index(spec, np.asarray(idxs, dtype=np.int64)) if idxs else np.array([], np.int32)
+        uh = hash64(urls) if urls else np.array([], np.uint64)
+        return pa.table(
+            {
+                "from_rank": pa.array(from_ranks, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "url_hash": pa.array(uh, pa.uint64()),
+                "idx": pa.array(np.asarray(idxs, dtype=np.int64), pa.int64()),
+                "host_id": pa.array(hosts, pa.int32()),
+                "priority": pa.array(np.asarray(prios, dtype=np.float64), pa.float64()),
+                "seq": pa.array(np.asarray(seqs, dtype=np.int64), pa.int64()),
+                "uh_bucket": pa.array((uh % np.uint64(nuh)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    return links_batch
+
+
+def _make_merge_fn(cfg: CrawlConfig, gen: int, seen_gens: list[int], frontier_prev: str):
+    root = cfg.root
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        """One url_hash bucket of new links → accepted frontier rows.
+        first-wins within the bucket, then bloom pre-filter + exact
+        anti-join against the bucket's seen partitions, then an anti-join
+        against the bucket's current frontier partition (a queued URL keeps
+        its first-discovery priority — D1, Estrella.py:548-554)."""
+        bucket = int(group["uh_bucket"][0].as_py())
+        df = group.to_pandas().sort_values("seq", kind="stable")
+        df = df.drop_duplicates("url_hash", keep="first")
+        uh = df["url_hash"].to_numpy().astype(np.uint64)
+        with open(os.path.join(root, "blooms", f"gen{gen}", f"bloom-{bucket}.bin"), "rb") as f:
+            bloom = BloomFilter.from_bytes(f.read())
+        maybe = bloom.contains_many(uh)
+        if maybe.any():
+            seen_hashes = []
+            for g in seen_gens:
+                p = _gd(root, "seen", g)
+                if lt.exists(p):
+                    try:
+                        t = lt.read_pyarrow(p, columns=["url_hash"], partitions=[bucket])
+                        seen_hashes.append(t["url_hash"].to_numpy())
+                    except FileNotFoundError:
+                        pass
+            if seen_hashes:
+                seen_arr = np.concatenate(seen_hashes)
+                drop = maybe & np.isin(uh, seen_arr)
+                df = df[~drop]
+                uh = df["url_hash"].to_numpy().astype(np.uint64)
+        try:
+            fr = lt.read_pyarrow(frontier_prev, columns=["url_hash"], partitions=[bucket])
+            queued = fr["url_hash"].to_numpy()
+            df = df[~np.isin(uh, queued)]
+        except FileNotFoundError:
+            pass
+        out = df[FRONTIER_COLS]
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("url_hash", pa.uint64()),
+                    ("idx", pa.int64()),
+                    ("host_id", pa.int32()),
+                    ("priority", pa.float64()),
+                    ("seq", pa.int64()),
+                    ("uh_bucket", pa.int32()),
+                ]
+            )
+        )
+
+    return merge_bucket
+
+
+# ------------------------------------------------------------- generation ----
+
+
+def _admission(cfg: CrawlConfig, frontier_path: str, rank_base: int) -> pd.DataFrame:
+    import ray.data  # noqa: F401  (lazy; driver initialises Ray)
+
+    params = cfg.params
+    spec_dict = params.spec.__dict__.copy()
+    politeness, factor = params.politeness, params.politeness_factor
+    cap = params.max_pages - rank_base
+    if params.gen_page_cap is not None:
+        cap = min(cap, params.gen_page_cap)
+    ds = lt.read_dataset(frontier_path, columns=FRONTIER_COLS)
+    if politeness:
+        def local_prune(b: pa.Table) -> pa.Table:
+            """Per-block combiner: keep at most budget(h) rows per host before
+            the host shuffle (partial top-k, SURVEY 'pre-aggregate')."""
+            spec = C.CorpusSpec(**spec_dict)
+            df = b.to_pandas().sort_values(["priority", "seq"], kind="stable")
+            budgets = {
+                int(h): C.robots_for_host(spec, int(h)).crawl_delay_slots * factor
+                for h in df["host_id"].unique()
+            }
+            return pa.Table.from_pandas(
+                df.groupby("host_id", group_keys=False).apply(
+                    lambda g: g.head(budgets[int(g.name)])
+                ),
+                preserve_index=False,
+            )
+
+        def host_topk(g: pd.DataFrame) -> pd.DataFrame:
+            spec = C.CorpusSpec(**spec_dict)
+            budget = C.robots_for_host(spec, int(g["host_id"].iloc[0])).crawl_delay_slots * factor
+            return g.sort_values(["priority", "seq"], kind="stable").head(budget)
+
+        ds = ds.map_batches(local_prune, batch_format="pyarrow").groupby("host_id").map_groups(
+            host_topk, batch_format="pandas"
+        )
+    adm = ds.sort(["priority", "seq"]).limit(cap).to_pandas()
+    if adm.empty:
+        return adm
+    adm = adm.sort_values(["priority", "seq"], kind="stable").reset_index(drop=True)
+    adm["rank"] = rank_base + np.arange(len(adm), dtype=np.int64)
+    # hot-host salting: split any host exceeding hot_threshold admitted rows
+    counts = adm["host_id"].value_counts()
+    hot = set(counts[counts > cfg.hot_threshold].index)
+    base = C.bucket_of_host(cfg.params.spec, adm["host_id"].to_numpy()).astype(np.int64)
+    salt = np.where(
+        adm["host_id"].isin(hot).to_numpy(),
+        adm["idx"].to_numpy() % cfg.hot_salts,
+        0,
+    )
+    adm["part"] = (base * cfg.hot_salts + salt).astype(np.int32)
+    return adm
+
+
+def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = True) -> CrawlResult:
+    """Run (or resume) the crawl to completion or ``cfg.max_generations``."""
+    import ray.data as rd
+
+    params = cfg.params
+    if corpus_path is None:
+        corpus_path = C.build_corpus(
+            params.spec, C.corpus_path(os.path.join(cfg.root, "..", "corpus"), params.spec)
+        )
+    st = _load_state(cfg.root) if resume else None
+    if st is None:
+        if os.path.isdir(cfg.root):
+            shutil.rmtree(cfg.root)
+        st = _bootstrap(cfg)
+    else:
+        _rollback(cfg.root, st["gen"])
+    result = CrawlResult(root=cfg.root)
+    gens_this_run = 0
+    while not st["finished"]:
+        if cfg.max_generations is not None and gens_this_run >= cfg.max_generations:
+            break
+        gen = st["gen"] + 1
+        rank_base = st["rank"]
+        t0 = time.perf_counter()
+        frontier_prev = _gd(cfg.root, "frontier", gen - 1)
+        adm = _admission(cfg, frontier_prev, rank_base)
+        if adm.empty or rank_base >= params.max_pages:
+            st["finished"] = True
+            _save_state(cfg.root, st)
+            break
+        n_adm = len(adm)
+
+        # ---- seen += admitted (write first: links must anti-join against it)
+        seen_t = pa.table(
+            {
+                "url": pa.array(adm["url"], pa.string()),
+                "url_hash": pa.array(adm["url_hash"].to_numpy().astype(np.uint64), pa.uint64()),
+                "uh_bucket": pa.array(adm["uh_bucket"].to_numpy().astype(np.int32), pa.int32()),
+            }
+        )
+        lt.write_table(seen_t, _gd(cfg.root, "seen", gen), partition_col="uh_bucket")
+        # blooms gen = blooms gen-1 + admitted hashes
+        os.makedirs(os.path.join(cfg.root, "blooms", f"gen{gen}"), exist_ok=True)
+        uh_all = adm["url_hash"].to_numpy().astype(np.uint64)
+        ub_all = adm["uh_bucket"].to_numpy()
+        for b in range(cfg.num_uh_buckets):
+            with open(os.path.join(cfg.root, "blooms", f"gen{gen - 1}", f"bloom-{b}.bin"), "rb") as f:
+                bloom = BloomFilter.from_bytes(f.read())
+            sel = uh_all[ub_all == b]
+            if len(sel):
+                bloom.add_many(sel)
+            with open(os.path.join(cfg.root, "blooms", f"gen{gen}", f"bloom-{b}.bin"), "wb") as f:
+                f.write(bloom.to_bytes())
+
+        # ---- fetch (host-affine, salted)
+        adm_t = pa.Table.from_pandas(adm, preserve_index=False)
+        fetched = (
+            rd.from_arrow(adm_t)
+            .groupby("part")
+            .map_groups(_make_fetch_fn(cfg, corpus_path, gen), batch_format="pyarrow")
+            .to_pandas()
+        )
+        fetched = fetched.sort_values("rank", kind="stable").reset_index(drop=True)
+        html = fetched[fetched["status"] == "fetched"]
+
+        # ---- dedup: banded index join (new ∪ pruned old) → edges → winners
+        dup_of: dict[int, int] = {}
+        bands_new_t = None
+        if len(html):
+            bands_new_t = _sig_batch(cfg)(pa.Table.from_pandas(html, preserve_index=False))
+            buckets = sorted(set(bands_new_t["bk_bucket"].to_numpy().tolist()))
+            new_ds = rd.from_arrow(
+                bands_new_t.append_column("is_new", pa.array([True] * bands_new_t.num_rows))
+            )
+            old_parts = []
+            for g in _gens_of(cfg.root, "bands"):
+                p = _gd(cfg.root, "bands", g)
+                try:
+                    paths = lt.fragment_paths(p, partitions=buckets)
+                except FileNotFoundError:
+                    paths = []
+                old_parts.extend(paths)
+            if old_parts:
+                old_ds = rd.read_parquet(old_parts).map_batches(
+                    lambda b: b.append_column("is_new", pa.array([False] * b.num_rows)),
+                    batch_format="pyarrow",
+                )
+                cand = old_ds.union(new_ds)
+            else:
+                cand = new_ds
+            edges = (
+                cand.groupby(["family", "band_key"])
+                .map_groups(_verify_group, batch_format="pyarrow")
+                .to_pandas()
+                .drop_duplicates()
+            )
+            dup_of = _resolve_dups(edges, html["rank"].to_numpy())
+
+        # ---- classify + write pages
+        status = fetched["status"].to_numpy().copy()
+        dup_col = np.full(len(fetched), -1, dtype=np.int64)
+        ranks = fetched["rank"].to_numpy()
+        for i in range(len(fetched)):
+            if status[i] == "fetched":
+                r = int(ranks[i])
+                if r in dup_of:
+                    status[i] = "duplicate"
+                    dup_col[i] = dup_of[r]
+                else:
+                    status[i] = "html"
+        pages = fetched.copy()
+        pages["status"] = status
+        pages["dup_of"] = dup_col
+        pages.loc[pages["status"] == "duplicate", "caption"] = ""  # html nulled on dup
+        lt.write_table(pa.Table.from_pandas(pages, preserve_index=False), _gd(cfg.root, "pages", gen))
+
+        # ---- bands index += non-dup pages
+        if bands_new_t is not None:
+            keep = ~np.isin(bands_new_t["rank"].to_numpy(), np.fromiter(dup_of, dtype=np.int64, count=len(dup_of)))
+            kept = bands_new_t.filter(pa.array(keep))
+            if kept.num_rows:
+                lt.write_table(kept, _gd(cfg.root, "bands", gen), partition_col="bk_bucket")
+
+        # ---- links + frontier update
+        nondup = pages[pages["status"] == "html"]
+        n_links = 0
+        accepted_ds = None
+        if len(nondup):
+            link_ds = rd.from_arrow(
+                pa.Table.from_pandas(nondup[["rank", "idx"]], preserve_index=False)
+            ).map_batches(_make_link_fn(cfg), batch_format="pyarrow")
+            link_ds = link_ds.materialize()  # small: links of one generation
+            n_links = link_ds.count()
+            lt.write_dataset(link_ds.select_columns(["from_rank", "url"]), _gd(cfg.root, "links", gen))
+            accepted_ds = (
+                link_ds.drop_columns(["from_rank"])
+                .groupby("uh_bucket")
+                .map_groups(
+                    _make_merge_fn(cfg, gen, list(range(1, gen + 1)), frontier_prev),
+                    batch_format="pyarrow",
+                )
+            )
+        adm_hashes = uh_all
+        keep_fn = _make_keep_fn(adm_hashes)
+        keep_ds = lt.read_dataset(frontier_prev, columns=FRONTIER_COLS).map_batches(keep_fn, batch_format="pyarrow")
+        next_frontier = keep_ds.union(accepted_ds) if accepted_ds is not None else keep_ds
+        # partition by a throwaway copy of uh_bucket: hive-partitioning strips
+        # the partition column from the data files, and re-reading it as a
+        # hive string would corrupt the frontier schema
+        next_frontier = next_frontier.map_batches(
+            lambda b: b.append_column("part", b["uh_bucket"]), batch_format="pyarrow"
+        )
+        man = lt.write_dataset(next_frontier, _gd(cfg.root, "frontier", gen), partition_col="part")
+
+        # ---- metrics + commit
+        secs = time.perf_counter() - t0
+        m = {
+            "gen": gen,
+            "n_frontier_in": int(lt.read_manifest(frontier_prev)["num_rows"]),
+            "n_admitted": int(n_adm),
+            "n_html": int((status == "html").sum()),
+            "n_duplicate": int((status == "duplicate").sum()),
+            "n_disallowed": int((status == "disallowed").sum()),
+            "n_links": int(n_links),
+            "n_frontier_out": int(man["num_rows"]),
+            "secs": float(secs),
+        }
+        lt.write_table(pa.table({k: [v] for k, v in m.items()}), _gd(cfg.root, "metrics", gen))
+        result.metrics.append(m)
+        st = {"gen": gen, "rank": rank_base + n_adm, "finished": False}
+        if st["rank"] >= params.max_pages:
+            st["finished"] = True
+        _save_state(cfg.root, st)
+        gens_this_run += 1
+
+    final = _load_state(cfg.root)
+    result.n_pages = final["rank"]
+    result.n_generations = final["gen"]
+    result.finished = final["finished"]
+    return result
+
+
+def _make_keep_fn(adm_hashes: np.ndarray):
+    def keep(b: pa.Table) -> pa.Table:
+        uh = b["url_hash"].to_numpy().astype(np.uint64)
+        return b.filter(pa.array(~np.isin(uh, adm_hashes))).select(FRONTIER_COLS)
+
+    return keep

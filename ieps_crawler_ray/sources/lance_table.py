@@ -159,4 +159,6 @@ def read_dataset(path: str, columns: list[str] | None = None, partitions: list |
 def read_pyarrow(path: str, columns: list[str] | None = None, partitions: list | None = None) -> pa.Table:
     """Driver/oracle-side read of a (small) table → one pyarrow Table."""
     paths = fragment_paths(path, partitions)
+    if not paths:
+        raise FileNotFoundError(f"no fragments in {path} for partitions={partitions}")
     return pa.concat_tables([pq.read_table(p, columns=columns) for p in paths])

@@ -1,0 +1,143 @@
+"""Crawl-order / URL-seen parity: Ray engine vs sequential oracle.
+
+This is the north_rule gate: "matching the reference's crawl ordering and
+URL-seen set under the same seed list + politeness budget" — the oracle
+(oracle.py) is the runnable stand-in for the reference's sequential
+semantics (no Postgres / no network in this sandbox), and the engine must
+reproduce it exactly: crawl order, page statuses, duplicate links, captions
+byte-for-byte, and the seen set.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from ieps_crawler_ray.oracle import heap_crawl, oracle_crawl, table_fetcher
+from ieps_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+from ieps_crawler_ray.semantics import CrawlParams
+from ieps_crawler_ray.sources import corpus as C
+
+SCRATCH = "/tmp/ieps_crawler_ray"
+
+SPEC = C.CorpusSpec(n_images=500, n_hosts=10, num_buckets=4, neardup_permille=300)
+
+
+@pytest.fixture(scope="session")
+def corpus_path(ray_session):
+    return C.build_corpus(SPEC, C.corpus_path(SCRATCH, SPEC))
+
+
+@pytest.fixture(scope="session")
+def fetch(corpus_path):
+    return table_fetcher(corpus_path)
+
+
+def _page_tuples(pages):
+    """(rank, url, gen, status, dup_of, caption-as-stored) per page."""
+    return [
+        (p.rank, p.url, p.gen, p.status, p.dup_of, "" if p.status == "duplicate" else p.caption)
+        for p in pages
+    ]
+
+
+def _engine_tuples(res):
+    pt = res.pages_table().to_pandas()
+    return [
+        (int(a), b, int(c), d, int(e), f)
+        for a, b, c, d, e, f in zip(
+            pt["rank"], pt["url"], pt["gen"], pt["status"], pt["dup_of"], pt["caption"]
+        )
+    ]
+
+
+def _run_engine(params, corpus_path, root, **cfg_kw):
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = CrawlConfig(params=params, root=root, **cfg_kw)
+    return run_crawl(cfg, corpus_path=corpus_path)
+
+
+def test_generational_cap1_equals_reference_heap_loop(fetch):
+    """The generational model with politeness off and a 1-page generation cap
+    IS the reference's sequential pop-1 heap loop (Estrella.py:458-462)."""
+    params = CrawlParams(spec=SPEC, max_pages=150, politeness=False, gen_page_cap=1)
+    a = oracle_crawl(params, fetch)
+    b = heap_crawl(params, fetch)
+    assert a.order() == b.order()
+    assert a.seen == b.seen
+    assert _page_tuples(a.pages) == _page_tuples(b.pages)
+
+
+def test_engine_matches_oracle_with_politeness(corpus_path, fetch):
+    """Full semantics: per-host politeness budgets, robots disallows,
+    MinHash/pHash near-dup — engine output must equal the oracle exactly."""
+    params = CrawlParams(spec=SPEC, max_pages=200, politeness=True, politeness_factor=3)
+    oracle = oracle_crawl(params, fetch)
+    statuses = {p.status for p in oracle.pages}
+    assert statuses >= {"html", "duplicate"}, "test corpus must exercise dedup"
+    res = _run_engine(params, corpus_path, f"{SCRATCH}/ckpt-parity")
+    assert res.finished and res.n_pages == len(oracle.pages)
+    assert _engine_tuples(res) == _page_tuples(oracle.pages)
+    assert res.seen_urls() == oracle.seen
+
+
+def test_engine_matches_oracle_no_politeness(corpus_path, fetch):
+    """politeness=False admission branch (global best-first prefix)."""
+    params = CrawlParams(spec=SPEC, max_pages=120, politeness=False, gen_page_cap=40)
+    oracle = oracle_crawl(params, fetch)
+    res = _run_engine(params, corpus_path, f"{SCRATCH}/ckpt-nopol")
+    assert _engine_tuples(res) == _page_tuples(oracle.pages)
+    assert res.seen_urls() == oracle.seen
+
+
+def test_engine_resume_from_checkpoint(corpus_path, fetch):
+    """Stop after 2 generations, resume in a new run: final state equals an
+    uninterrupted crawl (per-partition lineage / resumable restarts)."""
+    params = CrawlParams(spec=SPEC, max_pages=120, politeness=True, politeness_factor=3)
+    root = f"{SCRATCH}/ckpt-resume"
+    shutil.rmtree(root, ignore_errors=True)
+    partial = run_crawl(
+        CrawlConfig(params=params, root=root, max_generations=2), corpus_path=corpus_path
+    )
+    assert not partial.finished
+    resumed = run_crawl(CrawlConfig(params=params, root=root), corpus_path=corpus_path)
+    assert resumed.finished
+    oracle = oracle_crawl(params, fetch)
+    assert _engine_tuples(resumed) == _page_tuples(oracle.pages)
+    assert resumed.seen_urls() == oracle.seen
+
+
+def test_engine_rollback_of_uncommitted_generation(corpus_path, fetch):
+    """A generation written without a state.json commit (simulated crash)
+    is rolled back on resume and re-run identically."""
+    import json
+    import os
+
+    params = CrawlParams(spec=SPEC, max_pages=100, politeness=True, politeness_factor=3)
+    root = f"{SCRATCH}/ckpt-crash"
+    shutil.rmtree(root, ignore_errors=True)
+    run_crawl(CrawlConfig(params=params, root=root, max_generations=3), corpus_path=corpus_path)
+    # simulated crash: state says gen 2 even though gen 3 tables exist
+    with open(os.path.join(root, "state.json")) as f:
+        st = json.load(f)
+    pages3 = json.load(open(os.path.join(root, "pages", "gen3", "_manifest.json")))
+    st["gen"], st["rank"] = 2, st["rank"] - pages3["num_rows"]
+    with open(os.path.join(root, "state.json"), "w") as f:
+        json.dump(st, f)
+    resumed = run_crawl(CrawlConfig(params=params, root=root), corpus_path=corpus_path)
+    oracle = oracle_crawl(params, fetch)
+    assert _engine_tuples(resumed) == _page_tuples(oracle.pages)
+    assert resumed.seen_urls() == oracle.seen
+
+
+def test_metrics_written_per_generation(corpus_path):
+    from ieps_crawler_ray.pipelines.crawl import _gd, _gens_of
+    from ieps_crawler_ray.sources import lance_table as lt
+
+    root = f"{SCRATCH}/ckpt-parity"  # written by the politeness test
+    gens = _gens_of(root, "metrics")
+    assert gens, "metrics checkpoints missing"
+    m = lt.read_pyarrow(_gd(root, "metrics", gens[0])).to_pydict()
+    for col in ("n_admitted", "n_html", "n_duplicate", "n_disallowed", "n_links", "secs"):
+        assert col in m

@@ -1,0 +1,70 @@
+"""Unit tests: bloom seen-filter, M13 priority scorer, crawl semantics helpers."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ieps_crawler_ray.functions.priority import (
+    NON_ANCHOR_PRIORITY,
+    link_priorities,
+    link_priority,
+)
+from ieps_crawler_ray.semantics import link_seq
+from ieps_crawler_ray.state.seen_filter import BloomFilter
+
+
+def test_bloom_no_false_negatives():
+    bf = BloomFilter(capacity=10_000, fp_rate=0.01)
+    keys = np.arange(5_000, dtype=np.uint64) * np.uint64(2654435761)
+    bf.add_many(keys)
+    assert bf.contains_many(keys).all(), "bloom filters must never false-negative"
+
+
+def test_bloom_fp_rate_reasonable():
+    bf = BloomFilter(capacity=10_000, fp_rate=0.01)
+    rng = np.random.default_rng(7)
+    bf.add_many(rng.integers(0, 2**63, 10_000, dtype=np.uint64))
+    probe = rng.integers(2**63, 2**64 - 1, 20_000, dtype=np.uint64)
+    fp = bf.contains_many(probe).mean()
+    assert fp < 0.05, f"false-positive rate {fp:.3f} way above target"
+
+
+def test_bloom_roundtrip_and_merge():
+    a = BloomFilter(capacity=1000)
+    b = BloomFilter(capacity=1000)
+    ka = np.array([1, 2, 3], dtype=np.uint64)
+    kb = np.array([100, 200], dtype=np.uint64)
+    a.add_many(ka)
+    b.add_many(kb)
+    c = BloomFilter.from_bytes(a.to_bytes()).merge(b)
+    assert c.contains_many(np.concatenate([ka, kb])).all()
+
+
+def test_priority_keyword_match_scores_lower():
+    """Reference semantics (Estrella.py:398-428): priority = 1 - max cosine;
+    keyword anchors must sort before non-keyword anchors."""
+    kw = ("vector", "image")
+    with_kw = link_priority("big vector scan plan", kw)
+    without = link_priority("big table scan plan", kw)
+    assert with_kw < without
+    # closed form: count/||counts||; 4 distinct tokens → 1 - 1/2
+    assert abs(with_kw - (1 - 0.5)) < 1e-12
+    assert without == 1.0
+
+
+def test_priority_empty_anchor_gets_default():
+    assert link_priority("", ("x",)) == NON_ANCHOR_PRIORITY
+    assert link_priority("the a", ("x",)) == NON_ANCHOR_PRIORITY  # stopwords only
+
+
+def test_priority_batch_matches_scalar():
+    anchors = ["vector stream", "", "row row row vector"]
+    kw = ("vector",)
+    batch = link_priorities(anchors, kw)
+    assert list(batch) == [link_priority(a, kw) for a in anchors]
+
+
+def test_link_seq_monotone_in_discovery_order():
+    s = [link_seq(r, j) for r in range(3) for j in range(5)]
+    assert s == sorted(s) and len(set(s)) == len(s)
+    assert link_seq(0, 0) > 10  # never collides with seed seqs (= seed index)
