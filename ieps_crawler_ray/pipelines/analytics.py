@@ -420,6 +420,65 @@ def q_source_like_docs(sf_dir: str) -> pd.DataFrame:
     return out[["source", "n"]]
 
 
+# ------------------------------------------ O5: recent-N + M12 segments ------
+
+
+def q_recent_events(sf_dir: str) -> pd.DataFrame:
+    """recent-N rows by timestamp — O5 (Estrella.py:657-667 reseeding query):
+    per-block partial top-20 combiner, driver merge (no global sort)."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    def block_top(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            b, sort_keys=[("ts", "descending"), ("event_id", "ascending")]
+        )
+        return b.take(order[:20])
+
+    out = ds.map_batches(block_top, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["ts", "event_id"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+def q_doc_segments(sf_dir: str) -> pd.DataFrame:
+    """paragraph segmentation — M12 (pa2/main.py:117-121 split on the
+    paragraph marker; here: sentence-ish split on '.') → per-doc segment
+    stats via flat_map-style explode inside map_batches."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def segs(b: pa.Table) -> pa.Table:
+        ids, n_seg, n_nonempty = [], [], []
+        for i, t in zip(b["doc_id"].to_numpy(), b["text"].to_pylist()):
+            parts = [x.strip() for x in t.split(".")]
+            ids.append(int(i))
+            n_seg.append(len(parts))
+            n_nonempty.append(sum(1 for x in parts if x))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_segments": pa.array(n_seg, pa.int64()),
+                "n_nonempty": pa.array(n_nonempty, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(segs, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _partial(b, [], [("n_segments", "sum"), ("n_nonempty", "sum"), ([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_docs": [int(out["count_all"].sum())],
+            "total_segments": [int(out["n_segments_sum"].sum())],
+            "total_nonempty": [int(out["n_nonempty_sum"].sum())],
+        }
+    )
+
+
 # ---------------------------------------------- text analysis family --------
 
 
@@ -683,6 +742,86 @@ def q_embedding_topk(sf_dir: str) -> pd.DataFrame:
     return parts[["vec_id"]].reset_index(drop=True)
 
 
+def _ivf_index_path(sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "-")
+    return f"/tmp/ieps_crawler_ray/ivf-{tag}"
+
+
+IVF_K = 16       # coarse centroids
+IVF_NPROBE = 8   # probed buckets per query
+
+
+def _ivf_index(sf_dir: str) -> tuple[str, np.ndarray]:
+    """Build (once, cached) the IVF index: deterministic coarse centroids =
+    the K embeddings with smallest hash64(vec_id) (a seeded sample), rows
+    assigned to nearest centroid and written as a Lance-layout table
+    partitioned by bucket. The scale path of similarity search: a query
+    reads only its probed partitions (pruning at the read), instead of
+    scanning every embedding."""
+    import ray.data as rd
+
+    from ..sources import lance_table as lt
+
+    path = _ivf_index_path(sf_dir)
+    cent_file = os.path.join(path, "_centroids.npy")
+    if lt.exists(path) and os.path.exists(cent_file):
+        return path, np.load(cent_file)
+    emb = _dim(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(hashing.hash64([str(i) for i in ids]))[:IVF_K]
+    cents = np.array([emb["embedding"][int(k)].as_py() for k in order], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign(b: pa.Table) -> pa.Table:
+        e = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        en = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+        bucket = np.argmax(en @ cents.T, axis=1).astype(np.int32)
+        return b.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+    lt.write_dataset(ds, path, partition_col="bucket")
+    os.makedirs(path, exist_ok=True)
+    np.save(cent_file, cents)
+    return path, cents
+
+
+def q_embedding_topk_ivf(sf_dir: str) -> pd.DataFrame:
+    """ANN top-k via the IVF index (the reference's pa2 IVFFlat analogue,
+    PA2 report p.3): probe the NPROBE nearest centroid partitions only —
+    partition-pruned read — then exact cosine within. Approximate by
+    construction (rows-only driver check); recall vs the brute-force top-k
+    is asserted in tests/test_analytics_extra.py."""
+    from ..sources import lance_table as lt
+
+    path, cents = _ivf_index(sf_dir)
+    q = _query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(cents @ qn))[:IVF_NPROBE].tolist()
+    ds = lt.read_dataset(path, columns=["vec_id", "embedding"], partitions=probe)
+
+    def topk(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        mask = ids != 0
+        e = np.array(b["embedding"].to_pylist(), dtype=np.float64)[mask]
+        ids = ids[mask]
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+        en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        sims = en @ qn
+        k = min(10, len(ids))
+        top = np.argpartition(-sims, k - 1)[:k]
+        return pa.table(
+            {"vec_id": pa.array(ids[top], pa.int64()), "sim": pa.array(sims[top], pa.float64())}
+        )
+
+    parts = ds.map_batches(topk, batch_format="pyarrow").to_pandas()
+    parts["sim"] = parts["sim"].round(8)
+    out = parts.sort_values(["sim", "vec_id"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
 def q_hybrid_topk(sf_dir: str) -> pd.DataFrame:
     """hybrid keyword+vector ranking — O3 (Vector_db_querier.py:100-124):
     0.6·cosine + 0.4·keyword-hit, keyword table broadcast."""
@@ -784,11 +923,25 @@ QUERIES = {
     "docs_jaccard_pairs": q_docs_jaccard_pairs,
     "simhash_docs": q_simhash_docs,
     "embedding_topk": q_embedding_topk,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
+    "recent_events": q_recent_events,
+    "doc_segments": q_doc_segments,
     "hybrid_topk": q_hybrid_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
 }
 
 ORACLE_SQL = {
+    "recent_events": (
+        "SELECT event_id, ts, event_type FROM events"
+        " ORDER BY ts DESC, event_id ASC LIMIT 20"
+    ),
+    "doc_segments": (
+        "SELECT COUNT(*) AS n_docs,"
+        " SUM(len(string_split(text, '.'))) AS total_segments,"
+        " SUM((SELECT COUNT(*) FROM unnest(string_split(text, '.')) AS u(s)"
+        "      WHERE trim(s) != '')) AS total_nonempty"
+        " FROM documents"
+    ),
     "global_counts": (
         "SELECT (SELECT COUNT(*) FROM orders) AS n_orders,"
         " (SELECT COUNT(*) FROM lineitem) AS n_lineitem,"

@@ -66,6 +66,7 @@ from ..semantics import (
     MINHASH_THRESHOLD,
     PHASH_BANDS,
     PHASH_HAM_MAX,
+    SEQ_SHIFT,
     CrawlParams,
     default_seeds,
     link_seq,
@@ -153,7 +154,7 @@ def _save_state(root: str, st: dict) -> None:
 def _rollback(root: str, last_complete_gen: int) -> None:
     """Delete any generation directories newer than the committed state —
     a generation whose state.json update never landed never happened."""
-    for name in ("frontier", "seen", "pages", "links", "bands", "metrics", "blooms"):
+    for name in ("frontier", "seen", "pages", "links", "bands", "sigs", "metrics", "blooms"):
         base = os.path.join(root, name)
         if not os.path.isdir(base):
             continue
@@ -263,90 +264,180 @@ def _make_fetch_fn(cfg: CrawlConfig, corpus_path: str, gen: int):
 def _sig_batch(cfg: CrawlConfig):
     nbk = cfg.num_bk_buckets
 
-    def fn(b: pa.Table) -> pa.Table:
-        """Fetched pages → exploded band rows, two families:
+    def fn(b: pa.Table) -> tuple:
+        """Fetched pages → (lean band rows, (ranks, sig_matrix)).
 
-        * family 1 — 50 MinHash bands × 4 rows, payload = the 200-perm sig.
-          Any pair with est-Jaccard ≥ 0.8 collides in ≥ 1 band (pigeonhole,
-          semantics.MINHASH_BANDS); exact-equal captions have est-J = 1.0,
-          so the reference's md5 exact-dup check (M9/D3) is subsumed.
-        * family 2 — 8 pHash bands × 8 bits, payload = the phash. Any pair
-          with Hamming ≤ 7 collides in ≥ 1 band.
+        Two band families:
+        * family 1 — 50 MinHash bands × 4 rows. Any pair with est-Jaccard
+          ≥ 0.8 collides in ≥ 1 band (pigeonhole, semantics.MINHASH_BANDS);
+          exact-equal captions have est-J = 1.0, so the reference's md5
+          exact-dup check (M9/D3) is subsumed.
+        * family 2 — 8 pHash bands × 8 bits. Any pair with Hamming ≤ 7
+          collides in ≥ 1 band.
 
-        Payload lives on the band rows so verification is a single
-        self-contained groupby — no second join to a sig table. At 10^10-page
-        scale the family-1 payload (50 × 800 B per page) is the knob to
-        shrink: store the sig once in a rank-partitioned side table and
-        fetch it only for banded candidates.
-        """
+        Band rows are LEAN (~29 B each); the 200-perm signatures live once
+        per page in a separate (rank, sig) side table, loaded (and cached
+        per worker process — the fragments are immutable) only by the verify
+        tasks that hit a family-1 candidate run."""
         mh = minhasher()
         caps = b["caption"].to_pylist()
         ranks = b["rank"].to_numpy()
         phs = b["phash"].to_numpy()
-        sigs = mh.signatures([c.split() for c in caps])          # (n, 200)
-        mh_keys = mh.band_keys(sigs, bands=MINHASH_BANDS)        # (n, 50)
-        ph_keys = phash_band_keys(phs, bands=PHASH_BANDS)        # (n, 8)
+        sigs = mh.signatures([c.split() for c in caps]).astype(np.uint32)  # (n, 200)
+        mh_keys = mh.band_keys(sigs.astype(np.uint64), bands=MINHASH_BANDS)
+        ph_keys = phash_band_keys(phs, bands=PHASH_BANDS)
         n = len(ranks)
-        sig_blobs = [sigs[i].astype(np.uint32).tobytes() for i in range(n)]
         key = np.concatenate([mh_keys.ravel(), ph_keys.ravel()])
         fam = np.concatenate(
             [np.full(n * MINHASH_BANDS, 1, dtype=np.int8), np.full(n * PHASH_BANDS, 2, dtype=np.int8)]
         )
         rank_col = np.concatenate([np.repeat(ranks, MINHASH_BANDS), np.repeat(ranks, PHASH_BANDS)])
         ph_col = np.concatenate([np.zeros(n * MINHASH_BANDS, dtype=np.int64), np.repeat(phs, PHASH_BANDS)])
-        sig_col = [s for s in sig_blobs for _ in range(MINHASH_BANDS)] + [b""] * (n * PHASH_BANDS)
-        return pa.table(
+        bands = pa.table(
             {
                 "band_key": pa.array(key, pa.uint64()),
                 "bk_bucket": pa.array((key % np.uint64(nbk)).astype(np.int32), pa.int32()),
                 "rank": pa.array(rank_col, pa.int64()),
                 "family": pa.array(fam, pa.int8()),
                 "phash": pa.array(ph_col, pa.int64()),
-                "sig": pa.array(sig_col, pa.binary()),
             }
         )
+        return bands, (ranks.astype(np.int64), sigs)
 
     return fn
+
+
+# per-worker caches of immutable dedup-index fragments
+_BANDS_FRAG_CACHE: dict = {}
+_SIGS_FRAG_CACHE: dict = {}
+
+
+def _cached_bands(path: str) -> pa.Table:
+    t = _BANDS_FRAG_CACHE.get(path)
+    if t is None:
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(path, columns=["band_key", "rank", "family", "phash"])
+        _BANDS_FRAG_CACHE[path] = t
+    return t
+
+
+def _cached_sigs(paths: tuple) -> dict:
+    """rank → uint32 sig row, merged over all generations' sig fragments
+    (each fragment parsed once per worker process — fragments are immutable)."""
+    merged: dict = {}
+    for p in paths:
+        d = _SIGS_FRAG_CACHE.get(p)
+        if d is None:
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(p)
+            d = {
+                int(r): np.frombuffer(blob, dtype=np.uint32)
+                for r, blob in zip(t["rank"].to_numpy(), t["sig"].to_pylist())
+            }
+            _SIGS_FRAG_CACHE[p] = d
+        merged.update(d)
+    return merged
 
 
 _EMPTY_EDGES = pa.table({"rank_a": pa.array([], pa.int64()), "rank_b": pa.array([], pa.int64())})
 
 
-def _verify_group(group: pa.Table) -> pa.Table:
-    """One (family, band_key) group → verified similarity edges
-    (old_rank < new_rank). Group sizes are collision-bounded; the exact
-    family predicate runs only on banded candidates (D2, SURVEY §2.7)."""
-    ranks = group["rank"].to_numpy()
-    if len(ranks) < 2:
+def _verify_bucket(group: pa.Table, sig_of) -> pa.Table:
+    """One band-key BUCKET (all rows whose band_key hashes there, old ∪ new)
+    → verified similarity edges (old_rank < new_rank).
+
+    Rows are sorted by (family, band_key); only key-runs of length ≥ 2
+    containing a new row are verified — the exact family predicate runs only
+    on banded candidates (D2, SURVEY §2.7). ``sig_of(rank)`` resolves
+    family-1 signatures lazily (broadcast matrix for new ranks, cached side
+    table for old ranks)."""
+    n = group.num_rows
+    if n < 2:
         return _EMPTY_EDGES
+    fam = group["family"].to_numpy()
+    key = group["band_key"].to_numpy()
+    ranks = group["rank"].to_numpy()
     is_new = group["is_new"].to_numpy()
     if not is_new.any():
         return _EMPTY_EDGES
-    fam = int(group["family"][0].as_py())
-    if fam == 1:
-        sigs = np.stack(
-            [np.frombuffer(s, dtype=np.uint32) for s in group["sig"].to_pylist()]
-        )
-    else:
-        phs = group["phash"].to_numpy().astype(np.uint64)
-    order = np.argsort(ranks, kind="stable")
+    order = np.lexsort((key, fam))
+    fam, key, ranks, is_new = fam[order], key[order], ranks[order], is_new[order]
+    run_start = np.flatnonzero(
+        np.concatenate(([True], (key[1:] != key[:-1]) | (fam[1:] != fam[:-1])))
+    )
+    run_end = np.concatenate((run_start[1:], [n]))
+    phs_all = group["phash"].to_numpy()[order]
     ra, rb = [], []
-    for jj in range(len(order)):
-        j = order[jj]
-        if not is_new[j]:
+    for st, e in zip(run_start, run_end):
+        if e - st < 2 or not is_new[st:e].any():
             continue
-        for ii in range(jj):
-            i = order[ii]
-            if ranks[i] == ranks[j]:
+        rr = ranks[st:e]
+        nn = is_new[st:e]
+        sub = np.argsort(rr, kind="stable")
+        if fam[st] == 1:
+            sigs = [sig_of(int(rr[k])) for k in sub]
+        else:
+            phs = phs_all[st:e][sub].astype(np.uint64)
+        for jj in range(len(sub)):
+            if not nn[sub[jj]]:
                 continue
-            if fam == 1:
-                ok = np.mean(sigs[i] == sigs[j]) >= MINHASH_THRESHOLD
-            else:
-                ok = int(hamming64(phs[i : i + 1], phs[j : j + 1])[0]) <= PHASH_HAM_MAX
-            if ok:
-                ra.append(int(ranks[i]))
-                rb.append(int(ranks[j]))
+            for ii in range(jj):
+                if rr[sub[ii]] == rr[sub[jj]]:
+                    continue
+                if fam[st] == 1:
+                    ok = np.mean(sigs[ii] == sigs[jj]) >= MINHASH_THRESHOLD
+                else:
+                    ok = int(hamming64(phs[ii : ii + 1], phs[jj : jj + 1])[0]) <= PHASH_HAM_MAX
+                if ok:
+                    ra.append(int(rr[sub[ii]]))
+                    rb.append(int(rr[sub[jj]]))
     return pa.table({"rank_a": pa.array(ra, pa.int64()), "rank_b": pa.array(rb, pa.int64())})
+
+
+def _verify_one_bucket(
+    new_lean: pa.Table, new_ranks: np.ndarray, new_sigs: np.ndarray,
+    bucket: int, old_paths: list, sig_paths: tuple
+) -> pa.Table:
+    """One bucket → verified edges: lean old band rows from pruned fragments
+    (cached per worker — immutable), broadcast lean new rows + sig matrix,
+    old sigs lazily from the cached (rank, sig) side table. Raw Ray task:
+    the fan-out is a bounded set of pre-partitioned units (≤ num_bk_buckets),
+    which a task pool expresses with far less overhead than a Dataset
+    pipeline — the documented carve-out for per-partition state."""
+    bb = new_lean["bk_bucket"].to_numpy()
+    mask = bb == bucket
+    sub = new_lean.filter(pa.array(mask)).drop_columns(["bk_bucket"])
+    sub = sub.append_column("is_new", pa.array(np.ones(sub.num_rows, dtype=bool)))
+    if old_paths:
+        old = pa.concat_tables([_cached_bands(p) for p in old_paths])
+        old = old.append_column("is_new", pa.array(np.zeros(old.num_rows, dtype=bool)))
+        sub = pa.concat_tables([old, sub.select(old.column_names)])
+    pos = {int(r): i for i, r in enumerate(new_ranks)}
+    old_sigs: dict = {}
+
+    def sig_of(rank: int) -> np.ndarray:
+        i = pos.get(rank)
+        if i is not None:
+            return new_sigs[i]
+        if not old_sigs:
+            old_sigs.update(_cached_sigs(sig_paths))
+        return old_sigs[rank]
+
+    return _verify_bucket(sub, sig_of)
+
+
+_VERIFY_REMOTE = None
+
+
+def _verify_remote():
+    global _VERIFY_REMOTE
+    if _VERIFY_REMOTE is None:
+        import ray as _ray
+
+        _VERIFY_REMOTE = _ray.remote(num_cpus=1)(_verify_one_bucket)
+    return _VERIFY_REMOTE
 
 
 def _resolve_dups(edges: pd.DataFrame, new_ranks: np.ndarray) -> dict[int, int]:
@@ -373,21 +464,25 @@ def _make_link_fn(cfg: CrawlConfig):
 
     def links_batch(b: pa.Table) -> pa.Table:
         """Non-dup HTML pages → scored frontier-candidate link rows
-        (M2 extraction + M1 canonical form + M13 priority)."""
+        (M2 extraction + M1 canonical form + M13 priority), fully batched:
+        link targets/anchors derive vectorized from the counter-based
+        corpus streams, seq = (parent_rank+1)<<20 | link_idx."""
         spec = C.CorpusSpec(**spec_dict)
-        urls, idxs, prios, seqs, from_ranks = [], [], [], [], []
-        for rank, idx in zip(b["rank"].to_numpy(), b["idx"].to_numpy()):
-            targets, anchors = C.out_links_of_index(spec, int(idx))
-            pr = link_priorities(anchors, keywords)
-            tu = C.url_of_index(spec, np.array(targets))
-            for j, (t, u) in enumerate(zip(targets, tu)):
-                urls.append(u)
-                idxs.append(t)
-                prios.append(float(pr[j]))
-                seqs.append(link_seq(int(rank), j))
-                from_ranks.append(int(rank))
-        hosts = C.host_of_index(spec, np.asarray(idxs, dtype=np.int64)) if idxs else np.array([], np.int32)
-        uh = hash64(urls) if urls else np.array([], np.uint64)
+        ranks = b["rank"].to_numpy()
+        page_idx = b["idx"].to_numpy()
+        src, jj, targets, anchors = C.out_links_batch(spec, page_idx)
+        # recover parent ranks: every page emits ≥3 links, so jj==0 marks
+        # each page's first link in order
+        starts = np.flatnonzero(jj == 0)
+        counts = np.diff(np.append(starts, len(jj)))
+        rank_rep = np.repeat(ranks, counts) if len(jj) else np.array([], np.int64)
+        prios = link_priorities(anchors, keywords)
+        urls = C.url_of_index(spec, targets)
+        idxs = targets
+        seqs = ((rank_rep + 1) << np.int64(SEQ_SHIFT)) | jj  # == semantics.link_seq
+        from_ranks = rank_rep
+        hosts = C.host_of_index(spec, np.asarray(idxs, dtype=np.int64)) if len(idxs) else np.array([], np.int32)
+        uh = hash64(urls) if len(urls) else np.array([], np.uint64)
         return pa.table(
             {
                 "from_rank": pa.array(from_ranks, pa.int64()),
@@ -462,7 +557,9 @@ def _make_merge_fn(cfg: CrawlConfig, gen: int, seen_gens: list[int], frontier_pr
 # ------------------------------------------------------------- generation ----
 
 
-def _admission(cfg: CrawlConfig, frontier_path: str, rank_base: int) -> pd.DataFrame:
+def _admission(
+    cfg: CrawlConfig, frontier_path: str, rank_base: int, frontier_ds=None
+) -> pd.DataFrame:
     import ray.data  # noqa: F401  (lazy; driver initialises Ray)
 
     params = cfg.params
@@ -471,7 +568,15 @@ def _admission(cfg: CrawlConfig, frontier_path: str, rank_base: int) -> pd.DataF
     cap = params.max_pages - rank_base
     if params.gen_page_cap is not None:
         cap = min(cap, params.gen_page_cap)
-    ds = lt.read_dataset(frontier_path, columns=FRONTIER_COLS)
+    # the previous generation keeps its frontier materialized in the object
+    # store — re-reading the checkpoint from disk is only needed on resume
+    ds = (
+        frontier_ds.map_batches(
+            lambda b: b.select(FRONTIER_COLS), batch_format="pyarrow"
+        )
+        if frontier_ds is not None
+        else lt.read_dataset(frontier_path, columns=FRONTIER_COLS)
+    )
     if politeness:
         def local_prune(b: pa.Table) -> pa.Table:
             """Per-block combiner: keep at most budget(h) rows per host before
@@ -494,13 +599,38 @@ def _admission(cfg: CrawlConfig, frontier_path: str, rank_base: int) -> pd.DataF
             budget = C.robots_for_host(spec, int(g["host_id"].iloc[0])).crawl_delay_slots * factor
             return g.sort_values(["priority", "seq"], kind="stable").head(budget)
 
-        ds = ds.map_batches(local_prune, batch_format="pyarrow").groupby("host_id").map_groups(
-            host_topk, batch_format="pandas"
-        )
-    adm = ds.sort(["priority", "seq"]).limit(cap).to_pandas()
+        # after the per-host budget cut the survivor set is bounded by the
+        # politeness budget (Σ host slots) — finish the global order + cap on
+        # the driver instead of paying a distributed sort of a bounded set.
+        # The exact cross-block per-host top-k needs a host shuffle only when
+        # the frontier is large (many blocks); below the threshold the
+        # per-block combiner output is small enough to finish on the driver
+        # (same result, no shuffle) — a broadcast-vs-shuffle style plan choice.
+        pruned = ds.map_batches(local_prune, batch_format="pyarrow")
+        n_frontier = lt.read_manifest(frontier_path)["num_rows"]
+        if n_frontier > 2_000_000:
+            pruned = pruned.groupby("host_id").map_groups(host_topk, batch_format="pandas")
+            adm = pruned.to_pandas()
+        else:
+            adm = pruned.to_pandas()
+            adm = (
+                adm.sort_values(["priority", "seq"], kind="stable")
+                .groupby("host_id", group_keys=False)
+                .apply(lambda g: host_topk(g))
+            )
+    else:
+        # global best-first prefix: per-block partial top-cap (combiner),
+        # merged and re-capped on the driver
+        def block_topcap(b: pa.Table) -> pa.Table:
+            df = b.to_pandas().sort_values(["priority", "seq"], kind="stable")
+            return pa.Table.from_pandas(df.head(cap), preserve_index=False)
+
+        adm = ds.map_batches(block_topcap, batch_format="pyarrow").to_pandas()
     if adm.empty:
         return adm
-    adm = adm.sort_values(["priority", "seq"], kind="stable").reset_index(drop=True)
+    adm = (
+        adm.sort_values(["priority", "seq"], kind="stable").head(cap).reset_index(drop=True)
+    )
     adm["rank"] = rank_base + np.arange(len(adm), dtype=np.int64)
     # hot-host salting: split any host exceeding hot_threshold admitted rows
     counts = adm["host_id"].value_counts()
@@ -533,14 +663,23 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
         _rollback(cfg.root, st["gen"])
     result = CrawlResult(root=cfg.root)
     gens_this_run = 0
+    frontier_mem = None  # previous generation's frontier, kept in object store
     while not st["finished"]:
         if cfg.max_generations is not None and gens_this_run >= cfg.max_generations:
             break
         gen = st["gen"] + 1
         rank_base = st["rank"]
         t0 = time.perf_counter()
+        stage_t: dict[str, float] = {}
+
+        def _mark(name: str, _last=[t0]):
+            now = time.perf_counter()
+            stage_t[name] = round(now - _last[0], 3)
+            _last[0] = now
+
         frontier_prev = _gd(cfg.root, "frontier", gen - 1)
-        adm = _admission(cfg, frontier_prev, rank_base)
+        adm = _admission(cfg, frontier_prev, rank_base, frontier_ds=frontier_mem)
+        _mark("admission")
         if adm.empty or rank_base >= params.max_pages:
             st["finished"] = True
             _save_state(cfg.root, st)
@@ -568,6 +707,7 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
                 bloom.add_many(sel)
             with open(os.path.join(cfg.root, "blooms", f"gen{gen}", f"bloom-{b}.bin"), "wb") as f:
                 f.write(bloom.to_bytes())
+        _mark("seen_bloom")
 
         # ---- fetch (host-affine, salted)
         adm_t = pa.Table.from_pandas(adm, preserve_index=False)
@@ -579,39 +719,45 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
         )
         fetched = fetched.sort_values("rank", kind="stable").reset_index(drop=True)
         html = fetched[fetched["status"] == "fetched"]
+        _mark("fetch")
 
-        # ---- dedup: banded index join (new ∪ pruned old) → edges → winners
+        # ---- dedup: per-bucket banded verify — NO shuffle. The lean bands
+        # index is disk-partitioned by bk_bucket and worker-cached (immutable
+        # fragments); the generation's new lean band rows + one sig per page
+        # (budget-bounded) broadcast via ray.put; one raw Ray task per bucket.
         dup_of: dict[int, int] = {}
         bands_new_t = None
         if len(html):
-            bands_new_t = _sig_batch(cfg)(pa.Table.from_pandas(html, preserve_index=False))
-            buckets = sorted(set(bands_new_t["bk_bucket"].to_numpy().tolist()))
-            new_ds = rd.from_arrow(
-                bands_new_t.append_column("is_new", pa.array([True] * bands_new_t.num_rows))
+            import ray as _ray
+
+            bands_new_t, (new_ranks, new_sigs) = _sig_batch(cfg)(
+                pa.Table.from_pandas(html, preserve_index=False)
             )
-            old_parts = []
+            buckets = sorted(set(bands_new_t["bk_bucket"].to_numpy().tolist()))
+            paths_by_bucket: dict[int, list[str]] = {b: [] for b in buckets}
             for g in _gens_of(cfg.root, "bands"):
                 p = _gd(cfg.root, "bands", g)
-                try:
-                    paths = lt.fragment_paths(p, partitions=buckets)
-                except FileNotFoundError:
-                    paths = []
-                old_parts.extend(paths)
-            if old_parts:
-                old_ds = rd.read_parquet(old_parts).map_batches(
-                    lambda b: b.append_column("is_new", pa.array([False] * b.num_rows)),
-                    batch_format="pyarrow",
-                )
-                cand = old_ds.union(new_ds)
-            else:
-                cand = new_ds
-            edges = (
-                cand.groupby(["family", "band_key"])
-                .map_groups(_verify_group, batch_format="pyarrow")
-                .to_pandas()
-                .drop_duplicates()
+                for b in buckets:
+                    try:
+                        paths_by_bucket[b].extend(lt.fragment_paths(p, partitions=[b]))
+                    except FileNotFoundError:
+                        pass
+            sig_paths = tuple(
+                fp
+                for g in _gens_of(cfg.root, "sigs")
+                for fp in lt.fragment_paths(_gd(cfg.root, "sigs", g))
             )
+            lean_ref = _ray.put(bands_new_t)
+            ranks_ref = _ray.put(new_ranks)
+            sigs_ref = _ray.put(new_sigs)
+            vtask = _verify_remote()
+            futs = [
+                vtask.remote(lean_ref, ranks_ref, sigs_ref, b, paths_by_bucket[b], sig_paths)
+                for b in buckets
+            ]
+            edges = pa.concat_tables(_ray.get(futs)).to_pandas().drop_duplicates()
             dup_of = _resolve_dups(edges, html["rank"].to_numpy())
+        _mark("dedup")
 
         # ---- classify + write pages
         status = fetched["status"].to_numpy().copy()
@@ -631,32 +777,69 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
         pages.loc[pages["status"] == "duplicate", "caption"] = ""  # html nulled on dup
         lt.write_table(pa.Table.from_pandas(pages, preserve_index=False), _gd(cfg.root, "pages", gen))
 
-        # ---- bands index += non-dup pages
+        # ---- bands + sigs index += non-dup pages (duplicates never become
+        # winners and are never compared against — database.py:416-436)
         if bands_new_t is not None:
-            keep = ~np.isin(bands_new_t["rank"].to_numpy(), np.fromiter(dup_of, dtype=np.int64, count=len(dup_of)))
+            dup_arr = np.fromiter(dup_of, dtype=np.int64, count=len(dup_of))
+            keep = ~np.isin(bands_new_t["rank"].to_numpy(), dup_arr)
             kept = bands_new_t.filter(pa.array(keep))
             if kept.num_rows:
                 lt.write_table(kept, _gd(cfg.root, "bands", gen), partition_col="bk_bucket")
+            keep_s = ~np.isin(new_ranks, dup_arr)
+            if keep_s.any():
+                sig_t = pa.table(
+                    {
+                        "rank": pa.array(new_ranks[keep_s], pa.int64()),
+                        "sig": pa.array(
+                            [new_sigs[i].tobytes() for i in np.flatnonzero(keep_s)],
+                            pa.binary(),
+                        ),
+                    }
+                )
+                lt.write_table(sig_t, _gd(cfg.root, "sigs", gen))
+        _mark("pages_bands_write")
 
         # ---- links + frontier update
         nondup = pages[pages["status"] == "html"]
         n_links = 0
         accepted_ds = None
         if len(nondup):
-            link_ds = rd.from_arrow(
-                pa.Table.from_pandas(nondup[["rank", "idx"]], preserve_index=False)
-            ).map_batches(_make_link_fn(cfg), batch_format="pyarrow")
-            link_ds = link_ds.materialize()  # small: links of one generation
-            n_links = link_ds.count()
-            lt.write_dataset(link_ds.select_columns(["from_rank", "url"]), _gd(cfg.root, "links", gen))
-            accepted_ds = (
-                link_ds.drop_columns(["from_rank"])
-                .groupby("uh_bucket")
-                .map_groups(
-                    _make_merge_fn(cfg, gen, list(range(1, gen + 1)), frontier_prev),
-                    batch_format="pyarrow",
+            nondup_t = pa.Table.from_pandas(nondup[["rank", "idx"]], preserve_index=False)
+            link_fn = _make_link_fn(cfg)
+            if len(nondup) <= 100_000:
+                # the generation's pages are politeness-budget bounded, so
+                # their links are too — vectorized derivation on the driver
+                # skips two pipeline launches; above the threshold the same
+                # function runs as a distributed map_batches
+                link_t = link_fn(nondup_t)
+            else:
+                link_t = pa.concat_tables(
+                    rd.from_arrow(nondup_t)
+                    .map_batches(link_fn, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow")
                 )
-            )
+            n_links = link_t.num_rows
+            lt.write_table(link_t.select(["from_rank", "url"]), _gd(cfg.root, "links", gen))
+            _mark("links")
+            merge_fn = _make_merge_fn(cfg, gen, list(range(1, gen + 1)), frontier_prev)
+            link_cand = link_t.drop_columns(["from_rank"])
+            if n_links <= 200_000:
+                # budget-bounded candidate set: run the per-bucket merge on
+                # the driver (the seen/frontier partitions it reads are
+                # bucket-pruned either way); above the threshold the same
+                # merge runs as a distributed groupby
+                ubs = link_cand["uh_bucket"].to_numpy()
+                parts = [
+                    merge_fn(link_cand.filter(pa.array(ubs == b)))
+                    for b in np.unique(ubs)
+                ]
+                accepted_ds = rd.from_arrow(pa.concat_tables(parts)) if parts else None
+            else:
+                accepted_ds = (
+                    rd.from_arrow(link_cand)
+                    .groupby("uh_bucket")
+                    .map_groups(merge_fn, batch_format="pyarrow")
+                )
         adm_hashes = uh_all
         keep_fn = _make_keep_fn(adm_hashes)
         keep_ds = lt.read_dataset(frontier_prev, columns=FRONTIER_COLS).map_batches(keep_fn, batch_format="pyarrow")
@@ -666,8 +849,10 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
         # hive string would corrupt the frontier schema
         next_frontier = next_frontier.map_batches(
             lambda b: b.append_column("part", b["uh_bucket"]), batch_format="pyarrow"
-        )
+        ).materialize()
+        frontier_mem = next_frontier
         man = lt.write_dataset(next_frontier, _gd(cfg.root, "frontier", gen), partition_col="part")
+        _mark("frontier_write")
 
         # ---- metrics + commit
         secs = time.perf_counter() - t0
@@ -681,6 +866,7 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             "n_links": int(n_links),
             "n_frontier_out": int(man["num_rows"]),
             "secs": float(secs),
+            "stage_secs": json.dumps(stage_t),
         }
         lt.write_table(pa.table({k: [v] for k, v in m.items()}), _gd(cfg.root, "metrics", gen))
         result.metrics.append(m)

@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.codecs import decode_image, psnr
+from ..functions.codecs import decode_image, encode_image, psnr
 from ..functions.hashing import phash64
 from ..sources import corpus as C
 from ..sources import lance_table as lt
@@ -24,6 +24,22 @@ FLAGSHIP_SPEC = C.CorpusSpec(n_images=2_000, n_hosts=16, num_buckets=8)
 
 def _corpus(spec: C.CorpusSpec) -> str:
     return C.build_corpus(spec, C.corpus_path(SCRATCH, spec))
+
+
+def _pool() -> tuple:
+    """Actor-pool sizing for compute stages: autoscaling pools that start at
+    1 actor ramp far too slowly to fill the node on a short stage, so the
+    floor tracks the cluster's CPU count (measured: min=1 → 24 % core
+    utilization on a 30 s stage; min=0.75·cpus → ~3× throughput)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            n = int(ray.cluster_resources().get("CPU", 8))
+            return (max(1, (n * 3) // 4), n)
+    except Exception:
+        pass
+    return (1, 8)
 
 
 class VerifyImages:
@@ -44,10 +60,15 @@ class VerifyImages:
         blobs = b["bytes"].to_pylist()
         phs = b["phash"].to_numpy()
         ok_hash = np.zeros(len(ids), dtype=bool)
+        roundtrip = np.zeros(len(ids), dtype=bool)
         psnrs = np.zeros(len(ids), dtype=np.float64)
         for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
             px = decode_image(blob, fmt)
             ok_hash[i] = phash64(px) == phs[i]
+            # transcode integrity: re-encoding the decoded pixels must
+            # reproduce the stored bytes (lossless for png; the stub lossy
+            # codec is idempotent on quantized pixels)
+            roundtrip[i] = encode_image(px, fmt) == blob
             original = C.pixels_of_index(self.spec, int(ids[i][3:]))
             psnrs[i] = psnr(original, px)
         return pa.table(
@@ -55,6 +76,7 @@ class VerifyImages:
                 "image_id": b["image_id"],
                 "fmt": b["fmt"],
                 "phash_ok": pa.array(ok_hash, pa.bool_()),
+                "roundtrip_ok": pa.array(roundtrip, pa.bool_()),
                 "psnr_db": pa.array(psnrs, pa.float64()),
                 "psnr_ok": pa.array((psnrs >= 40.0) | np.isinf(psnrs), pa.bool_()),
             }
@@ -70,8 +92,8 @@ def verify_images_ds(spec: C.CorpusSpec):
         VerifyImages,
         fn_constructor_kwargs={"spec_dict": spec.__dict__.copy()},
         batch_format="pyarrow",
-        batch_size=256,  # binary payloads: keep batches small (SURVEY §7.5.7)
-        concurrency=(1, 8),
+        batch_size=64,  # binary payloads: keep batches small (SURVEY §7.5.7)
+        concurrency=_pool(),
     )
 
 
@@ -100,7 +122,10 @@ def q_image_verify(sf_dir: str) -> pd.DataFrame:
             {
                 "fmt": b["fmt"],
                 "ok": pa.compute.cast(
-                    pa.compute.and_(b["phash_ok"], b["psnr_ok"]), pa.int64()
+                    pa.compute.and_(
+                        pa.compute.and_(b["phash_ok"], b["psnr_ok"]), b["roundtrip_ok"]
+                    ),
+                    pa.int64(),
                 ),
             }
         )
@@ -115,6 +140,241 @@ def q_image_verify(sf_dir: str) -> pd.DataFrame:
     return out[["fmt", "n", "n_ok"]]
 
 
+# ------------------------------------------------------- crawl-backed queries
+
+
+def _crawl_params_for_sf(sf_dir: str):
+    """Small deterministic crawl per sf tier (ckpt cached under /tmp, keyed
+    by the param digest via the root path — repeat queries reuse it)."""
+    from ..semantics import CrawlParams
+
+    spec = _spec_for_sf(sf_dir)
+    spec = C.CorpusSpec(**{**spec.__dict__, "neardup_permille": 150})
+    max_pages = {1_000: 300, 5_000: 800, 20_000: 2_000}.get(spec.n_images, 300)
+    return CrawlParams(spec=spec, max_pages=max_pages, politeness=True, politeness_factor=10)
+
+
+def _crawl_result(sf_dir: str):
+    from .crawl import CrawlConfig, run_crawl
+
+    params = _crawl_params_for_sf(sf_dir)
+    sp = params.spec
+    root = f"{SCRATCH}/q-crawl-n{sp.n_images}-p{params.max_pages}"
+    corpus = C.build_corpus(sp, C.corpus_path(SCRATCH, sp))
+    return run_crawl(CrawlConfig(params=params, root=root), corpus_path=corpus), corpus
+
+
+def q_crawl_pages(sf_dir: str) -> pd.DataFrame:
+    """Crawled pages by status (A2 analogue over the engine's own output)."""
+    res, _ = _crawl_result(sf_dir)
+    pt = res.pages_table().to_pandas()
+    out = pt.groupby("status", as_index=False).agg(n=("rank", "count"))
+    return out.sort_values("status").reset_index(drop=True)
+
+
+def q_crawl_order(sf_dir: str) -> pd.DataFrame:
+    """First 100 crawled URLs in crawl order — the O1 ordering contract
+    (parity vs the sequential oracle is asserted in tests/test_crawl_parity)."""
+    res, _ = _crawl_result(sf_dir)
+    pt = res.pages_table().to_pandas()
+    return pt[["rank", "url", "priority", "seq", "gen"]].head(100)
+
+
+def q_crawl_frontier_metrics(sf_dir: str) -> pd.DataFrame:
+    """Per-generation crawl metrics (A7/monitoring analogue); wall-clock
+    columns dropped for determinism."""
+    from .crawl import _gd, _gens_of
+    from ..sources import lance_table as lt2
+
+    res, _ = _crawl_result(sf_dir)
+    rows = [
+        lt2.read_pyarrow(_gd(res.root, "metrics", g)).to_pandas()
+        for g in _gens_of(res.root, "metrics")
+    ]
+    df = pd.concat(rows, ignore_index=True).drop(columns=["secs", "stage_secs"])
+    return df.sort_values("gen").reset_index(drop=True)
+
+
+def q_crawl_link_stats(sf_dir: str) -> pd.DataFrame:
+    """Link-graph aggregate: edges discovered, distinct targets, distinct
+    source pages (A1/A8 analogue over the crawl's link table)."""
+    res, _ = _crawl_result(sf_dir)
+    link_t = res.links_table().to_pandas()
+    return pd.DataFrame(
+        {
+            "n_links": [len(link_t)],
+            "n_distinct_targets": [link_t["url"].nunique() if len(link_t) else 0],
+            "n_source_pages": [link_t["from_rank"].nunique() if len(link_t) else 0],
+        }
+    )
+
+
+class FetchImages:
+    """Actor-pool image stage over CRAWLED pages (S5: extract+store images,
+    crawler.py:437-541): load the page's corpus partition (bytes included),
+    decode, recompute pHash, check the PSNR≥40dB lossy invariant."""
+
+    def __init__(self, spec_dict: dict, corpus_path: str):
+        self.spec = C.CorpusSpec(**spec_dict)
+        self.corpus_path = corpus_path
+        self._cache: dict[int, dict] = {}
+
+    def _partition(self, part: int) -> tuple:
+        # `part` is a base corpus partition (__call__ derives it per row;
+        # the salted grouping in crawl_images_ds only shapes task grain)
+        if part not in self._cache:
+            t = lt.read_pyarrow(
+                self.corpus_path,
+                columns=["image_id", "bytes", "fmt", "phash"],
+                partitions=[part],
+            )
+            pos = {int(s[3:]): k for k, s in enumerate(t["image_id"].to_pylist())}
+            self._cache[part] = (t, pos)
+        return self._cache[part]
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        idxs = b["idx"].to_numpy()
+        hostids = C.host_of_index(self.spec, idxs)
+        parts = C.bucket_of_host(self.spec, hostids)
+        n = len(idxs)
+        fmts, ok_hash, psnr_ok = [""] * n, np.zeros(n, dtype=bool), np.zeros(n, dtype=bool)
+        widths = np.zeros(n, dtype=np.int32)
+        heights = np.zeros(n, dtype=np.int32)
+        roundtrip = np.zeros(n, dtype=bool)
+        for i in range(n):
+            t, pos = self._partition(int(parts[i]))
+            k = pos[int(idxs[i])]
+            fmt = t["fmt"][k].as_py()
+            blob = t["bytes"][k].as_py()
+            px = decode_image(blob, fmt)
+            original = C.pixels_of_index(self.spec, int(idxs[i]))
+            p = psnr(original, px)
+            fmts[i] = fmt
+            ok_hash[i] = phash64(px) == t["phash"][k].as_py()
+            roundtrip[i] = encode_image(px, fmt) == blob
+            psnr_ok[i] = p >= 40.0 or np.isinf(p)
+            heights[i], widths[i] = px.shape[0], px.shape[1]
+        return pa.table(
+            {
+                "rank": b["rank"],
+                "idx": b["idx"],
+                "fmt": pa.array(fmts, pa.string()),
+                "w": pa.array(widths, pa.int32()),
+                "h": pa.array(heights, pa.int32()),
+                "phash_ok": pa.array(ok_hash, pa.bool_()),
+                "roundtrip_ok": pa.array(roundtrip, pa.bool_()),
+                "psnr_ok": pa.array(psnr_ok, pa.bool_()),
+            }
+        )
+
+
+def crawl_images_ds(pages_t: pa.Table, spec: C.CorpusSpec, corpus_path: str):
+    """Image stage over crawled pages as ONE streaming corpus scan + broadcast
+    semi-join: the crawled id set (politeness-budget bounded) ships once via
+    ray.put; each corpus block keeps only its crawled rows and decodes them.
+    No per-task partition reloads, no hot-host skew (corpus fragments are
+    (block × partition) sized), block-parallel end to end — the Ray-idiomatic
+    replacement for a point-lookup join against a big binary table."""
+    import ray
+    import ray.data as rd
+
+    html = pages_t.filter(pa.compute.equal(pages_t["status"], "html"))
+    idxs = np.sort(html["idx"].to_numpy())
+    ranks = html["rank"].to_numpy()[np.argsort(html["idx"].to_numpy(), kind="stable")]
+    ref = ray.put((idxs, ranks))
+    spec_dict = spec.__dict__.copy()
+
+    class DecodeCrawled:
+        def __init__(self):
+            self.idxs, self.ranks = ray.get(ref)
+            self.spec = C.CorpusSpec(**spec_dict)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = np.fromiter(
+                (int(s[3:]) for s in b["image_id"].to_pylist()), dtype=np.int64
+            )
+            pos = np.searchsorted(self.idxs, ids)
+            pos = np.minimum(pos, len(self.idxs) - 1)
+            keep = self.idxs[pos] == ids
+            if not keep.any():
+                return _EMPTY_IMAGE_ROWS
+            sel = np.flatnonzero(keep)
+            sub = b.take(pa.array(sel))
+            n = len(sel)
+            fmts = sub["fmt"].to_pylist()
+            blobs = sub["bytes"].to_pylist()
+            phs = sub["phash"].to_numpy()
+            sidx = ids[sel]
+            ok_hash = np.zeros(n, dtype=bool)
+            roundtrip = np.zeros(n, dtype=bool)
+            psnr_ok = np.zeros(n, dtype=bool)
+            widths = np.zeros(n, dtype=np.int32)
+            heights = np.zeros(n, dtype=np.int32)
+            for i in range(n):
+                px = decode_image(blobs[i], fmts[i])
+                ok_hash[i] = phash64(px) == phs[i]
+                roundtrip[i] = encode_image(px, fmts[i]) == blobs[i]
+                p = psnr(C.pixels_of_index(self.spec, int(sidx[i])), px)
+                psnr_ok[i] = p >= 40.0 or np.isinf(p)
+                heights[i], widths[i] = px.shape[0], px.shape[1]
+            return pa.table(
+                {
+                    "rank": pa.array(self.ranks[pos[sel]], pa.int64()),
+                    "idx": pa.array(sidx, pa.int64()),
+                    "fmt": pa.array(fmts, pa.string()),
+                    "w": pa.array(widths, pa.int32()),
+                    "h": pa.array(heights, pa.int32()),
+                    "phash_ok": pa.array(ok_hash, pa.bool_()),
+                    "roundtrip_ok": pa.array(roundtrip, pa.bool_()),
+                    "psnr_ok": pa.array(psnr_ok, pa.bool_()),
+                }
+            )
+
+    ds = lt.read_dataset(
+        corpus_path, columns=["image_id", "bytes", "fmt", "phash"]
+    )
+    return ds.map_batches(
+        DecodeCrawled, batch_format="pyarrow", batch_size=64, concurrency=_pool()
+    )
+
+
+_EMPTY_IMAGE_ROWS = pa.table(
+    {
+        "rank": pa.array([], pa.int64()),
+        "idx": pa.array([], pa.int64()),
+        "fmt": pa.array([], pa.string()),
+        "w": pa.array([], pa.int32()),
+        "h": pa.array([], pa.int32()),
+        "phash_ok": pa.array([], pa.bool_()),
+        "roundtrip_ok": pa.array([], pa.bool_()),
+        "psnr_ok": pa.array([], pa.bool_()),
+    }
+)
+
+
+def q_crawl_images_verify(sf_dir: str) -> pd.DataFrame:
+    """Images of crawled (non-dup HTML) pages, decoded + verified per-fmt —
+    the BASELINE.json input_hint per-row invariant run over the crawl output."""
+    res, corpus = _crawl_result(sf_dir)
+    params = _crawl_params_for_sf(sf_dir)
+    ds = crawl_images_ds(res.pages_table(), params.spec, corpus)
+    df = ds.to_pandas()
+    out = df.groupby("fmt", as_index=False).agg(
+        n=("rank", "count"),
+        n_phash_ok=("phash_ok", "sum"),
+        n_roundtrip_ok=("roundtrip_ok", "sum"),
+        n_psnr_ok=("psnr_ok", "sum"),
+    )
+    cols = ["n_phash_ok", "n_roundtrip_ok", "n_psnr_ok"]
+    out[cols] = out[cols].astype(int)
+    return out.sort_values("fmt").reset_index(drop=True)
+
+
 QUERIES = {
     "image_verify": q_image_verify,
+    "crawl_pages": q_crawl_pages,
+    "crawl_order": q_crawl_order,
+    "crawl_frontier_metrics": q_crawl_frontier_metrics,
+    "crawl_link_stats": q_crawl_link_stats,
+    "crawl_images_verify": q_crawl_images_verify,
 }

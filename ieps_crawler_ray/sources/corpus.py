@@ -71,6 +71,7 @@ class CorpusSpec:
     zipf_s: float = 1.1         # host-size skew exponent
     neardup_permille: int = 20  # ~2% near-dup captions
     keywords: tuple = DEFAULT_KEYWORDS
+    dim_choices: tuple = (32, 64, 128)  # image side lengths (multiples of 32)
 
     def stream(self, idx, tag) -> np.ndarray:
         """Independent uint64 stream per (image index, tag); tag may be an
@@ -136,12 +137,10 @@ def indices_of_urls(urls) -> np.ndarray:
 
 # ----------------------------------------------------------------- content --
 
-_DIMS = np.array([32, 64, 128], dtype=np.int32)
-
-
 def dims_of_index(spec: CorpusSpec, idx) -> tuple[np.ndarray, np.ndarray]:
-    w = _DIMS[(spec.stream(idx, 1) % U64(3)).astype(np.int64)]
-    h = _DIMS[(spec.stream(idx, 2) % U64(3)).astype(np.int64)]
+    dims = np.asarray(spec.dim_choices, dtype=np.int32)
+    w = dims[(spec.stream(idx, 1) % U64(len(dims))).astype(np.int64)]
+    h = dims[(spec.stream(idx, 2) % U64(len(dims))).astype(np.int64)]
     return w, h
 
 
@@ -151,25 +150,26 @@ def fmt_of_index(spec: CorpusSpec, idx) -> np.ndarray:
 
 def pixels_of_index(spec: CorpusSpec, i: int) -> np.ndarray:
     """(h, w, 3) uint8 — gradient + two seeded sinusoids per channel (cheap,
-    fully deterministic, distinct pHashes across images)."""
+    fully deterministic, distinct pHashes across images).
+
+    The field is separable (every term depends on x only or y only), so it is
+    synthesized from two 1-D profiles and one broadcast add — O(h+w)
+    transcendentals instead of O(h·w), which keeps the verify/regen path
+    compute-bound rather than memory-bandwidth-bound on big images."""
     w, h = dims_of_index(spec, np.array([i]))
     w, h = int(w[0]), int(h[0])
     p = spec.stream(np.full(12, i), np.arange(40, 52))  # 12 params
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    x = np.arange(w, dtype=np.float64)
+    y = np.arange(h, dtype=np.float64)
     out = np.empty((h, w, 3), dtype=np.uint8)
     for c in range(3):
         gx = float(p[c * 4 + 0] % U64(7)) - 3.0
         gy = float(p[c * 4 + 1] % U64(7)) - 3.0
         f1 = 0.05 + float(p[c * 4 + 2] % U64(100)) / 250.0
         ph = float(p[c * 4 + 3] % U64(628)) / 100.0
-        val = (
-            128.0
-            + gx * xx
-            + gy * yy
-            + 60.0 * np.sin(f1 * xx + ph)
-            + 40.0 * np.cos(f1 * 0.7 * yy + ph * 0.5)
-        )
-        out[:, :, c] = np.mod(val, 256.0).astype(np.uint8)
+        row = gx * x + 60.0 * np.sin(f1 * x + ph)               # (w,)
+        col = 128.0 + gy * y + 40.0 * np.cos(f1 * 0.7 * y + ph * 0.5)  # (h,)
+        out[:, :, c] = np.mod(col[:, None] + row[None, :], 256.0).astype(np.uint8)
     return out
 
 
@@ -229,36 +229,53 @@ def rows_for_indices(spec: CorpusSpec, indices) -> pa.Table:
 # ------------------------------------------------------------------- links --
 
 
-def out_links_of_index(spec: CorpusSpec, i: int) -> tuple[list[int], list[str]]:
-    """Derived link graph: (target indices, anchor contexts) of page i.
+def out_links_batch(spec: CorpusSpec, idxs) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[str]]:
+    """Derived link graph, vectorized over a batch of page indices.
 
-    3–12 out-links; ~80 % same-host (within the host's contiguous index
-    range), rest global. Anchor text = 6 seeded words; ~20 % of anchors
+    Per page: 3–12 out-links; ~80 % same-host (within the host's contiguous
+    index range), rest global. Anchor text = 6 seeded words; ~20 % of anchors
     contain a priority keyword (feeds the M13 scorer).
+
+    Returns ``(src_idx, link_j, target_idx, anchors)`` as flat parallel
+    arrays — one row per link, counter-based streams, so the batched engine
+    path and the per-page oracle path compute identical graphs.
     """
+    idxs = np.asarray(idxs, dtype=np.int64)
     b = host_boundaries(spec)
-    h = int(host_of_index(spec, np.array([i]))[0])
-    start, end = int(b[h]), int(b[h + 1])
-    n_out = 3 + int(spec.stream(np.array([i]), 10)[0] % U64(10))
-    js = np.arange(n_out)
-    same = (spec.stream(np.full(n_out, i), 20 + js) % U64(10)) < U64(8)
-    tmix = spec.stream(np.full(n_out, i), 30 + js)
+    hosts = host_of_index(spec, idxs)
+    start = b[hosts.astype(np.int64)]
+    end = b[hosts.astype(np.int64) + 1]
+    n_out = (3 + (spec.stream(idxs, 10) % U64(10)).astype(np.int64)).astype(np.int64)
+    total = int(n_out.sum())
+    src = np.repeat(idxs, n_out)
+    startr = np.repeat(start, n_out)
+    endr = np.repeat(end, n_out)
+    offsets = np.cumsum(n_out) - n_out
+    jj = np.arange(total, dtype=np.int64) - np.repeat(offsets, n_out)
+    same = (spec.stream(src, 20 + jj) % U64(10)) < U64(8)
+    tmix = spec.stream(src, 30 + jj)
+    span = np.maximum(endr - startr, 1).astype(np.uint64)
     targets = np.where(
         same,
-        start + (tmix % U64(max(end - start, 1))).astype(np.int64),
+        startr + (tmix % span).astype(np.int64),
         (tmix % U64(spec.n_images)).astype(np.int64),
     )
     # avoid self-links deterministically
-    targets = np.where(targets == i, (targets + 1) % spec.n_images, targets)
-    anchors = []
-    for j in range(n_out):
-        wmix = spec.stream(np.full(6, i), 200 + 10 * j + np.arange(6))
-        words = [WORDLIST[int(p % U64(len(WORDLIST)))] for p in wmix]
-        if int(spec.stream(np.array([i]), 300 + j)[0] % U64(10)) < 2:
-            kw = spec.keywords[int(spec.stream(np.array([i]), 400 + j)[0] % U64(len(spec.keywords)))]
-            pos = int(spec.stream(np.array([i]), 500 + j)[0] % U64(6))
-            words[pos] = kw
-        anchors.append(" ".join(words))
+    targets = np.where(targets == src, (targets + 1) % spec.n_images, targets)
+    # anchors: (total, 6) seeded word picks + keyword injection
+    wmix = spec.stream(src[:, None], 200 + 10 * jj[:, None] + np.arange(6)[None, :])
+    words = np.array(WORDLIST, dtype="U32")[(wmix % U64(len(WORDLIST))).astype(np.int64)]
+    has_kw = (spec.stream(src, 300 + jj) % U64(10)) < U64(2)
+    kw_idx = (spec.stream(src, 400 + jj) % U64(len(spec.keywords))).astype(np.int64)
+    pos = (spec.stream(src, 500 + jj) % U64(6)).astype(np.int64)
+    words[has_kw, pos[has_kw]] = np.array(list(spec.keywords), dtype="U32")[kw_idx[has_kw]]
+    anchors = [" ".join(row) for row in words]
+    return src, jj, targets, anchors
+
+
+def out_links_of_index(spec: CorpusSpec, i: int) -> tuple[list[int], list[str]]:
+    """Per-page wrapper over :func:`out_links_batch` (oracle-side path)."""
+    _, _, targets, anchors = out_links_batch(spec, np.array([i]))
     return [int(t) for t in targets], anchors
 
 
@@ -292,9 +309,10 @@ def robots_for_host(spec: CorpusSpec, host_id: int) -> RobotsPolicy:
 
 
 def corpus_path(root: str, spec: CorpusSpec) -> str:
+    dims = "x".join(str(d) for d in spec.dim_choices)
     return (
-        f"{root}/corpus-n{spec.n_images}-h{spec.n_hosts}-s{spec.seed}"
-        f"-b{spec.num_buckets}"
+        f"{root}/corpus2-n{spec.n_images}-h{spec.n_hosts}-s{spec.seed}"
+        f"-b{spec.num_buckets}-d{dims}-nd{spec.neardup_permille}"
     )
 
 

@@ -1,0 +1,36 @@
+"""Approximate-operator quality gates (ops without a SQL oracle):
+IVF ANN recall vs brute-force, crawl-query determinism."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_topk_recall(ray_session):
+    from ieps_crawler_ray.pipelines.analytics import q_embedding_topk, q_embedding_topk_ivf
+
+    exact = q_embedding_topk(SF)
+    approx = q_embedding_topk_ivf(SF)
+    assert len(approx) == len(exact)
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / len(exact)
+    assert recall >= 0.7, f"IVF recall@10 too low: {recall}"
+    assert approx["sim"].is_monotonic_decreasing
+
+
+def test_ivf_is_deterministic(ray_session):
+    from ieps_crawler_ray.pipelines.analytics import q_embedding_topk_ivf
+
+    a = q_embedding_topk_ivf(SF)
+    b = q_embedding_topk_ivf(SF)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_crawl_queries_deterministic(ray_session):
+    from ieps_crawler_ray.pipelines.crawl_pipeline import q_crawl_order, q_crawl_pages
+
+    a1, a2 = q_crawl_order(SF), q_crawl_order(SF)
+    pd.testing.assert_frame_equal(a1, a2)
+    p1 = q_crawl_pages(SF)
+    assert p1["n"].sum() == 300  # max_pages for the sf0.001 tier
