@@ -31,12 +31,10 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = dict(analytics.QUERIES)
-    try:
-        from ieps_crawler_ray.pipelines import crawl_pipeline
+    from ieps_crawler_ray.pipelines import crawl_pipeline, media
 
-        q.update(crawl_pipeline.QUERIES)
-    except ImportError:
-        pass
+    q.update(crawl_pipeline.QUERIES)
+    q.update(media.QUERIES)
     return q
 
 
