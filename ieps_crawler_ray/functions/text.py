@@ -186,3 +186,27 @@ def rolling_fingerprint(texts: Sequence[str], window: int = 8, keep: int = 4) ->
         smallest = np.sort(hashes)[:keep]
         out.append([int(v) for v in smallest.astype(np.int64)])
     return out
+
+
+# ------------------------------------------------------------- embedding ----
+
+
+def embed_texts(texts: Sequence[str], dim: int = 64) -> np.ndarray:
+    """Deterministic hashed bag-of-words embedding, L2-normalized float32
+    (n, dim) — the sandbox stand-in for the reference's LaBSE sentence
+    encoder (M15, vector_processor.py:12-67): swap in a real model behind
+    the same (texts) -> (n, dim) signature. Feature index = token hash mod
+    dim, sign = one hash bit (feature hashing / hashing trick)."""
+    from .hashing import _flatten_token_hashes
+
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float32)
+    hashes, offsets, lengths = _flatten_token_hashes([t.lower().split() for t in texts])
+    if len(hashes) == 0:
+        return out
+    idx = (hashes % np.uint64(dim)).astype(np.int64)
+    sign = np.where((hashes >> np.uint64(32)) & np.uint64(1) == 1, 1.0, -1.0).astype(np.float32)
+    doc = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    np.add.at(out, (doc, idx), sign)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    return out / np.maximum(norms, 1e-12)

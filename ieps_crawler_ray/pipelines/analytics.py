@@ -859,6 +859,58 @@ def q_hybrid_topk(sf_dir: str) -> pd.DataFrame:
     return parts[["vec_id"]].reset_index(drop=True)
 
 
+class _EmbedStage:
+    """Actor-pool text-embedding scorer — the ST5 'model loaded once per
+    actor' pattern (vector_processor.py:12): the (stand-in) encoder state
+    initializes in __init__, batches stream through __call__."""
+
+    def __init__(self, dim: int = 64):
+        from ..functions.text import embed_texts
+
+        self.embed = embed_texts
+        self.dim = dim
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        vecs = self.embed(b["text"].to_pylist(), dim=self.dim)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32(), self.dim)),
+            }
+        )
+
+
+def q_doc_embed_knn(sf_dir: str) -> pd.DataFrame:
+    """Embed document texts with the actor-pool encoder stage, then
+    brute-force cosine top-10 vs the first document's vector (M15 + O2
+    composed in-engine; rows-only — the hashed encoder has no SQL analogue)."""
+    from ..functions.text import embed_texts
+
+    q = None
+    docs = _dim(sf_dir, "documents", columns=["doc_id", "text"])
+    first = docs.filter(pc.equal(docs["doc_id"], pc.min(docs["doc_id"])))
+    q = embed_texts(first["text"].to_pylist())[0]
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _EmbedStage, batch_format="pyarrow", batch_size=512, concurrency=(1, 8)
+    )
+
+    def topk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        e = np.array(b["embedding"].to_pylist(), dtype=np.float32)
+        sims = e @ q
+        k = min(10, len(ids))
+        top = np.argpartition(-sims, k - 1)[:k]
+        return pa.table(
+            {"doc_id": pa.array(ids[top], pa.int64()), "sim": pa.array(sims[top].astype(np.float64), pa.float64())}
+        )
+
+    parts = ds.map_batches(topk, batch_format="pyarrow").to_pandas()
+    parts["sim"] = parts["sim"].round(6)
+    out = parts.sort_values(["sim", "doc_id"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
 def q_embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     """embedding-cosine near-dup pairs (≥ 0.4) — the embedding-based dedup
     path: per-batch matmul against the broadcast normalized matrix. At 100 TB
@@ -925,6 +977,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "recent_events": q_recent_events,
+    "doc_embed_knn": q_doc_embed_knn,
     "doc_segments": q_doc_segments,
     "hybrid_topk": q_hybrid_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,

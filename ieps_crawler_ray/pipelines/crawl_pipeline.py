@@ -209,65 +209,6 @@ def q_crawl_link_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
-class FetchImages:
-    """Actor-pool image stage over CRAWLED pages (S5: extract+store images,
-    crawler.py:437-541): load the page's corpus partition (bytes included),
-    decode, recompute pHash, check the PSNR≥40dB lossy invariant."""
-
-    def __init__(self, spec_dict: dict, corpus_path: str):
-        self.spec = C.CorpusSpec(**spec_dict)
-        self.corpus_path = corpus_path
-        self._cache: dict[int, dict] = {}
-
-    def _partition(self, part: int) -> tuple:
-        # `part` is a base corpus partition (__call__ derives it per row;
-        # the salted grouping in crawl_images_ds only shapes task grain)
-        if part not in self._cache:
-            t = lt.read_pyarrow(
-                self.corpus_path,
-                columns=["image_id", "bytes", "fmt", "phash"],
-                partitions=[part],
-            )
-            pos = {int(s[3:]): k for k, s in enumerate(t["image_id"].to_pylist())}
-            self._cache[part] = (t, pos)
-        return self._cache[part]
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        idxs = b["idx"].to_numpy()
-        hostids = C.host_of_index(self.spec, idxs)
-        parts = C.bucket_of_host(self.spec, hostids)
-        n = len(idxs)
-        fmts, ok_hash, psnr_ok = [""] * n, np.zeros(n, dtype=bool), np.zeros(n, dtype=bool)
-        widths = np.zeros(n, dtype=np.int32)
-        heights = np.zeros(n, dtype=np.int32)
-        roundtrip = np.zeros(n, dtype=bool)
-        for i in range(n):
-            t, pos = self._partition(int(parts[i]))
-            k = pos[int(idxs[i])]
-            fmt = t["fmt"][k].as_py()
-            blob = t["bytes"][k].as_py()
-            px = decode_image(blob, fmt)
-            original = C.pixels_of_index(self.spec, int(idxs[i]))
-            p = psnr(original, px)
-            fmts[i] = fmt
-            ok_hash[i] = phash64(px) == t["phash"][k].as_py()
-            roundtrip[i] = encode_image(px, fmt) == blob
-            psnr_ok[i] = p >= 40.0 or np.isinf(p)
-            heights[i], widths[i] = px.shape[0], px.shape[1]
-        return pa.table(
-            {
-                "rank": b["rank"],
-                "idx": b["idx"],
-                "fmt": pa.array(fmts, pa.string()),
-                "w": pa.array(widths, pa.int32()),
-                "h": pa.array(heights, pa.int32()),
-                "phash_ok": pa.array(ok_hash, pa.bool_()),
-                "roundtrip_ok": pa.array(roundtrip, pa.bool_()),
-                "psnr_ok": pa.array(psnr_ok, pa.bool_()),
-            }
-        )
-
-
 def crawl_images_ds(pages_t: pa.Table, spec: C.CorpusSpec, corpus_path: str):
     """Image stage over crawled pages as ONE streaming corpus scan + broadcast
     semi-join: the crawled id set (politeness-budget bounded) ships once via

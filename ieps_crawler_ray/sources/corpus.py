@@ -311,7 +311,7 @@ def robots_for_host(spec: CorpusSpec, host_id: int) -> RobotsPolicy:
 def corpus_path(root: str, spec: CorpusSpec) -> str:
     dims = "x".join(str(d) for d in spec.dim_choices)
     return (
-        f"{root}/corpus2-n{spec.n_images}-h{spec.n_hosts}-s{spec.seed}"
+        f"{root}/corpus3-n{spec.n_images}-h{spec.n_hosts}-s{spec.seed}"
         f"-b{spec.num_buckets}-d{dims}-nd{spec.neardup_permille}"
     )
 
@@ -339,5 +339,5 @@ def build_corpus(spec: CorpusSpec, path: str, overwrite: bool = False) -> str:
     ds = rd.range(spec.n_images, override_num_blocks=n_blocks).map_batches(
         gen, batch_format="pyarrow", batch_size=2048
     )
-    lance_table.write_dataset(ds, path, partition_col="part")
+    lance_table.write_dataset(ds, path, partition_col="part", compression="NONE")
     return path

@@ -114,16 +114,21 @@ def _commit(path: str, tmp: str, frags: list[dict], schema: pa.Schema) -> dict:
     return man
 
 
-def write_dataset(ds, path: str, partition_col: str | None = None) -> dict:
+def write_dataset(
+    ds, path: str, partition_col: str | None = None, compression: str | None = None
+) -> dict:
     """Write a ray.data.Dataset as a table version (streaming, no driver
     materialization). Fragments stream out via ``ds.write_parquet``; the
-    manifest commit happens after the write completes."""
+    manifest commit happens after the write completes. Pass
+    ``compression="NONE"`` for tables dominated by already-compressed binary
+    payloads (double-compressing costs read CPU for nothing)."""
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex[:8]}")
+    kw = {"compression": compression} if compression else {}
     if partition_col is not None:
-        ds.write_parquet(tmp, partition_cols=[partition_col])
+        ds.write_parquet(tmp, partition_cols=[partition_col], **kw)
     else:
-        ds.write_parquet(tmp)
+        ds.write_parquet(tmp, **kw)
     frags = []
     for root, _dirs, files in os.walk(tmp):
         for fn in files:
