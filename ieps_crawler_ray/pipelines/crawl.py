@@ -88,6 +88,10 @@ class CrawlConfig:
     hot_salts: int = 4             # sub-parts for hot hosts (skew splitting)
     hot_threshold: int = 256       # admitted-rows/host above which we salt
     bloom_capacity: int = 1 << 20  # per-uh-bucket seen-filter sizing
+    driver_path_max_rows: int = 2_000_000  # below this, politeness-budget-
+    # bounded sets (admission survivors, generation links, frontier update)
+    # finish on the driver — same results, no pipeline launch; 0 forces the
+    # distributed branches everywhere (used by the parity tests)
     max_generations: int | None = None  # stop early (resume/crash tests)
 
 
@@ -558,7 +562,11 @@ def _make_merge_fn(cfg: CrawlConfig, gen: int, seen_gens: list[int], frontier_pr
 
 
 def _admission(
-    cfg: CrawlConfig, frontier_path: str, rank_base: int, frontier_ds=None
+    cfg: CrawlConfig,
+    frontier_path: str,
+    rank_base: int,
+    frontier_ds=None,
+    frontier_mem_t: pa.Table | None = None,
 ) -> pd.DataFrame:
     import ray.data  # noqa: F401  (lazy; driver initialises Ray)
 
@@ -568,6 +576,31 @@ def _admission(
     cap = params.max_pages - rank_base
     if params.gen_page_cap is not None:
         cap = min(cap, params.gen_page_cap)
+    n_frontier = lt.read_manifest(frontier_path)["num_rows"]
+    if n_frontier <= cfg.driver_path_max_rows:
+        # whole-frontier driver path: at sandbox scale (or early crawl) the
+        # frontier fits trivially; the pandas code below is the same
+        # budget/top-k/cap semantics with zero pipeline launches
+        fr = (
+            frontier_mem_t
+            if frontier_mem_t is not None
+            else lt.read_pyarrow(frontier_path, columns=FRONTIER_COLS)
+        ).to_pandas()
+        fr = fr.sort_values(["priority", "seq"], kind="stable")
+        if politeness:
+            spec = C.CorpusSpec(**spec_dict)
+            budgets = {
+                int(h): C.robots_for_host(spec, int(h)).crawl_delay_slots * factor
+                for h in fr["host_id"].unique()
+            }
+            adm = fr.groupby("host_id", group_keys=False).apply(
+                lambda g: g.head(budgets[int(g.name)])
+            )
+            adm = adm.sort_values(["priority", "seq"], kind="stable").head(cap)
+        else:
+            adm = fr.head(cap)
+        adm = adm.reset_index(drop=True)
+        return _finish_admission(cfg, adm, rank_base)
     # the previous generation keeps its frontier materialized in the object
     # store — re-reading the checkpoint from disk is only needed on resume
     ds = (
@@ -607,8 +640,7 @@ def _admission(
         # per-block combiner output is small enough to finish on the driver
         # (same result, no shuffle) — a broadcast-vs-shuffle style plan choice.
         pruned = ds.map_batches(local_prune, batch_format="pyarrow")
-        n_frontier = lt.read_manifest(frontier_path)["num_rows"]
-        if n_frontier > 2_000_000:
+        if n_frontier > cfg.driver_path_max_rows:
             pruned = pruned.groupby("host_id").map_groups(host_topk, batch_format="pandas")
             adm = pruned.to_pandas()
         else:
@@ -631,6 +663,13 @@ def _admission(
     adm = (
         adm.sort_values(["priority", "seq"], kind="stable").head(cap).reset_index(drop=True)
     )
+    return _finish_admission(cfg, adm, rank_base)
+
+
+def _finish_admission(cfg: CrawlConfig, adm: pd.DataFrame, rank_base: int) -> pd.DataFrame:
+    if adm.empty:
+        return adm
+    adm = adm.copy()
     adm["rank"] = rank_base + np.arange(len(adm), dtype=np.int64)
     # hot-host salting: split any host exceeding hot_threshold admitted rows
     counts = adm["host_id"].value_counts()
@@ -663,7 +702,8 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
         _rollback(cfg.root, st["gen"])
     result = CrawlResult(root=cfg.root)
     gens_this_run = 0
-    frontier_mem = None  # previous generation's frontier, kept in object store
+    frontier_mem = None    # previous generation's frontier (Dataset, big-crawl path)
+    frontier_mem_t = None  # previous generation's frontier (pa.Table, driver path)
     while not st["finished"]:
         if cfg.max_generations is not None and gens_this_run >= cfg.max_generations:
             break
@@ -678,7 +718,9 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             _last[0] = now
 
         frontier_prev = _gd(cfg.root, "frontier", gen - 1)
-        adm = _admission(cfg, frontier_prev, rank_base, frontier_ds=frontier_mem)
+        adm = _admission(
+            cfg, frontier_prev, rank_base, frontier_ds=frontier_mem, frontier_mem_t=frontier_mem_t
+        )
         _mark("admission")
         if adm.empty or rank_base >= params.max_pages:
             st["finished"] = True
@@ -802,11 +844,13 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
         # ---- links + frontier update
         nondup = pages[pages["status"] == "html"]
         n_links = 0
-        accepted_ds = None
+        accepted_t = None       # driver-path accepted links (pa.Table)
+        accepted_ds = None      # distributed-path accepted links (Dataset)
+        driver_sets = cfg.driver_path_max_rows
         if len(nondup):
             nondup_t = pa.Table.from_pandas(nondup[["rank", "idx"]], preserve_index=False)
             link_fn = _make_link_fn(cfg)
-            if len(nondup) <= 100_000:
+            if len(nondup) * 16 <= max(driver_sets, 1):
                 # the generation's pages are politeness-budget bounded, so
                 # their links are too — vectorized derivation on the driver
                 # skips two pipeline launches; above the threshold the same
@@ -823,17 +867,15 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             _mark("links")
             merge_fn = _make_merge_fn(cfg, gen, list(range(1, gen + 1)), frontier_prev)
             link_cand = link_t.drop_columns(["from_rank"])
-            if n_links <= 200_000:
-                # budget-bounded candidate set: run the per-bucket merge on
-                # the driver (the seen/frontier partitions it reads are
-                # bucket-pruned either way); above the threshold the same
-                # merge runs as a distributed groupby
+            if n_links <= driver_sets:
+                # per-bucket merge on the driver (reads stay bucket-pruned)
                 ubs = link_cand["uh_bucket"].to_numpy()
                 parts = [
                     merge_fn(link_cand.filter(pa.array(ubs == b)))
                     for b in np.unique(ubs)
                 ]
-                accepted_ds = rd.from_arrow(pa.concat_tables(parts)) if parts else None
+                if parts:
+                    accepted_t = pa.concat_tables(parts)
             else:
                 accepted_ds = (
                     rd.from_arrow(link_cand)
@@ -841,17 +883,40 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
                     .map_groups(merge_fn, batch_format="pyarrow")
                 )
         adm_hashes = uh_all
-        keep_fn = _make_keep_fn(adm_hashes)
-        keep_ds = lt.read_dataset(frontier_prev, columns=FRONTIER_COLS).map_batches(keep_fn, batch_format="pyarrow")
-        next_frontier = keep_ds.union(accepted_ds) if accepted_ds is not None else keep_ds
-        # partition by a throwaway copy of uh_bucket: hive-partitioning strips
-        # the partition column from the data files, and re-reading it as a
-        # hive string would corrupt the frontier schema
-        next_frontier = next_frontier.map_batches(
-            lambda b: b.append_column("part", b["uh_bucket"]), batch_format="pyarrow"
-        ).materialize()
-        frontier_mem = next_frontier
-        man = lt.write_dataset(next_frontier, _gd(cfg.root, "frontier", gen), partition_col="part")
+        n_front_prev = int(lt.read_manifest(frontier_prev)["num_rows"])
+        if accepted_ds is None and n_front_prev <= driver_sets:
+            # whole-frontier driver path: filter admitted rows out, append the
+            # accepted links, write the checkpoint, keep the table in memory
+            prev_t = (
+                frontier_mem_t
+                if frontier_mem_t is not None
+                else lt.read_pyarrow(frontier_prev, columns=FRONTIER_COLS)
+            ).select(FRONTIER_COLS)
+            keep_mask = ~np.isin(prev_t["url_hash"].to_numpy().astype(np.uint64), adm_hashes)
+            next_t = prev_t.filter(pa.array(keep_mask))
+            if accepted_t is not None and accepted_t.num_rows:
+                next_t = pa.concat_tables([next_t, accepted_t.select(FRONTIER_COLS).cast(next_t.schema)])
+            man = lt.write_table(next_t, _gd(cfg.root, "frontier", gen), partition_col="uh_bucket")
+            frontier_mem_t, frontier_mem = next_t, None
+        else:
+            keep_fn = _make_keep_fn(adm_hashes)
+            keep_src = (
+                frontier_mem
+                if frontier_mem is not None
+                else lt.read_dataset(frontier_prev, columns=FRONTIER_COLS)
+            )
+            keep_ds = keep_src.map_batches(keep_fn, batch_format="pyarrow")
+            if accepted_ds is None and accepted_t is not None and accepted_t.num_rows:
+                accepted_ds = rd.from_arrow(accepted_t)
+            next_frontier = keep_ds.union(accepted_ds) if accepted_ds is not None else keep_ds
+            # partition by a throwaway copy of uh_bucket: hive-partitioning
+            # strips the partition column from the data files, and re-reading
+            # it as a hive string would corrupt the frontier schema
+            next_frontier = next_frontier.map_batches(
+                lambda b: b.append_column("part", b["uh_bucket"]), batch_format="pyarrow"
+            ).materialize()
+            frontier_mem, frontier_mem_t = next_frontier, None
+            man = lt.write_dataset(next_frontier, _gd(cfg.root, "frontier", gen), partition_col="part")
         _mark("frontier_write")
 
         # ---- metrics + commit

@@ -82,6 +82,20 @@ def test_engine_matches_oracle_with_politeness(corpus_path, fetch):
     assert res.seen_urls() == oracle.seen
 
 
+def test_engine_matches_oracle_distributed_paths(corpus_path, fetch):
+    """driver_path_max_rows=0 forces the DISTRIBUTED branch of every
+    adaptive stage (admission shuffle, map_batches links, groupby frontier
+    merge, Dataset frontier rewrite) — identical output to the driver-path
+    run and to the oracle."""
+    params = CrawlParams(spec=SPEC, max_pages=150, politeness=True, politeness_factor=3)
+    oracle = oracle_crawl(params, fetch)
+    res = _run_engine(
+        params, corpus_path, f"{SCRATCH}/ckpt-dist", driver_path_max_rows=0
+    )
+    assert _engine_tuples(res) == _page_tuples(oracle.pages)
+    assert res.seen_urls() == oracle.seen
+
+
 def test_engine_matches_oracle_no_politeness(corpus_path, fetch):
     """politeness=False admission branch (global best-first prefix)."""
     params = CrawlParams(spec=SPEC, max_pages=120, politeness=False, gen_page_cap=40)
