@@ -420,6 +420,95 @@ def q_source_like_docs(sf_dir: str) -> pd.DataFrame:
     return out[["source", "n"]]
 
 
+# ------------------------------ J-family breadth: broadcast + left joins ----
+
+
+def q_revenue_by_part_brand(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⋈ part revenue per brand — broadcast hash join (J2/J3 family):
+    the small dimension ships once via ray.put; each batch does a vectorized
+    dict lookup + partial aggregate, then a tiny brand-level groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _dim(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    lookup = dict(zip(part["p_partkey"].to_numpy(), part["p_brand"].to_pylist()))
+    ref = ray.put(lookup)
+
+    class JoinAgg:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            brands = [self.lookup.get(int(k), "NA") for k in b["l_partkey"].to_numpy()]
+            rev = (
+                b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+            )
+            t = pa.table(
+                {"p_brand": pa.array(brands, pa.string()), "rev": pa.array(rev, pa.float64())}
+            )
+            return t.group_by(["p_brand"]).aggregate([("rev", "sum"), ([], "count_all")])
+
+    out = (
+        _tbl(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(JoinAgg, batch_format="pyarrow", batch_size=64 * 1024, concurrency=(1, 8))
+        .groupby("p_brand")
+        .aggregate(Sum("rev_sum", alias_name="r"), Sum("count_all", alias_name="n_items"))
+        .to_pandas()
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+    out["revenue"] = out["r"].round(4)
+    return out[["p_brand", "revenue", "n_items"]]
+
+
+def q_customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """customer LEFT JOIN orders: order count per customer segment including
+    zero-order customers (outer-join semantics via broadcast count map)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts: dict[int, int] = {}
+    for b in _tbl(sf_dir, "orders", columns=["o_custkey"]).iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        ks, cs = np.unique(b["o_custkey"].to_numpy(), return_counts=True)
+        for k, c in zip(ks, cs):
+            counts[int(k)] = counts.get(int(k), 0) + int(c)
+    ref = ray.put(counts)
+
+    class LeftJoin:
+        def __init__(self):
+            self.counts = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            n = [self.counts.get(int(k), 0) for k in b["c_custkey"].to_numpy()]
+            t = pa.table(
+                {
+                    "c_mktsegment": b["c_mktsegment"],
+                    "n_orders": pa.array(n, pa.int64()),
+                    "no_orders": pa.array([int(x == 0) for x in n], pa.int64()),
+                }
+            )
+            return t.group_by(["c_mktsegment"]).aggregate(
+                [("n_orders", "sum"), ("no_orders", "sum"), ([], "count_all")]
+            )
+
+    out = (
+        _tbl(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(LeftJoin, batch_format="pyarrow", batch_size=1 << 16, concurrency=(1, 8))
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders_sum", alias_name="n_orders"),
+            Sum("no_orders_sum", alias_name="n_zero_order_customers"),
+            Sum("count_all", alias_name="n_customers"),
+        )
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    return out[["c_mktsegment", "n_customers", "n_orders", "n_zero_order_customers"]]
+
+
 # ------------------------------------------ O5: recent-N + M12 segments ------
 
 
@@ -978,12 +1067,29 @@ QUERIES = {
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "recent_events": q_recent_events,
     "doc_embed_knn": q_doc_embed_knn,
+    "revenue_by_part_brand": q_revenue_by_part_brand,
+    "customer_order_counts": q_customer_order_counts,
     "doc_segments": q_doc_segments,
     "hybrid_topk": q_hybrid_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
 }
 
 ORACLE_SQL = {
+    "revenue_by_part_brand": (
+        "SELECT p_brand, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,"
+        " COUNT(*) AS n_items"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " GROUP BY p_brand ORDER BY p_brand"
+    ),
+    "customer_order_counts": (
+        "SELECT c_mktsegment, COUNT(*) AS n_customers,"
+        " SUM(cnt) AS n_orders,"
+        " SUM(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS n_zero_order_customers"
+        " FROM (SELECT c.c_mktsegment, COUNT(o.o_orderkey) AS cnt"
+        "       FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
+        "       GROUP BY c.c_custkey, c.c_mktsegment)"
+        " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    ),
     "recent_events": (
         "SELECT event_id, ts, event_type FROM events"
         " ORDER BY ts DESC, event_id ASC LIMIT 20"

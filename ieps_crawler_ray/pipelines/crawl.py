@@ -93,6 +93,9 @@ class CrawlConfig:
     # finish on the driver — same results, no pipeline launch; 0 forces the
     # distributed branches everywhere (used by the parity tests)
     max_generations: int | None = None  # stop early (resume/crash tests)
+    compact_seen_every: int = 50   # fold per-generation seen tables into one
+    # every K generations (bounds the per-bucket fragment count the merge
+    # anti-join has to read — SCALE.md debt #2)
 
 
 @dataclass
@@ -684,6 +687,22 @@ def _finish_admission(cfg: CrawlConfig, adm: pd.DataFrame, rank_base: int) -> pd
     return adm
 
 
+def compact_seen(cfg: CrawlConfig, upto_gen: int) -> None:
+    """Fold seen/gen1..gen{upto} into a single table at seen/gen{upto}
+    (same partitioning). Readers always take the highest generation per URL
+    set anyway (union semantics), so replacing N small per-gen tables with
+    one compacted table at the newest gen id is observationally identical;
+    older gen directories are removed after the atomic manifest commit."""
+    gens = [g for g in _gens_of(cfg.root, "seen") if g <= upto_gen]
+    if len(gens) < 2:
+        return
+    tabs = [lt.read_pyarrow(_gd(cfg.root, "seen", g)) for g in gens]
+    merged = pa.concat_tables(tabs)
+    lt.write_table(merged, _gd(cfg.root, "seen", upto_gen), partition_col="uh_bucket")
+    for g in gens[:-1]:
+        shutil.rmtree(_gd(cfg.root, "seen", g), ignore_errors=True)
+
+
 def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = True) -> CrawlResult:
     """Run (or resume) the crawl to completion or ``cfg.max_generations``."""
     import ray.data as rd
@@ -939,6 +958,8 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
         if st["rank"] >= params.max_pages:
             st["finished"] = True
         _save_state(cfg.root, st)
+        if cfg.compact_seen_every and gen % cfg.compact_seen_every == 0:
+            compact_seen(cfg, gen)
         gens_this_run += 1
 
     final = _load_state(cfg.root)

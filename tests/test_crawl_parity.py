@@ -105,6 +105,21 @@ def test_engine_matches_oracle_no_politeness(corpus_path, fetch):
     assert res.seen_urls() == oracle.seen
 
 
+def test_engine_with_seen_compaction(corpus_path, fetch):
+    """Folding per-generation seen tables (compact_seen_every=2) must not
+    change crawl results — the anti-join is a union over generations."""
+    params = CrawlParams(spec=SPEC, max_pages=150, politeness=True, politeness_factor=3)
+    oracle = oracle_crawl(params, fetch)
+    res = _run_engine(
+        params, corpus_path, f"{SCRATCH}/ckpt-compact", compact_seen_every=2
+    )
+    assert _engine_tuples(res) == _page_tuples(oracle.pages)
+    assert res.seen_urls() == oracle.seen
+    from ieps_crawler_ray.pipelines.crawl import _gens_of
+
+    assert len(_gens_of(f"{SCRATCH}/ckpt-compact", "seen")) < res.n_generations
+
+
 def test_engine_resume_from_checkpoint(corpus_path, fetch):
     """Stop after 2 generations, resume in a new run: final state equals an
     uninterrupted crawl (per-partition lineage / resumable restarts)."""
