@@ -247,7 +247,12 @@ def _make_fetch_fn(cfg: CrawlConfig, corpus_path: str, gen: int):
             if not policies[hosts[i]].allowed(paths[i]):
                 status[i] = "disallowed"
                 continue
-            p = pos[int(idxs[i])]
+            p = pos.get(int(idxs[i]))
+            if p is None:
+                # fetch failure → error row, never an exception (SURVEY §4
+                # retries row: failure rows routed to an errors output)
+                status[i] = "error"
+                continue
             captions[i], phashes[i] = caps[p], phs[p]
             status[i] = "fetched"
         return pa.table(
@@ -330,15 +335,18 @@ def _cached_bands(path: str) -> pa.Table:
 
 
 def _cached_sigs(paths: tuple) -> dict:
-    """rank → uint32 sig row, merged over all generations' sig fragments
-    (each fragment parsed once per worker process — fragments are immutable)."""
+    """rank → uint32 sig row, merged over the given sig fragments (each
+    fragment parsed once per worker process — fragments are immutable).
+    Callers pass only the fragments of ONE rank bucket (sigs are partitioned
+    by rank % num_bk_buckets), so a verify task touches 1/B of the sig index
+    per old-rank bucket it actually needs — SCALE.md debt #1 closed."""
     merged: dict = {}
     for p in paths:
         d = _SIGS_FRAG_CACHE.get(p)
         if d is None:
             import pyarrow.parquet as _pq
 
-            t = _pq.read_table(p)
+            t = _pq.read_table(p, columns=["rank", "sig"])
             d = {
                 int(r): np.frombuffer(blob, dtype=np.uint32)
                 for r, blob in zip(t["rank"].to_numpy(), t["sig"].to_pylist())
@@ -405,7 +413,7 @@ def _verify_bucket(group: pa.Table, sig_of) -> pa.Table:
 
 def _verify_one_bucket(
     new_lean: pa.Table, new_ranks: np.ndarray, new_sigs: np.ndarray,
-    bucket: int, old_paths: list, sig_paths: tuple
+    bucket: int, old_paths: list, sig_paths_by_sb: dict, n_sb: int
 ) -> pa.Table:
     """One bucket → verified edges: lean old band rows from pruned fragments
     (cached per worker — immutable), broadcast lean new rows + sig matrix,
@@ -422,15 +430,18 @@ def _verify_one_bucket(
         old = old.append_column("is_new", pa.array(np.zeros(old.num_rows, dtype=bool)))
         sub = pa.concat_tables([old, sub.select(old.column_names)])
     pos = {int(r): i for i, r in enumerate(new_ranks)}
-    old_sigs: dict = {}
+    old_by_sb: dict = {}
 
     def sig_of(rank: int) -> np.ndarray:
         i = pos.get(rank)
         if i is not None:
             return new_sigs[i]
-        if not old_sigs:
-            old_sigs.update(_cached_sigs(sig_paths))
-        return old_sigs[rank]
+        sb = rank % n_sb
+        d = old_by_sb.get(sb)
+        if d is None:
+            d = _cached_sigs(tuple(sig_paths_by_sb.get(sb, ())))
+            old_by_sb[sb] = d
+        return d[rank]
 
     return _verify_bucket(sub, sig_of)
 
@@ -803,17 +814,24 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
                         paths_by_bucket[b].extend(lt.fragment_paths(p, partitions=[b]))
                     except FileNotFoundError:
                         pass
-            sig_paths = tuple(
-                fp
-                for g in _gens_of(cfg.root, "sigs")
-                for fp in lt.fragment_paths(_gd(cfg.root, "sigs", g))
-            )
+            sig_paths_by_sb: dict[int, list[str]] = {}
+            for g in _gens_of(cfg.root, "sigs"):
+                man = lt.read_manifest(_gd(cfg.root, "sigs", g))
+                for fr in man["fragments"]:
+                    sb = fr.get("partition")
+                    if sb is not None:
+                        sig_paths_by_sb.setdefault(int(sb), []).append(
+                            os.path.join(_gd(cfg.root, "sigs", g), fr["path"])
+                        )
             lean_ref = _ray.put(bands_new_t)
             ranks_ref = _ray.put(new_ranks)
             sigs_ref = _ray.put(new_sigs)
             vtask = _verify_remote()
             futs = [
-                vtask.remote(lean_ref, ranks_ref, sigs_ref, b, paths_by_bucket[b], sig_paths)
+                vtask.remote(
+                    lean_ref, ranks_ref, sigs_ref, b, paths_by_bucket[b],
+                    sig_paths_by_sb, cfg.num_bk_buckets,
+                )
                 for b in buckets
             ]
             edges = pa.concat_tables(_ray.get(futs)).to_pandas().drop_duplicates()
@@ -848,16 +866,20 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
                 lt.write_table(kept, _gd(cfg.root, "bands", gen), partition_col="bk_bucket")
             keep_s = ~np.isin(new_ranks, dup_arr)
             if keep_s.any():
+                kept_ranks = new_ranks[keep_s]
                 sig_t = pa.table(
                     {
-                        "rank": pa.array(new_ranks[keep_s], pa.int64()),
+                        "rank": pa.array(kept_ranks, pa.int64()),
                         "sig": pa.array(
                             [new_sigs[i].tobytes() for i in np.flatnonzero(keep_s)],
                             pa.binary(),
                         ),
+                        "sb": pa.array(
+                            (kept_ranks % cfg.num_bk_buckets).astype(np.int32), pa.int32()
+                        ),
                     }
                 )
-                lt.write_table(sig_t, _gd(cfg.root, "sigs", gen))
+                lt.write_table(sig_t, _gd(cfg.root, "sigs", gen), partition_col="sb")
         _mark("pages_bands_write")
 
         # ---- links + frontier update
