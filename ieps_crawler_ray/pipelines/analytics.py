@@ -135,9 +135,10 @@ def q_top_customers(sf_dir: str) -> pd.DataFrame:
     out = (
         parts.groupby("o_custkey")
         .aggregate(Sum("count_all", alias_name="n_orders"), Sum("o_totalprice_sum", alias_name="t"))
-        .sort(["n_orders", "o_custkey"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
+        .to_pandas()  # one small row per customer — finish the top-k here
+        .sort_values(["n_orders", "o_custkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
     )
     out["total_spent"] = out["t"].round(4)
     return out[["o_custkey", "n_orders", "total_spent"]]
@@ -232,12 +233,11 @@ def q_first_event_per_user(sf_dir: str) -> "object":
 # ------------------------------------------------ D1/D3: exact dedup ---------
 
 
-class _Md5Stage:
-    """content-hash column stage (M9; crawler.py:362-364 md5 semantics)."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        h = hashing.md5_hex(batch["text"].to_pylist())
-        return batch.append_column("content_hash", pa.array(h, pa.string()))
+def _md5_stage(batch: pa.Table) -> pa.Table:
+    """content-hash column stage (M9; crawler.py:362-364 md5 semantics) —
+    stateless, so it runs as elastic tasks rather than an actor pool."""
+    h = hashing.md5_hex(batch["text"].to_pylist())
+    return batch.append_column("content_hash", pa.array(h, pa.string()))
 
 
 def q_dedup_first_wins_docs(sf_dir: str) -> "object":
@@ -246,7 +246,7 @@ def q_dedup_first_wins_docs(sf_dir: str) -> "object":
     from ray.data.aggregate import Min
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    hashed = ds.map_batches(_Md5Stage, batch_format="pyarrow", concurrency=(1, 4))
+    hashed = ds.map_batches(_md5_stage, batch_format="pyarrow")
     parts = hashed.map_batches(
         lambda b: _partial(b, ["content_hash"], [("doc_id", "min")]), batch_format="pyarrow"
     )
@@ -259,7 +259,7 @@ def q_exact_dup_groups(sf_dir: str) -> "object":
     from ray.data.aggregate import Sum
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    hashed = ds.map_batches(_Md5Stage, batch_format="pyarrow", concurrency=(1, 4))
+    hashed = ds.map_batches(_md5_stage, batch_format="pyarrow")
     parts = hashed.map_batches(
         lambda b: _partial(b, ["content_hash"], [([], "count_all")]), batch_format="pyarrow"
     )
