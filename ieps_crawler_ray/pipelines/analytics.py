@@ -420,6 +420,61 @@ def q_source_like_docs(sf_dir: str) -> pd.DataFrame:
     return out[["source", "n"]]
 
 
+# ----------------------------------------------------- as-of join (custom) ---
+
+
+def q_purchase_asof_click(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each purchase matched to the same user's most recent
+    click at-or-before it — the windowed/as-of operator Ray Data lacks
+    natively, composed as groupby(user).map_groups + pd.merge_asof over
+    ts-sorted groups (partitioning assumption: one group = one user's full
+    history; ray_guide 'As-of / range join')."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _tbl(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        c = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        if p.empty:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "n_purchases": pd.Series([], dtype="int64"),
+                 "n_matched": pd.Series([], dtype="int64")}
+            )
+        if c.empty:
+            matched = 0
+        else:
+            m = pd.merge_asof(
+                p[["ts", "event_id"]],
+                c[["ts", "event_id"]].rename(columns={"event_id": "click_id"}),
+                on="ts",
+                direction="backward",
+            )
+            matched = int(m["click_id"].notna().sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_purchases": [len(p)],
+                "n_matched": [matched],
+            }
+        )
+
+    per_user = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    out = (
+        per_user.groupby("user_id")  # no-op regroup keeps the small result distributed
+        .aggregate(Sum("n_purchases", alias_name="np"), Sum("n_matched", alias_name="nm"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_users_with_purchase": [int(len(out))],
+            "n_purchases": [int(out["np"].sum())],
+            "n_purchases_with_prior_click": [int(out["nm"].sum())],
+        }
+    )
+
+
 # ------------------------------ J-family breadth: broadcast + left joins ----
 
 
@@ -1068,6 +1123,7 @@ QUERIES = {
     "recent_events": q_recent_events,
     "doc_embed_knn": q_doc_embed_knn,
     "revenue_by_part_brand": q_revenue_by_part_brand,
+    "purchase_asof_click": q_purchase_asof_click,
     "customer_order_counts": q_customer_order_counts,
     "doc_segments": q_doc_segments,
     "hybrid_topk": q_hybrid_topk,
@@ -1075,6 +1131,17 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "purchase_asof_click": (
+        "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),"
+        " c AS (SELECT * FROM events WHERE event_type = 'click'),"
+        " m AS (SELECT p.user_id, p.event_id,"
+        "   (SELECT MAX(c.ts) FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts"
+        "   FROM p)"
+        " SELECT COUNT(DISTINCT user_id) AS n_users_with_purchase,"
+        " COUNT(*) AS n_purchases,"
+        " SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END) AS n_purchases_with_prior_click"
+        " FROM m"
+    ),
     "revenue_by_part_brand": (
         "SELECT p_brand, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,"
         " COUNT(*) AS n_items"

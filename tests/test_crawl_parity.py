@@ -160,6 +160,21 @@ def test_engine_rollback_of_uncommitted_generation(corpus_path, fetch):
     assert resumed.seen_urls() == oracle.seen
 
 
+def test_engine_matches_oracle_1000_pages(ray_session):
+    """Larger-scale parity: 1 000 pages over a 1 500-image corpus — more
+    generations, deeper dedup index, compaction active."""
+    spec = C.CorpusSpec(n_images=1_500, n_hosts=12, num_buckets=8, neardup_permille=200)
+    path = C.build_corpus(spec, C.corpus_path(SCRATCH, spec))
+    fetch = table_fetcher(path)
+    params = CrawlParams(spec=spec, max_pages=1_000, politeness=True, politeness_factor=6)
+    oracle = oracle_crawl(params, fetch)
+    assert {p.status for p in oracle.pages} >= {"html", "duplicate"}
+    res = _run_engine(params, path, f"{SCRATCH}/ckpt-big", compact_seen_every=4)
+    assert res.n_pages == len(oracle.pages) == 1_000
+    assert _engine_tuples(res) == _page_tuples(oracle.pages)
+    assert res.seen_urls() == oracle.seen
+
+
 def test_metrics_written_per_generation(corpus_path):
     from ieps_crawler_ray.pipelines.crawl import _gd, _gens_of
     from ieps_crawler_ray.sources import lance_table as lt
