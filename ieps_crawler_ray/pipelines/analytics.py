@@ -420,6 +420,33 @@ def q_source_like_docs(sf_dir: str) -> pd.DataFrame:
     return out[["source", "n"]]
 
 
+# ----------------------------------------------- A7: windowed recent rate ----
+
+
+def q_events_per_hour(sf_dir: str) -> pd.DataFrame:
+    """events per hour-of-day — A7 windowed rate (monitoring.py:188-193
+    analogue, wall-clock-free): partial per-batch histogram, tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["ts"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        hours = pc.hour(b["ts"])
+        t = pa.table({"hour": hours})
+        return t.group_by(["hour"]).aggregate([([], "count_all")])
+
+    out = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    out["hour"] = out["hour"].astype("int64")
+    return out[["hour", "n"]]
+
+
 # ----------------------------------------------------- as-of join (custom) ---
 
 
@@ -1124,6 +1151,7 @@ QUERIES = {
     "doc_embed_knn": q_doc_embed_knn,
     "revenue_by_part_brand": q_revenue_by_part_brand,
     "purchase_asof_click": q_purchase_asof_click,
+    "events_per_hour": q_events_per_hour,
     "customer_order_counts": q_customer_order_counts,
     "doc_segments": q_doc_segments,
     "hybrid_topk": q_hybrid_topk,
@@ -1131,6 +1159,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_per_hour": (
+        "SELECT EXTRACT(hour FROM ts)::BIGINT AS hour, COUNT(*) AS n"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ),
     "purchase_asof_click": (
         "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),"
         " c AS (SELECT * FROM events WHERE event_type = 'click'),"
