@@ -112,10 +112,19 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB between two uint8 images (inf if equal)."""
-    x = np.asarray(a, dtype=np.float64)
-    y = np.asarray(b, dtype=np.float64)
-    mse = float(np.mean((x - y) ** 2))
-    if mse == 0.0:
+    """Peak signal-to-noise ratio in dB between two uint8 images (inf if equal).
+
+    MSE is computed in exact integer arithmetic (int16 diff → int32 square →
+    int64 sum): bit-identical to the float64 formula for uint8 inputs at a
+    quarter of the memory traffic — this runs per image in the verify hot
+    path, where float64 temporaries made the stage bandwidth-bound."""
+    x = np.asarray(a)
+    y = np.asarray(b)
+    d = x.astype(np.int16) - y.astype(np.int16)
+    sq = d.astype(np.int32)
+    np.multiply(sq, sq, out=sq)
+    total = int(sq.sum(dtype=np.int64))
+    if total == 0:
         return float("inf")
+    mse = total / d.size
     return 10.0 * np.log10(255.0**2 / mse)
