@@ -621,7 +621,9 @@ def q_doc_segments(sf_dir: str) -> pd.DataFrame:
     def segs(b: pa.Table) -> pa.Table:
         ids, n_seg, n_nonempty = [], [], []
         for i, t in zip(b["doc_id"].to_numpy(), b["text"].to_pylist()):
-            parts = [x.strip() for x in t.split(".")]
+            # strip spaces only — must match the DuckDB oracle's trim(s),
+            # which removes spaces, not all Python str.strip() whitespace
+            parts = [x.strip(" ") for x in t.split(".")]
             ids.append(int(i))
             n_seg.append(len(parts))
             n_nonempty.append(sum(1 for x in parts if x))
@@ -1171,7 +1173,7 @@ ORACLE_SQL = {
         "   FROM p)"
         " SELECT COUNT(DISTINCT user_id) AS n_users_with_purchase,"
         " COUNT(*) AS n_purchases,"
-        " SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END) AS n_purchases_with_prior_click"
+        " SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_purchases_with_prior_click"
         " FROM m"
     ),
     "revenue_by_part_brand": (
@@ -1182,8 +1184,8 @@ ORACLE_SQL = {
     ),
     "customer_order_counts": (
         "SELECT c_mktsegment, COUNT(*) AS n_customers,"
-        " SUM(cnt) AS n_orders,"
-        " SUM(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS n_zero_order_customers"
+        " SUM(cnt)::BIGINT AS n_orders,"
+        " SUM(CASE WHEN cnt = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_order_customers"
         " FROM (SELECT c.c_mktsegment, COUNT(o.o_orderkey) AS cnt"
         "       FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
         "       GROUP BY c.c_custkey, c.c_mktsegment)"
@@ -1195,9 +1197,9 @@ ORACLE_SQL = {
     ),
     "doc_segments": (
         "SELECT COUNT(*) AS n_docs,"
-        " SUM(len(string_split(text, '.'))) AS total_segments,"
+        " SUM(len(string_split(text, '.')))::BIGINT AS total_segments,"
         " SUM((SELECT COUNT(*) FROM unnest(string_split(text, '.')) AS u(s)"
-        "      WHERE trim(s) != '')) AS total_nonempty"
+        "      WHERE trim(s) != ''))::BIGINT AS total_nonempty"
         " FROM documents"
     ),
     "global_counts": (

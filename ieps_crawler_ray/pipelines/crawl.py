@@ -653,17 +653,11 @@ def _admission(
         # the frontier is large (many blocks); below the threshold the
         # per-block combiner output is small enough to finish on the driver
         # (same result, no shuffle) — a broadcast-vs-shuffle style plan choice.
+        # (the driver path above already returned for small frontiers, so this
+        # branch always needs the exact cross-block per-host top-k shuffle)
         pruned = ds.map_batches(local_prune, batch_format="pyarrow")
-        if n_frontier > cfg.driver_path_max_rows:
-            pruned = pruned.groupby("host_id").map_groups(host_topk, batch_format="pandas")
-            adm = pruned.to_pandas()
-        else:
-            adm = pruned.to_pandas()
-            adm = (
-                adm.sort_values(["priority", "seq"], kind="stable")
-                .groupby("host_id", group_keys=False)
-                .apply(lambda g: host_topk(g))
-            )
+        pruned = pruned.groupby("host_id").map_groups(host_topk, batch_format="pandas")
+        adm = pruned.to_pandas()
     else:
         # global best-first prefix: per-block partial top-cap (combiner),
         # merged and re-capped on the driver

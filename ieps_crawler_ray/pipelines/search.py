@@ -39,17 +39,34 @@ def _docs(sf_dir: str, columns):
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
-def _scored_ds(sf_dir: str, query: str, pattern: str | None = None):
-    """documents → (doc_id, sim, kw_hit) scores, streaming partial top-k."""
+def _scored_ds(
+    sf_dir: str,
+    query: str,
+    pattern: str | None = None,
+    rank: str = "sim",
+    limit: int = 10,
+):
+    """documents → (doc_id, sim, kw_hit) scores, streaming partial top-k.
+
+    ``rank`` selects the per-batch pruning key and MUST be the same key the
+    caller sorts by afterwards — partial top-k is only correct when the
+    pruning key is the final ranking key (a batch may otherwise evict the
+    globally best row under the caller's key before the driver merge):
+      * ``"sim"``    — cosine similarity alone (semantic / url modes)
+      * ``"hybrid"`` — 0.6·sim + 0.4·clip(kw_hits/n_kw, 1) (hybrid mode,
+        the reference's weighting, Vector_db_querier.py:113)
+    """
     import ray
 
     q = embed_texts([query], dim=EMBED_DIM)[0]
     kw_tokens = tuple(query.lower().split())
-    ref = ray.put((q, kw_tokens, pattern))
+    n_kw = max(len(kw_tokens), 1)
+    per_batch_k = max(32, int(limit))
+    ref = ray.put((q, kw_tokens, pattern, rank, n_kw, per_batch_k))
 
     class Score:
         def __init__(self):
-            self.q, self.kw, self.pattern = ray.get(ref)
+            (self.q, self.kw, self.pattern, self.rank, self.n_kw, self.k) = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             if self.pattern is not None:
@@ -70,8 +87,16 @@ def _scored_ds(sf_dir: str, query: str, pattern: str | None = None):
                 dtype=np.int64,
                 count=len(texts),
             )
-            k = min(32, len(texts))  # per-batch partial top-k
-            top = np.argpartition(-sims - hits, k - 1)[:k]
+            if self.rank == "hybrid":
+                key = 0.6 * sims + 0.4 * np.clip(hits / self.n_kw, None, 1.0)
+            else:
+                key = sims
+            # per-batch partial top-k, ties broken by doc_id asc to match the
+            # caller's final sort exactly (argpartition would keep arbitrary
+            # tied rows and could evict the lowest-doc_id tie)
+            k = min(self.k, len(texts))
+            ids = b["doc_id"].to_numpy()
+            top = np.lexsort((ids, -key))[:k]
             return pa.table(
                 {
                     "doc_id": pc.take(b["doc_id"], pa.array(top)),
@@ -89,7 +114,7 @@ def _scored_ds(sf_dir: str, query: str, pattern: str | None = None):
 def semantic_search(
     query: str, limit: int = 10, threshold: float = 0.0, sf_dir: str = "/root/testdata/sf0.001"
 ) -> pd.DataFrame:
-    df = _scored_ds(sf_dir, query).to_pandas()
+    df = _scored_ds(sf_dir, query, rank="sim", limit=limit).to_pandas()
     df = df[df["sim"] >= threshold]
     out = df.sort_values(["sim", "doc_id"], ascending=[False, True]).head(limit)
     return out[["doc_id", "sim"]].reset_index(drop=True)
@@ -100,7 +125,7 @@ def keyword_and_semantic_search(
 ) -> pd.DataFrame:
     """0.6·cosine + 0.4·normalized-keyword-hits (the reference's hybrid
     weighting, Vector_db_querier.py:113)."""
-    df = _scored_ds(sf_dir, query).to_pandas()
+    df = _scored_ds(sf_dir, query, rank="hybrid", limit=limit).to_pandas()
     n_kw = max(len(query.split()), 1)
     df["score"] = 0.6 * df["sim"] + 0.4 * (df["kw_hits"] / n_kw).clip(upper=1.0)
     out = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(limit)
@@ -111,7 +136,7 @@ def url_content_search(
     pattern: str, query: str, limit: int = 10, sf_dir: str = "/root/testdata/sf0.001"
 ) -> pd.DataFrame:
     """substring-filtered (J6 LIKE analogue on `source`) + semantic rank."""
-    df = _scored_ds(sf_dir, query, pattern=pattern).to_pandas()
+    df = _scored_ds(sf_dir, query, pattern=pattern, rank="sim", limit=limit).to_pandas()
     out = df.sort_values(["sim", "doc_id"], ascending=[False, True]).head(limit)
     return out[["doc_id", "sim"]].reset_index(drop=True)
 

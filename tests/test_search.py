@@ -41,3 +41,50 @@ def test_url_content_search_filters_source(ray_session):
 
 def test_get_page_content_missing_is_empty(ray_session):
     assert get_page_content(10**9, SF) == ""
+
+
+def _brute_force(sf_dir: str, query: str):
+    """Exact numpy ranking over the whole corpus (no per-batch pruning)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ieps_crawler_ray.functions.text import embed_texts
+    from ieps_crawler_ray.pipelines.search import EMBED_DIM
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = t["text"].to_pylist()
+    ids = t["doc_id"].to_numpy()
+    q = embed_texts([query], dim=EMBED_DIM)[0]
+    sims = (embed_texts(texts, dim=EMBED_DIM) @ q).astype(np.float64)
+    kw = query.lower().split()
+    hits = np.array([sum(k in x.lower() for k in kw) for x in texts], dtype=np.int64)
+    return ids, sims, hits
+
+
+def test_semantic_search_matches_brute_force(ray_session):
+    """Regression for the round-1 wrong-answer bug: per-batch partial top-k
+    pruned by sims+hits while the caller ranked by sim alone, evicting
+    high-sim/zero-hit docs (repro: 'table row' at sf0.01 dropped doc 108)."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.01"
+    for query in ["table row", "the data", "value part hash"]:
+        ids, sims, _ = _brute_force(sf, query)
+        order = np.lexsort((ids, -sims))[:10]
+        expect = list(ids[order])
+        got = list(semantic_search(query, limit=10, sf_dir=sf)["doc_id"])
+        assert got == expect, f"{query!r}: {got} != {expect}"
+
+
+def test_hybrid_search_matches_brute_force(ray_session):
+    import numpy as np
+
+    sf = "/root/testdata/sf0.01"
+    for query in ["table row", "value part hash"]:
+        ids, sims, hits = _brute_force(sf, query)
+        n_kw = max(len(query.split()), 1)
+        score = 0.6 * sims + 0.4 * np.clip(hits / n_kw, None, 1.0)
+        order = np.lexsort((ids, -score))[:10]
+        expect = list(ids[order])
+        got = list(keyword_and_semantic_search(query, limit=10, sf_dir=sf)["doc_id"])
+        assert got == expect, f"{query!r}: {got} != {expect}"
