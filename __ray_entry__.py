@@ -31,12 +31,17 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = dict(analytics.QUERIES)
-    from ieps_crawler_ray.pipelines import crawl_pipeline, media
+    from ieps_crawler_ray.pipelines import clean, crawl_pipeline, media
 
     q.update(crawl_pipeline.QUERIES)
     q.update(media.QUERIES)
+    q.update(clean.QUERIES)
     return q
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(analytics.ORACLE_SQL)
+    from ieps_crawler_ray.pipelines import clean
+
+    sql = dict(analytics.ORACLE_SQL)
+    sql.update(clean.ORACLE_SQL)
+    return sql
