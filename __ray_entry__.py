@@ -31,17 +31,19 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = dict(analytics.QUERIES)
-    from ieps_crawler_ray.pipelines import clean, crawl_pipeline, media
+    from ieps_crawler_ray.pipelines import binary_pages, clean, crawl_pipeline, media
 
     q.update(crawl_pipeline.QUERIES)
     q.update(media.QUERIES)
     q.update(clean.QUERIES)
+    q.update(binary_pages.QUERIES)
     return q
 
 
 def oracle_sql() -> dict[str, str]:
-    from ieps_crawler_ray.pipelines import clean
+    from ieps_crawler_ray.pipelines import binary_pages, clean
 
     sql = dict(analytics.ORACLE_SQL)
     sql.update(clean.ORACLE_SQL)
+    sql.update(binary_pages.ORACLE_SQL)
     return sql

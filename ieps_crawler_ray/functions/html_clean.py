@@ -46,11 +46,13 @@ _VOID_TAGS = frozenset(
 class Node:
     """One element; ``children`` holds child ``Node``s and raw text strings."""
 
-    __slots__ = ("tag", "classes", "children", "parent")
+    __slots__ = ("tag", "classes", "attrs", "children", "parent")
 
-    def __init__(self, tag: str, classes=(), parent: "Node | None" = None):
+    def __init__(self, tag: str, attrs=None, parent: "Node | None" = None):
         self.tag = tag
-        self.classes = frozenset(classes)
+        self.attrs: dict = attrs or {}
+        cls = self.attrs.get("class")
+        self.classes = frozenset(cls.split()) if cls else frozenset()
         self.children: list = []
         self.parent = parent
 
@@ -62,22 +64,16 @@ class _TreeBuilder(HTMLParser):
         self._stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
-        classes: tuple = ()
-        for k, v in attrs:
-            if k == "class" and v:
-                classes = tuple(v.split())
-        node = Node(tag, classes, self._stack[-1])
+        node = Node(tag, {k: v for k, v in attrs if v is not None}, self._stack[-1])
         self._stack[-1].children.append(node)
         if tag not in _VOID_TAGS:
             self._stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
         # self-closing: append without pushing, whatever the tag
-        classes: tuple = ()
-        for k, v in attrs:
-            if k == "class" and v:
-                classes = tuple(v.split())
-        self._stack[-1].children.append(Node(tag, classes, self._stack[-1]))
+        self._stack[-1].children.append(
+            Node(tag, {k: v for k, v in attrs if v is not None}, self._stack[-1])
+        )
 
     def handle_endtag(self, tag):
         # lenient close: pop back to the nearest matching open tag, like
