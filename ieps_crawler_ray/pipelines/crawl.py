@@ -201,9 +201,45 @@ def _bootstrap(cfg: CrawlConfig) -> dict:
     for b in range(cfg.num_uh_buckets):
         with open(os.path.join(cfg.root, "blooms", "gen0", f"bloom-{b}.bin"), "wb") as f:
             f.write(BloomFilter(cfg.bloom_capacity).to_bytes())
-    st = {"gen": 0, "rank": 0, "finished": False}
+    st = {"gen": 0, "rank": 0, "finished": False, "bloom_gen": [0] * cfg.num_uh_buckets}
     _save_state(cfg.root, st)
     return st
+
+
+def _bloom_gens_fallback(cfg: CrawlConfig, upto_gen: int) -> list[int]:
+    """Reconstruct the per-bucket latest-bloom-generation map from disk
+    (legacy checkpoints, or a state rewound past what its map references).
+    Blooms are DERIVED state: any bucket whose file can't be found is rebuilt
+    from the authoritative seen table (the bloom must be a superset of the
+    bucket's seen hashes, or re-discovered URLs would skip the exact
+    anti-join and be re-admitted)."""
+    out = [-1] * cfg.num_uh_buckets
+    base = os.path.join(cfg.root, "blooms")
+    gens = sorted(
+        int(d[3:]) for d in os.listdir(base) if d.startswith("gen") and int(d[3:]) <= upto_gen
+    )
+    for g in gens:
+        for b in range(cfg.num_uh_buckets):
+            if os.path.exists(os.path.join(base, f"gen{g}", f"bloom-{b}.bin")):
+                out[b] = g
+    missing = [b for b in range(cfg.num_uh_buckets) if out[b] < 0]
+    if missing:
+        seen_gens = [g for g in _gens_of(cfg.root, "seen") if g <= upto_gen]
+        os.makedirs(os.path.join(base, f"gen{upto_gen}"), exist_ok=True)
+        for b in missing:
+            bloom = BloomFilter(cfg.bloom_capacity)
+            for g in seen_gens:
+                try:
+                    t = lt.read_pyarrow(
+                        _gd(cfg.root, "seen", g), columns=["url_hash"], partitions=[b]
+                    )
+                    bloom.add_many(t["url_hash"].to_numpy().astype(np.uint64))
+                except FileNotFoundError:
+                    pass
+            with open(os.path.join(base, f"gen{upto_gen}", f"bloom-{b}.bin"), "wb") as f:
+                f.write(bloom.to_bytes())
+            out[b] = upto_gen
+    return out
 
 
 # per-worker-process cache of pruned corpus partition lookups
@@ -517,7 +553,13 @@ def _make_link_fn(cfg: CrawlConfig):
     return links_batch
 
 
-def _make_merge_fn(cfg: CrawlConfig, gen: int, seen_gens: list[int], frontier_prev: str):
+def _make_merge_fn(
+    cfg: CrawlConfig,
+    gen: int,
+    seen_gens: list[int],
+    frontier_prev: str,
+    bloom_gens: list[int],
+):
     root = cfg.root
 
     def merge_bucket(group: pa.Table) -> pa.Table:
@@ -530,7 +572,11 @@ def _make_merge_fn(cfg: CrawlConfig, gen: int, seen_gens: list[int], frontier_pr
         df = group.to_pandas().sort_values("seq", kind="stable")
         df = df.drop_duplicates("url_hash", keep="first")
         uh = df["url_hash"].to_numpy().astype(np.uint64)
-        with open(os.path.join(root, "blooms", f"gen{gen}", f"bloom-{bucket}.bin"), "rb") as f:
+        # bloom files are sparse across generations (only touched buckets get
+        # a new file); bloom_gens maps bucket → generation of its latest file
+        with open(
+            os.path.join(root, "blooms", f"gen{bloom_gens[bucket]}", f"bloom-{bucket}.bin"), "rb"
+        ) as f:
             bloom = BloomFilter.from_bytes(f.read())
         maybe = bloom.contains_many(uh)
         if maybe.any():
@@ -697,15 +743,56 @@ def compact_seen(cfg: CrawlConfig, upto_gen: int) -> None:
     (same partitioning). Readers always take the highest generation per URL
     set anyway (union semantics), so replacing N small per-gen tables with
     one compacted table at the newest gen id is observationally identical;
-    older gen directories are removed after the atomic manifest commit."""
+    older gen directories are removed after the atomic manifest commit.
+
+    The rewrite is DISTRIBUTED per uh_bucket: each Ray task reads only its
+    bucket's fragments across generations and writes one compacted fragment
+    (seen ≈ 1.2 TB at the 10^10 design point — a driver-side concat would
+    materialize all of it). The manifest commit on the driver stays atomic;
+    a crash mid-compaction leaves only an uncommitted tmp dir behind."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+    import ray as _ray
+
     gens = [g for g in _gens_of(cfg.root, "seen") if g <= upto_gen]
     if len(gens) < 2:
         return
-    tabs = [lt.read_pyarrow(_gd(cfg.root, "seen", g)) for g in gens]
-    merged = pa.concat_tables(tabs)
-    lt.write_table(merged, _gd(cfg.root, "seen", upto_gen), partition_col="uh_bucket")
+    frag_lists: dict[int, list[str]] = {}
+    for g in gens:
+        p = _gd(cfg.root, "seen", g)
+        man = lt.read_manifest(p)
+        for fr in man["fragments"]:
+            part = fr.get("partition")
+            if part is not None:
+                frag_lists.setdefault(int(part), []).append(os.path.join(p, fr["path"]))
+    dest = _gd(cfg.root, "seen", upto_gen)
+    tmp = os.path.join(dest, f".tmp-{_uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp, exist_ok=True)
+
+    @_ray.remote
+    def compact_bucket(bucket: int, paths: list[str], tmp_dir: str) -> dict:
+        t = pa.concat_tables([_pq.read_table(p) for p in paths])
+        frag = f"part={bucket}/frag-{_uuid.uuid4().hex[:8]}.parquet"
+        os.makedirs(os.path.join(tmp_dir, f"part={bucket}"), exist_ok=True)
+        _pq.write_table(t, os.path.join(tmp_dir, frag))
+        return {"path": frag, "num_rows": t.num_rows, "partition": bucket}
+
+    frags = _ray.get(
+        [compact_bucket.remote(b, ps, tmp) for b, ps in sorted(frag_lists.items())]
+    )
+    schema = _pq.read_schema(os.path.join(tmp, frags[0]["path"])) if frags else pa.schema([])
+    lt._commit(dest, tmp, frags, schema=schema)
     for g in gens[:-1]:
         shutil.rmtree(_gd(cfg.root, "seen", g), ignore_errors=True)
+    # drop gen-upto's pre-compaction fragments (unreferenced by the new
+    # manifest version; readers only trust manifest-listed files)
+    live = {os.path.join(dest, f["path"]) for f in frags}
+    for root_, _dirs, files in os.walk(dest):
+        for fn in files:
+            full = os.path.join(root_, fn)
+            if fn.endswith(".parquet") and full not in live:
+                os.remove(full)
 
 
 def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = True) -> CrawlResult:
@@ -724,6 +811,11 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
         st = _bootstrap(cfg)
     else:
         _rollback(cfg.root, st["gen"])
+        if "bloom_gen" not in st or max(st["bloom_gen"]) > st["gen"]:
+            # legacy checkpoint (pre-sparse-bloom) or a state rewound past
+            # generations its bloom map references — rebuild from disk, which
+            # is authoritative after rollback
+            st["bloom_gen"] = _bloom_gens_fallback(cfg, st["gen"])
     result = CrawlResult(root=cfg.root)
     gens_this_run = 0
     frontier_mem = None    # previous generation's frontier (Dataset, big-crawl path)
@@ -761,18 +853,24 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             }
         )
         lt.write_table(seen_t, _gd(cfg.root, "seen", gen), partition_col="uh_bucket")
-        # blooms gen = blooms gen-1 + admitted hashes
+        # blooms: rewrite ONLY buckets that admitted rows this generation —
+        # untouched buckets keep their existing file, tracked by the
+        # per-bucket bloom_gen map committed with state.json (at SCALE.md's
+        # 64k buckets a rewrite-all loop would be ~100 GB of driver I/O per
+        # generation for mostly-unchanged filters)
         os.makedirs(os.path.join(cfg.root, "blooms", f"gen{gen}"), exist_ok=True)
         uh_all = adm["url_hash"].to_numpy().astype(np.uint64)
         ub_all = adm["uh_bucket"].to_numpy()
-        for b in range(cfg.num_uh_buckets):
-            with open(os.path.join(cfg.root, "blooms", f"gen{gen - 1}", f"bloom-{b}.bin"), "rb") as f:
+        bloom_gens: list[int] = list(st["bloom_gen"])
+        for b in np.unique(ub_all):
+            b = int(b)
+            src = os.path.join(cfg.root, "blooms", f"gen{bloom_gens[b]}", f"bloom-{b}.bin")
+            with open(src, "rb") as f:
                 bloom = BloomFilter.from_bytes(f.read())
-            sel = uh_all[ub_all == b]
-            if len(sel):
-                bloom.add_many(sel)
+            bloom.add_many(uh_all[ub_all == b])
             with open(os.path.join(cfg.root, "blooms", f"gen{gen}", f"bloom-{b}.bin"), "wb") as f:
                 f.write(bloom.to_bytes())
+            bloom_gens[b] = gen
         _mark("seen_bloom")
 
         # ---- fetch (host-affine, salted)
@@ -900,7 +998,9 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             n_links = link_t.num_rows
             lt.write_table(link_t.select(["from_rank", "url"]), _gd(cfg.root, "links", gen))
             _mark("links")
-            merge_fn = _make_merge_fn(cfg, gen, list(range(1, gen + 1)), frontier_prev)
+            merge_fn = _make_merge_fn(
+                cfg, gen, list(range(1, gen + 1)), frontier_prev, bloom_gens
+            )
             link_cand = link_t.drop_columns(["from_rank"])
             if n_links <= driver_sets:
                 # per-bucket merge on the driver (reads stay bucket-pruned)
@@ -970,10 +1070,18 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
         }
         lt.write_table(pa.table({k: [v] for k, v in m.items()}), _gd(cfg.root, "metrics", gen))
         result.metrics.append(m)
-        st = {"gen": gen, "rank": rank_base + n_adm, "finished": False}
+        st = {"gen": gen, "rank": rank_base + n_adm, "finished": False, "bloom_gen": bloom_gens}
         if st["rank"] >= params.max_pages:
             st["finished"] = True
         _save_state(cfg.root, st)
+        # bloom GC: generation dirs older than every bucket's latest file are
+        # unreferenced by the just-committed state and can never be needed
+        # again (rollback only ever deletes dirs NEWER than committed state)
+        min_live = min(bloom_gens)
+        blooms_base = os.path.join(cfg.root, "blooms")
+        for d in os.listdir(blooms_base):
+            if d.startswith("gen") and int(d[3:]) < min_live:
+                shutil.rmtree(os.path.join(blooms_base, d), ignore_errors=True)
         if cfg.compact_seen_every and gen % cfg.compact_seen_every == 0:
             compact_seen(cfg, gen)
         gens_this_run += 1

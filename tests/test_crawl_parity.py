@@ -185,3 +185,43 @@ def test_metrics_written_per_generation(corpus_path):
     m = lt.read_pyarrow(_gd(root, "metrics", gens[0])).to_pydict()
     for col in ("n_admitted", "n_html", "n_duplicate", "n_disallowed", "n_links", "secs"):
         assert col in m
+
+
+def test_bloom_files_sparse_only_touched_buckets(corpus_path, fetch):
+    """A generation's bloom dir contains files ONLY for buckets that admitted
+    rows that generation; untouched buckets keep (and resolve to) their
+    earlier file instead of being rewritten (the round-1 rewrite-all loop
+    was ~100 GB/gen of driver I/O at the 64k-bucket design point)."""
+    import json
+    import os
+
+    from ieps_crawler_ray.pipelines.crawl import _gd, _gens_of
+    from ieps_crawler_ray.sources import lance_table as lt
+
+    params = CrawlParams(spec=SPEC, max_pages=60, politeness=True, politeness_factor=2)
+    root = f"{SCRATCH}/ckpt-bloomsparse"
+    res = _run_engine(params, corpus_path, root, max_generations=3)
+    assert res.n_generations >= 2
+    with open(os.path.join(root, "state.json")) as f:
+        st = json.load(f)
+    n_buckets = CrawlConfig(params=params, root=root).num_uh_buckets
+    assert len(st["bloom_gen"]) == n_buckets
+    any_sparse = False
+    for gen in _gens_of(root, "seen"):
+        bloom_dir = os.path.join(root, "blooms", f"gen{gen}")
+        if not os.path.isdir(bloom_dir):
+            continue  # fully superseded dir, GC'd after a later commit
+        touched = {
+            fr["partition"]
+            for fr in lt.read_manifest(_gd(root, "seen", gen))["fragments"]
+        }
+        on_disk = {
+            int(fn[6:-4]) for fn in os.listdir(bloom_dir) if fn.startswith("bloom-")
+        }
+        assert on_disk == touched, f"gen{gen}: bloom files {on_disk} != touched {touched}"
+        if len(on_disk) < n_buckets:
+            any_sparse = True
+    assert any_sparse, "every generation touched every bucket — test corpus too dense"
+    # the committed map must resolve every bucket to an existing file
+    for b, g in enumerate(st["bloom_gen"]):
+        assert os.path.exists(os.path.join(root, "blooms", f"gen{g}", f"bloom-{b}.bin"))
