@@ -226,7 +226,14 @@ def q_first_event_per_user(sf_dir: str) -> "object":
     def batch_min(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["ts", "event_id"]).groupby("user_id", as_index=False).head(1)
 
-    parts = ds.map_batches(batch_min, batch_format="pandas")
+    # min-by is associative, so the per-block combiner output is exact partial
+    # state (≤ one row per key per block). Finish with ONE vectorized pass
+    # when that state is result-sized (the result itself is per-user rows);
+    # fall back to the key-shuffled exact finish for huge key cardinalities
+    # rather than per-user pandas groups on the small case.
+    parts = ds.map_batches(batch_min, batch_format="pandas").materialize()
+    if parts.count() <= 2_000_000:
+        return batch_min(parts.to_pandas()).reset_index(drop=True)
     return parts.groupby("user_id").map_groups(batch_min, batch_format="pandas")
 
 
@@ -545,39 +552,45 @@ def q_revenue_by_part_brand(sf_dir: str) -> pd.DataFrame:
 
 def q_customer_order_counts(sf_dir: str) -> pd.DataFrame:
     """customer LEFT JOIN orders: order count per customer segment including
-    zero-order customers (outer-join semantics via broadcast count map)."""
-    import ray
+    zero-order customers. Scale plan: per-block partial count combiner on
+    orders → small per-customer groupby → distributed left-outer hash join
+    against customer (both sides are fact-scale at 100 TB — no driver
+    materialization, no whole-table broadcast) → segment rollup."""
     from ray.data.aggregate import Sum
 
-    counts: dict[int, int] = {}
-    for b in _tbl(sf_dir, "orders", columns=["o_custkey"]).iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow"
-    ):
-        ks, cs = np.unique(b["o_custkey"].to_numpy(), return_counts=True)
-        for k, c in zip(ks, cs):
-            counts[int(k)] = counts.get(int(k), 0) + int(c)
-    ref = ray.put(counts)
+    counts = (
+        _tbl(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(
+            lambda b: b.group_by(["o_custkey"]).aggregate([([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("count_all", alias_name="cnt"))
+    )
 
-    class LeftJoin:
-        def __init__(self):
-            self.counts = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            n = [self.counts.get(int(k), 0) for k in b["c_custkey"].to_numpy()]
-            t = pa.table(
-                {
-                    "c_mktsegment": b["c_mktsegment"],
-                    "n_orders": pa.array(n, pa.int64()),
-                    "no_orders": pa.array([int(x == 0) for x in n], pa.int64()),
-                }
-            )
-            return t.group_by(["c_mktsegment"]).aggregate(
-                [("n_orders", "sum"), ("no_orders", "sum"), ([], "count_all")]
-            )
+    def rollup(b: pa.Table) -> pa.Table:
+        n = b["cnt"].to_pandas().fillna(0).to_numpy(dtype=np.int64)
+        t = pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_orders": pa.array(n, pa.int64()),
+                "no_orders": pa.array((n == 0).astype(np.int64), pa.int64()),
+            }
+        )
+        return t.group_by(["c_mktsegment"]).aggregate(
+            [("n_orders", "sum"), ("no_orders", "sum"), ([], "count_all")]
+        )
 
     out = (
         _tbl(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-        .map_batches(LeftJoin, batch_format="pyarrow", batch_size=1 << 16, concurrency=(1, 8))
+        .join(
+            counts,
+            "left_outer",
+            num_partitions=8,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        )
+        .map_batches(rollup, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(
             Sum("n_orders_sum", alias_name="n_orders"),
@@ -836,25 +849,32 @@ def q_docs_jaccard_pairs(sf_dir: str) -> "object":
         lambda g: g.head(1), batch_format="pandas"
     )
 
-    # exact verify: token sets broadcast (small table here; at scale this is a
-    # hash-join of shingle sets back onto the candidate pairs)
-    docs = _dim(sf_dir, "documents", columns=["doc_id", "text"])
-    tok_map = {int(i): frozenset(t.split()) for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())}
-    ref = ray.put(tok_map)
+    # exact verify via JOIN-BACK of doc text onto the candidate pairs (no
+    # whole-corpus broadcast: candidates are rare, so shipping the two texts
+    # per pair through a hash join scales where a token-map broadcast can't)
+    docs_ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
-    class Verify:
-        def __init__(self):
-            self.toks = ray.get(ref)
+    def _keep_a(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id_a": b["id_a"], "id_b": b["id_b"], "text_a": b["text"]}
+        )
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            keep = []
-            for a, b_ in zip(df["id_a"], df["id_b"]):
-                sa, sb = self.toks[int(a)], self.toks[int(b_)]
-                j = len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0
-                keep.append(j >= 0.8)
-            return df[np.array(keep, dtype=bool)] if len(df) else df
+    with_a = cand.join(
+        docs_ds, "inner", num_partitions=8, on=("id_a",), right_on=("doc_id",)
+    ).map_batches(_keep_a, batch_format="pyarrow")
+    both = with_a.join(
+        docs_ds, "inner", num_partitions=8, on=("id_b",), right_on=("doc_id",)
+    )
 
-    return cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    def verify(b: pa.Table) -> pa.Table:
+        keep = []
+        for ta, tb in zip(b["text_a"].to_pylist(), b["text"].to_pylist()):
+            sa, sb = set(ta.split()), set(tb.split())
+            j = len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0
+            keep.append(j >= 0.8)
+        return b.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])
+
+    return both.map_batches(verify, batch_format="pyarrow")
 
 
 def q_simhash_docs(sf_dir: str) -> "object":
@@ -910,7 +930,7 @@ def q_embedding_topk(sf_dir: str) -> pd.DataFrame:
                 {"vec_id": pa.array(ids[top], pa.int64()), "sim": pa.array(sims[top], pa.float64())}
             )
 
-    parts = ds.map_batches(TopK, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    parts = ds.map_batches(TopK, batch_format="pyarrow", concurrency=(1, 16)).to_pandas()
     parts = parts.sort_values(["sim", "vec_id"], ascending=[False, True]).head(10)
     return parts[["vec_id"]].reset_index(drop=True)
 
@@ -997,37 +1017,61 @@ def q_embedding_topk_ivf(sf_dir: str) -> pd.DataFrame:
 
 def q_hybrid_topk(sf_dir: str) -> pd.DataFrame:
     """hybrid keyword+vector ranking — O3 (Vector_db_querier.py:100-124):
-    0.6·cosine + 0.4·keyword-hit, keyword table broadcast."""
+    0.6·cosine + 0.4·keyword-hit. The keyword flag is computed distributed
+    over documents and hash-JOINED onto the embeddings (no whole-corpus hits
+    dict on the driver — at scale that dict is one entry per doc); only the
+    tiny query vector is broadcast."""
+    import pyarrow.compute as pc
     import ray
 
     q = _query_vec(sf_dir)
     qn = q / np.linalg.norm(q)
-    docs = _dim(sf_dir, "documents", columns=["doc_id", "text"])
-    hits = {
-        int(i): ("vector" in t) for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
-    }
-    ref = ray.put((qn, hits))
+    qref = ray.put(qn)
 
-    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    def kw_flag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "kw": pc.cast(pc.match_substring(b["text"], "vector"), pa.float64()),
+            }
+        )
 
-    class Score:
+    hits_ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        kw_flag, batch_format="pyarrow"
+    )
+    class Sim:
+        """cosine vs the broadcast query vector — reduces the list column to
+        a scalar BEFORE the join (Arrow hash joins reject list payloads)."""
+
         def __init__(self):
-            self.q, self.hits = ray.get(ref)
+            self.q = ray.get(qref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = b["vec_id"].to_numpy()
             e = np.array(b["embedding"].to_pylist(), dtype=np.float64)
             en = e / np.linalg.norm(e, axis=1, keepdims=True)
-            sims = en @ self.q
-            kw = np.array([1.0 if self.hits.get(int(i), False) else 0.0 for i in ids])
-            score = 0.6 * sims + 0.4 * kw
-            k = min(10, len(ids))
-            top = np.argpartition(-score, k - 1)[:k]
             return pa.table(
-                {"vec_id": pa.array(ids[top], pa.int64()), "score": pa.array(score[top], pa.float64())}
+                {"vec_id": pa.array(ids, pa.int64()), "sim": pa.array(en @ self.q, pa.float64())}
             )
 
-    parts = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    sims_ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        Sim, batch_format="pyarrow", concurrency=(1, 16)
+    )
+    joined = sims_ds.join(
+        hits_ds, "left_outer", num_partitions=8, on=("vec_id",), right_on=("doc_id",)
+    )
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        kw = b["kw"].to_pandas().fillna(0.0).to_numpy(dtype=np.float64)
+        score = 0.6 * b["sim"].to_numpy() + 0.4 * kw
+        k = min(10, len(ids))
+        top = np.argpartition(-score, k - 1)[:k]
+        return pa.table(
+            {"vec_id": pa.array(ids[top], pa.int64()), "score": pa.array(score[top], pa.float64())}
+        )
+
+    parts = joined.map_batches(score_topk, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(["score", "vec_id"], ascending=[False, True]).head(10)
     return parts[["vec_id"]].reset_index(drop=True)
 
@@ -1085,38 +1129,92 @@ def q_doc_embed_knn(sf_dir: str) -> pd.DataFrame:
 
 
 def q_embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
-    """embedding-cosine near-dup pairs (≥ 0.4) — the embedding-based dedup
-    path: per-batch matmul against the broadcast normalized matrix. At 100 TB
-    this becomes LSH/IVF-bucketed; brute-force is the correctness baseline."""
+    """embedding-cosine near-dup pairs (≥ 0.4), IVF-bucketed and EXACT.
+
+    Scale plan (no whole-matrix broadcast): rows live in the IVF index
+    partitioned by coarse cell; each surviving CELL PAIR becomes one Ray
+    task that reads only its two partitions (partition-pruned) and emits
+    the pairs ≥ threshold. Cell pairs are pruned by a sound spherical
+    bound — for u in cell i (angle ≤ r_i from centroid c_i) and v in cell
+    j, angle(u,v) ≥ angle(c_i,c_j) − r_i − r_j, so
+    cos_max = cos(max(0, θ_ij − r_i − r_j)); pairs of cells with
+    cos_max < threshold cannot contain a qualifying pair and are skipped.
+    Work stays O(n²/K) per unpruned pair but memory is two cells per task
+    and nothing is broadcast."""
     import ray
 
-    full = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    ids_all = full["vec_id"].to_numpy()
-    E = np.array(full["embedding"].to_pylist(), dtype=np.float64)
-    En = E / np.linalg.norm(E, axis=1, keepdims=True)
-    order = np.argsort(ids_all)
-    ref = ray.put((ids_all[order], En[order]))
+    from ..sources import lance_table as lt
 
-    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    THRESH = 0.4
+    path, cents = _ivf_index(sf_dir)
+    cref = ray.put(cents)
 
-    class Pairs:
-        def __init__(self):
-            self.ids, self.En = ray.get(ref)
+    # per-cell angular radius: distributed partial-min of dot(row, centroid)
+    def cell_mins(b: pa.Table) -> pa.Table:
+        e = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        en = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+        cs = ray.get(cref)
+        dots = en @ cs.T
+        bucket = np.argmax(dots, axis=1)
+        own = dots[np.arange(len(bucket)), bucket]
+        ub, inv = np.unique(bucket, return_inverse=True)
+        mins = np.full(len(ub), np.inf)
+        np.minimum.at(mins, inv, own)
+        return pa.table(
+            {"bucket": pa.array(ub, pa.int64()), "min_dot": pa.array(mins, pa.float64())}
+        )
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b["vec_id"].to_numpy()
-            e = np.array(b["embedding"].to_pylist(), dtype=np.float64)
-            en = e / np.linalg.norm(e, axis=1, keepdims=True)
-            sims = en @ self.En.T  # (batch, all)
-            rows, cols = np.where(sims >= 0.4)
-            a = ids[rows]
-            b_ = self.ids[cols]
-            keep = a < b_
-            return pa.table(
-                {"id_a": pa.array(a[keep], pa.int64()), "id_b": pa.array(b_[keep], pa.int64())}
+    stats = (
+        lt.read_dataset(path, columns=["vec_id", "embedding"])
+        .map_batches(cell_mins, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket")["min_dot"]
+        .min()
+    )
+    radius = {int(b): float(np.arccos(np.clip(d, -1.0, 1.0))) for b, d in stats.items()}
+    cells = sorted(radius)
+    theta = np.arccos(np.clip(cents @ cents.T, -1.0, 1.0))
+
+    @ray.remote
+    def cell_pair_task(paths_a: list, paths_b: list | None) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        def load(paths):
+            t = pa.concat_tables([_pq.read_table(p, columns=["vec_id", "embedding"]) for p in paths])
+            ids = t["vec_id"].to_numpy()
+            e = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+            return ids, e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+
+        ia, ea = load(paths_a)
+        if paths_b is None:  # intra-cell: upper triangle
+            sims = ea @ ea.T
+            r, c = np.where(sims >= THRESH)
+            keep = r < c
+            a, b_ = ia[r[keep]], ia[c[keep]]
+        else:
+            ib, eb = load(paths_b)
+            sims = ea @ eb.T
+            r, c = np.where(sims >= THRESH)
+            a, b_ = ia[r], ib[c]
+        lo, hi = np.minimum(a, b_), np.maximum(a, b_)
+        return pa.table({"id_a": pa.array(lo, pa.int64()), "id_b": pa.array(hi, pa.int64())})
+
+    futs = []
+    for x, i in enumerate(cells):
+        pi = lt.fragment_paths(path, partitions=[i])
+        for j in cells[x:]:
+            gap = theta[i, j] - radius[i] - radius[j]
+            if np.cos(max(0.0, gap)) < THRESH - 1e-9:
+                continue  # no pair across these cells can reach the threshold
+            futs.append(
+                cell_pair_task.remote(
+                    pi, None if j == i else lt.fragment_paths(path, partitions=[j])
+                )
             )
-
-    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    out = pa.concat_tables(ray.get(futs)).to_pandas() if futs else pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+    )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ----------------------------------------------------------- registry --------

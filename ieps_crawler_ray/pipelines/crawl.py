@@ -254,8 +254,14 @@ def _corpus_lookup(corpus_path: str, base_part: int):
             corpus_path, columns=["image_id", "caption", "phash"], partitions=[base_part]
         )
         idx = np.fromiter((int(s[3:]) for s in t["image_id"].to_pylist()), dtype=np.int64)
-        pos = dict(zip(idx.tolist(), range(len(idx))))
-        hit = (t["caption"].to_pylist(), t["phash"].to_numpy(), pos)
+        order = np.argsort(idx)
+        # sorted-index + argsort order → vectorized searchsorted lookups
+        hit = (
+            np.array(t["caption"].to_pylist(), dtype=object),
+            t["phash"].to_numpy(),
+            idx[order],
+            order,
+        )
         _PART_CACHE[key] = hit
     return hit
 
@@ -271,26 +277,38 @@ def _make_fetch_fn(cfg: CrawlConfig, corpus_path: str, gen: int):
         (ST4 host-affinity ⇒ hit rate ≈ 1, SURVEY §2.3)."""
         spec = C.CorpusSpec(**spec_dict)
         base = int(group["part"][0].as_py()) // salts
-        caps, phs, pos = _corpus_lookup(corpus_path, base)
+        caps, phs, idx_sorted, order = _corpus_lookup(corpus_path, base)
         urls = group["url"].to_pylist()
         idxs = group["idx"].to_numpy()
         hosts = group["host_id"].to_numpy()
-        paths = paths_of(urls)
-        policies = {h: C.robots_for_host(spec, int(h)) for h in np.unique(hosts)}
+        paths_arr = np.array(paths_of(urls), dtype=str)
         n = len(urls)
-        captions, phashes, status = [""] * n, np.zeros(n, dtype=np.int64), [""] * n
-        for i in range(n):
-            if not policies[hosts[i]].allowed(paths[i]):
-                status[i] = "disallowed"
-                continue
-            p = pos.get(int(idxs[i]))
-            if p is None:
-                # fetch failure → error row, never an exception (SURVEY §4
-                # retries row: failure rows routed to an errors output)
-                status[i] = "error"
-                continue
-            captions[i], phashes[i] = caps[p], phs[p]
-            status[i] = "fetched"
+        # robots check, vectorized per host prefix (M7)
+        disallowed = np.zeros(n, dtype=bool)
+        for h in np.unique(hosts):
+            pol = C.robots_for_host(spec, int(h))
+            if pol.disallow_prefixes:
+                hm = hosts == h
+                for pref in pol.disallow_prefixes:
+                    disallowed |= hm & np.char.startswith(paths_arr, pref)
+        # corpus lookup via searchsorted on the cached sorted index; a miss
+        # is a fetch failure → error row, never an exception (SURVEY §4
+        # retries row: failure rows routed to an errors output)
+        if len(idx_sorted):
+            ii_c = np.minimum(np.searchsorted(idx_sorted, idxs), len(idx_sorted) - 1)
+            valid = idx_sorted[ii_c] == idxs
+            p = order[ii_c]
+        else:
+            valid = np.zeros(n, dtype=bool)
+            p = np.zeros(n, dtype=np.int64)
+        fetched_m = ~disallowed & valid
+        status = np.full(n, "error", dtype=object)
+        status[disallowed] = "disallowed"
+        status[fetched_m] = "fetched"
+        captions = np.full(n, "", dtype=object)
+        captions[fetched_m] = caps[p[fetched_m]]
+        phashes = np.zeros(n, dtype=np.int64)
+        phashes[fetched_m] = phs[p[fetched_m]]
         return pa.table(
             {
                 "rank": group["rank"],
@@ -934,14 +952,16 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
         status = fetched["status"].to_numpy().copy()
         dup_col = np.full(len(fetched), -1, dtype=np.int64)
         ranks = fetched["rank"].to_numpy()
-        for i in range(len(fetched)):
-            if status[i] == "fetched":
-                r = int(ranks[i])
-                if r in dup_of:
-                    status[i] = "duplicate"
-                    dup_col[i] = dup_of[r]
-                else:
-                    status[i] = "html"
+        is_fetched = status == "fetched"
+        if dup_of:
+            dup_ranks = np.fromiter(dup_of.keys(), dtype=np.int64, count=len(dup_of))
+            is_dup = is_fetched & np.isin(ranks, dup_ranks)
+        else:
+            is_dup = np.zeros(len(fetched), dtype=bool)
+        status[is_dup] = "duplicate"
+        status[is_fetched & ~is_dup] = "html"
+        if is_dup.any():
+            dup_col[is_dup] = [dup_of[int(r)] for r in ranks[is_dup]]
         pages = fetched.copy()
         pages["status"] = status
         pages["dup_of"] = dup_col

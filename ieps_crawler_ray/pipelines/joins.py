@@ -60,6 +60,6 @@ def broadcast_join(ds, dim_table: pa.Table, key_col: str, value_cols: list[str],
         BroadcastLookup,
         fn_constructor_kwargs={"dim_ref": ref, "key_col": key_col, "value_cols": value_cols},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=(1, 16),
         **mb_kwargs,
     )
