@@ -34,6 +34,7 @@ from .semantics import (
     link_seq,
     minhasher,
     similar,
+    sitemap_discoveries,
 )
 from .sources import corpus as C
 
@@ -109,6 +110,7 @@ def oracle_crawl(params: CrawlParams, fetch: Callable[[int], tuple] | None = Non
         fetch = _default_fetch(params.spec)
     out = CrawlOutput()
     dedup = _Dedup()
+    sm_done: set[int] = set()  # hosts whose sitemap was already processed
     # frontier: url -> (priority, seq, idx, host_id); first discovery wins
     frontier: dict[str, tuple] = {}
     for i, u in enumerate(_seeds_of(params)):
@@ -135,12 +137,17 @@ def oracle_crawl(params: CrawlParams, fetch: Callable[[int], tuple] | None = Non
         new_links = []
         for url, prio, seq, idx, host in admitted:
             del frontier[url]
+            if params.sitemaps and host not in sm_done:
+                # S4: first page of a host triggers sitemap injection BEFORE
+                # its own robots/fetch outcome (crawler.py:588-601)
+                sm_done.add(host)
+                new_links.extend(sitemap_discoveries(params.spec, host, rank))
             page = _fetch_one(params, fetch, rank, gen, url, idx, host, prio, seq, dedup, out)
             if page.status == "html":
                 new_links.extend(_expand(params, fetch, page, out))
             rank += 1
-        # --- frontier update: first-wins, minus seen
-        for u, pr, sq, t in new_links:
+        # --- frontier update: first-wins by discovery seq, minus seen
+        for u, pr, sq, t in sorted(new_links, key=lambda x: x[2]):
             if u not in out.seen and u not in frontier:
                 host = int(C.host_of_index(params.spec, np.array([t]))[0])
                 frontier[u] = (pr, sq, t, host)
@@ -164,11 +171,19 @@ def heap_crawl(params: CrawlParams, fetch: Callable[[int], tuple] | None = None)
             heapq.heappush(heap, (SEED_PRIORITY, i, u, idx, host))
             queued.add(u)
     rank = 0
+    sm_done: set[int] = set()
     while heap and rank < params.max_pages:
         prio, seq, url, idx, host = heapq.heappop(heap)
         queued.discard(url)
         if url in out.seen:
             continue
+        if params.sitemaps and host not in sm_done:
+            sm_done.add(host)
+            for u, pr, sq, t in sitemap_discoveries(params.spec, host, rank):
+                if u not in out.seen and u not in queued:
+                    h2 = int(C.host_of_index(params.spec, np.array([t]))[0])
+                    heapq.heappush(heap, (pr, sq, u, t, h2))
+                    queued.add(u)
         page = _fetch_one(params, fetch, rank, rank + 1, url, idx, host, prio, seq, dedup, out)
         if page.status == "html":
             for u, pr, sq, t in _expand(params, fetch, page, out):

@@ -71,6 +71,7 @@ from ..semantics import (
     default_seeds,
     link_seq,
     minhasher,
+    sitemap_discoveries,
 )
 from ..sources import corpus as C
 from ..sources import lance_table as lt
@@ -1000,6 +1001,31 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
         accepted_t = None       # driver-path accepted links (pa.Table)
         accepted_ds = None      # distributed-path accepted links (Dataset)
         driver_sets = cfg.driver_path_max_rows
+        # S4: sitemap injection for hosts first visited this generation —
+        # triggered by ADMISSION (before robots/fetch outcome, matching the
+        # reference's crawl_page preamble); candidate rows join the link
+        # merge below. Per-generation new hosts are bounded by the admitted
+        # set, so deriving them driver-side stays O(admitted).
+        sm_hosts = set(st.get("sm_hosts", []))
+        sm_t = None
+        if params.sitemaps:
+            first_rank = adm.groupby("host_id")["rank"].min()
+            rows: list = []
+            for h, r in first_rank.items():
+                h = int(h)
+                if h in sm_hosts:
+                    continue
+                sm_hosts.add(h)
+                rows.extend(sitemap_discoveries(params.spec, h, int(r)))
+            if rows:
+                sm_t = _frontier_row_table(
+                    cfg,
+                    [x[0] for x in rows],
+                    [x[3] for x in rows],
+                    [x[1] for x in rows],
+                    [x[2] for x in rows],
+                ).select(FRONTIER_COLS)
+        cand_tabs = []
         if len(nondup):
             nondup_t = pa.Table.from_pandas(nondup[["rank", "idx"]], preserve_index=False)
             link_fn = _make_link_fn(cfg)
@@ -1018,11 +1044,15 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             n_links = link_t.num_rows
             lt.write_table(link_t.select(["from_rank", "url"]), _gd(cfg.root, "links", gen))
             _mark("links")
+            cand_tabs.append(link_t.select(FRONTIER_COLS))
+        if sm_t is not None:
+            cand_tabs.append(sm_t)
+        if cand_tabs:
+            link_cand = cand_tabs[0] if len(cand_tabs) == 1 else pa.concat_tables(cand_tabs)
             merge_fn = _make_merge_fn(
                 cfg, gen, list(range(1, gen + 1)), frontier_prev, bloom_gens
             )
-            link_cand = link_t.drop_columns(["from_rank"])
-            if n_links <= driver_sets:
+            if link_cand.num_rows <= driver_sets:
                 # per-bucket merge on the driver (reads stay bucket-pruned)
                 ubs = link_cand["uh_bucket"].to_numpy()
                 parts = [
@@ -1090,7 +1120,13 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
         }
         lt.write_table(pa.table({k: [v] for k, v in m.items()}), _gd(cfg.root, "metrics", gen))
         result.metrics.append(m)
-        st = {"gen": gen, "rank": rank_base + n_adm, "finished": False, "bloom_gen": bloom_gens}
+        st = {
+            "gen": gen,
+            "rank": rank_base + n_adm,
+            "finished": False,
+            "bloom_gen": bloom_gens,
+            "sm_hosts": sorted(sm_hosts),
+        }
         if st["rank"] >= params.max_pages:
             st["finished"] = True
         _save_state(cfg.root, st)

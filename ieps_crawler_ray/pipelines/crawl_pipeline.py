@@ -311,6 +311,35 @@ def q_crawl_images_verify(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("fmt").reset_index(drop=True)
 
 
+def q_crawl_sitemap_stats(sf_dir: str) -> pd.DataFrame:
+    """S4 channel end-to-end: re-run the tier crawl with sitemap injection ON
+    and report how many crawled pages arrived via sitemap discovery (seq slot
+    >= SITEMAP_LINK_BASE) vs links/seeds, plus hosts that announced sitemaps.
+    Parity of the full ordering is asserted in tests/test_crawl_parity.py."""
+    from .crawl import CrawlConfig, run_crawl
+    from ..semantics import SEQ_SHIFT, SITEMAP_LINK_BASE
+
+    params = _crawl_params_for_sf(sf_dir)
+    params = type(params)(**{**params.__dict__, "sitemaps": True})
+    sp = params.spec
+    root = f"{SCRATCH}/q-crawl-sm-n{sp.n_images}-p{params.max_pages}"
+    corpus = C.build_corpus(sp, C.corpus_path(SCRATCH, sp))
+    res = run_crawl(CrawlConfig(params=params, root=root), corpus_path=corpus)
+    pt = res.pages_table().to_pandas()
+    link_idx = pt["seq"].to_numpy() & ((1 << SEQ_SHIFT) - 1)
+    via_sitemap = ((link_idx >= SITEMAP_LINK_BASE) & (pt["gen"] > 1)).sum()
+    n_sm_hosts = sum(
+        1 for h in range(sp.n_hosts) if C.sitemap_urls_for_host(sp, h)
+    )
+    return pd.DataFrame(
+        {
+            "n_pages": [len(pt)],
+            "n_via_sitemap": [int(via_sitemap)],
+            "n_hosts_with_sitemap": [n_sm_hosts],
+        }
+    )
+
+
 QUERIES = {
     "image_verify": q_image_verify,
     "crawl_pages": q_crawl_pages,
@@ -318,4 +347,5 @@ QUERIES = {
     "crawl_frontier_metrics": q_crawl_frontier_metrics,
     "crawl_link_stats": q_crawl_link_stats,
     "crawl_images_verify": q_crawl_images_verify,
+    "crawl_sitemap_stats": q_crawl_sitemap_stats,
 }

@@ -68,6 +68,7 @@ class CrawlParams:
     politeness_factor: int = 1   # budget multiplier (bigger = fewer, larger gens)
     gen_page_cap: int | None = None  # global per-generation admission cap
     keywords: tuple = C.DEFAULT_KEYWORDS
+    sitemaps: bool = False       # S4: inject sitemap URLs on first host visit
 
     def host_budget(self, host_id: int) -> float:
         if not self.politeness:
@@ -85,6 +86,30 @@ def default_seeds(spec: C.CorpusSpec, n: int = 4) -> tuple:
 
 def link_seq(parent_rank: int, link_idx: int) -> int:
     return (parent_rank + 1) << SEQ_SHIFT | link_idx
+
+
+SITEMAP_LINK_BASE = 1 << 19  # sitemap seq slots sit above any real link index
+
+
+def sitemap_discoveries(spec: C.CorpusSpec, host_id: int, trigger_rank: int) -> list:
+    """S4 injection rows for a first-visited host → (url, priority, seq, idx).
+
+    Mirrors the reference's crawl_page preamble (crawler.py:588-594): the
+    FIRST page crawled from a domain — regardless of its own robots/fetch
+    outcome — triggers sitemap processing, and discovered URLs enter the
+    frontier like links, with the non-anchor default priority
+    (Estrella.py:550) and seq slots attributed to the triggering page
+    above SITEMAP_LINK_BASE (so same-generation ties against real links
+    resolve by seq, identically in oracle and engine)."""
+    from .functions.priority import NON_ANCHOR_PRIORITY
+
+    res = []
+    for i, u in enumerate(C.sitemap_urls_for_host(spec, host_id)):
+        idx = C.index_of_url(u)
+        if idx < 0:
+            continue
+        res.append((u, NON_ANCHOR_PRIORITY, link_seq(trigger_rank, SITEMAP_LINK_BASE + i), idx))
+    return res
 
 
 _MINHASHER: MinHasher | None = None

@@ -305,6 +305,83 @@ def robots_for_host(spec: CorpusSpec, host_id: int) -> RobotsPolicy:
     return RobotsPolicy(prefixes, slots)
 
 
+# ------------------------------------------------------------- sitemaps (S4) --
+
+SITEMAP_K = 6  # page URLs listed per host sitemap
+
+
+def robots_txt_for_host(spec: CorpusSpec, host_id: int) -> str:
+    """Textual robots.txt for the host (S3 analogue, serving the S4
+    discovery): Disallow lines from the policy + a ``Sitemap:`` announcement
+    for hosts ≡ 0 (mod 3) (Estrella.py:52-60 reads these lines)."""
+    pol = robots_for_host(spec, host_id)
+    lines = ["User-agent: *"] + [f"Disallow: {p}" for p in pol.disallow_prefixes]
+    if host_id % 3 == 0:
+        lines.append(f"Sitemap: http://host{host_id}.example/sitemap-main.xml")
+    return "\n".join(lines)
+
+
+def sitemap_targets(spec: CorpusSpec, host_id: int) -> np.ndarray:
+    """Deterministic corpus indices the host's sitemap lists: SITEMAP_K
+    evenly-spread URLs of the host's own range."""
+    b = host_boundaries(spec)
+    lo, hi = int(b[host_id]), int(b[host_id + 1])
+    size = hi - lo
+    k = min(SITEMAP_K, size)
+    return lo + np.unique(np.arange(k, dtype=np.int64) * size // k)
+
+
+def sitemap_resource(spec: CorpusSpec, host_id: int, url: str) -> str | None:
+    """The host's 'web server' for sitemap fetches (deterministic stand-in
+    for HTTP): returns XML text or None (404). Layout per host:
+
+    * ``host_id % 3 == 2`` — no sitemap anywhere;
+    * ``host_id % 3 == 0`` — announced via robots at ``/sitemap-main.xml``;
+    * ``host_id % 3 == 1`` — served at the common probe path
+      ``COMMON_SITEMAP_PATHS[host_id % 9]`` (Estrella.py:44-48);
+    * even hosts serve a flat ``<urlset>``; odd hosts serve a
+      ``<sitemapindex>`` of two child urlsets (the recursive-parse case —
+      note probing rejects index files by the reference's ``"<urlset"``
+      validity check, so odd probe-channel hosts are faithfully
+      undiscoverable)."""
+    from ..functions import sitemap as SM
+
+    base = f"http://host{host_id}.example"
+    if not url.startswith(base + "/"):
+        return None
+    path = url[len(base):]
+    if host_id % 3 == 2:
+        return None
+    canonical = (
+        "/sitemap-main.xml"
+        if host_id % 3 == 0
+        else "/" + SM.COMMON_SITEMAP_PATHS[host_id % 9]
+    )
+    urls = url_of_index(spec, sitemap_targets(spec, host_id))
+    if host_id % 2 == 0:
+        return SM.urlset_xml(urls) if path == canonical else None
+    if path == canonical:
+        return SM.sitemapindex_xml([f"{base}/sm-child-0.xml", f"{base}/sm-child-1.xml"])
+    if path == "/sm-child-0.xml":
+        return SM.urlset_xml(urls[: len(urls) // 2])
+    if path == "/sm-child-1.xml":
+        return SM.urlset_xml(urls[len(urls) // 2:])
+    return None
+
+
+def sitemap_urls_for_host(spec: CorpusSpec, host_id: int) -> list[str]:
+    """The full S4 discovery for one host — robots Sitemap: lines, common-
+    path probing, recursive index parse ≤ 3 — shared verbatim by the oracle
+    and the Ray engine."""
+    from ..functions import sitemap as SM
+
+    return SM.discover_sitemap_urls(
+        robots_txt_for_host(spec, host_id),
+        lambda u: sitemap_resource(spec, host_id, u),
+        base=f"http://host{host_id}.example",
+    )
+
+
 # ----------------------------------------------------------------- builder --
 
 

@@ -225,3 +225,36 @@ def test_bloom_files_sparse_only_touched_buckets(corpus_path, fetch):
     # the committed map must resolve every bucket to an existing file
     for b, g in enumerate(st["bloom_gen"]):
         assert os.path.exists(os.path.join(root, "blooms", f"gen{g}", f"bloom-{b}.bin"))
+
+
+def test_engine_matches_oracle_with_sitemaps(corpus_path, fetch):
+    """S4 parity: sitemap injection on first host visit — engine and oracle
+    must agree on crawl order / statuses / seen with the channel ON, and the
+    channel must actually fire (URLs crawled that only a sitemap reveals)."""
+    from ieps_crawler_ray.semantics import SEQ_SHIFT, SITEMAP_LINK_BASE
+
+    params = CrawlParams(
+        spec=SPEC, max_pages=150, politeness=True, politeness_factor=3, sitemaps=True
+    )
+    oracle = oracle_crawl(params, fetch)
+    sm_pages = [
+        p for p in oracle.pages if (p.seq & ((1 << SEQ_SHIFT) - 1)) >= SITEMAP_LINK_BASE
+    ]
+    assert sm_pages, "no sitemap-discovered URL was crawled — corpus/params too small"
+    res = _run_engine(params, corpus_path, f"{SCRATCH}/ckpt-sitemap")
+    assert _engine_tuples(res) == _page_tuples(oracle.pages)
+    assert res.seen_urls() == oracle.seen
+
+
+def test_engine_sitemaps_distributed_branch(corpus_path, fetch):
+    """Same parity with driver_path_max_rows=0 (every driver shortcut off):
+    sitemap candidates must survive the distributed merge path too."""
+    params = CrawlParams(
+        spec=SPEC, max_pages=80, politeness=True, politeness_factor=2, sitemaps=True
+    )
+    oracle = oracle_crawl(params, fetch)
+    res = _run_engine(
+        params, corpus_path, f"{SCRATCH}/ckpt-sitemap-dist", driver_path_max_rows=0
+    )
+    assert _engine_tuples(res) == _page_tuples(oracle.pages)
+    assert res.seen_urls() == oracle.seen
