@@ -170,6 +170,44 @@ def split_subparagraphs(block: Node) -> list[str]:
     return subunits
 
 
+_CSS_URL_RE = None
+
+
+def extract_image_urls(html: str) -> list[str]:
+    """M3: image-URL extraction in document order — <img src> tags plus CSS
+    ``url(...)`` references in style attributes and <style> blocks
+    (oldstufffrompa1/crawler.py:447-538), order-preserving-deduped per page
+    (the reference skips filenames it already stored for the page)."""
+    global _CSS_URL_RE
+    if _CSS_URL_RE is None:
+        import re
+
+        _CSS_URL_RE = re.compile(r"""url\(\s*['"]?([^'")\s]+)['"]?\s*\)""")
+    if not html:
+        return []
+    out: list[str] = []
+
+    def walk(n: Node) -> None:
+        for c in n.children:
+            if not isinstance(c, Node):
+                continue
+            if c.tag == "img":
+                src = c.attrs.get("src")
+                if src:
+                    out.append(src)
+            style = c.attrs.get("style")
+            if style:
+                out.extend(_CSS_URL_RE.findall(style))
+            if c.tag == "style":
+                out.extend(
+                    _CSS_URL_RE.findall("".join(x for x in c.children if isinstance(x, str)))
+                )
+            walk(c)
+
+    walk(parse_html(html))
+    return list(dict.fromkeys(out))
+
+
 def clean_html(html: str) -> tuple[str | None, bool]:
     """Clean raw HTML to extracted text; returns ``(text | None, used_block)``
     (ref html_cleaner.py:36-93)."""

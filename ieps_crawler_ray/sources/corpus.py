@@ -305,7 +305,60 @@ def robots_for_host(spec: CorpusSpec, host_id: int) -> RobotsPolicy:
     return RobotsPolicy(prefixes, slots)
 
 
-# ------------------------------------------------------------- sitemaps (S4) --
+# -------------------------------------------------- page images (M3) ---------
+
+_IMG_TAG = 0xA11CE  # stream tag for the per-page embedded-image model
+MAX_IMAGES_PER_PAGE = 16  # 1 + (0..15) extra refs → avg ≈ 8.5/page, the
+# reference's measured density (12 600 images / 1 455 pages ≈ 8.7,
+# crawler.py:447-538 <img> + CSS url(...) extraction)
+
+
+def page_image_targets(spec: CorpusSpec, i: int) -> np.ndarray:
+    """Distinct corpus indices of the images embedded in page i (its own
+    image plus sampled same-host refs), deterministic and sorted."""
+    b = host_boundaries(spec)
+    h = int(host_of_index(spec, np.array([i]))[0])
+    lo, size = int(b[h]), int(b[h + 1] - b[h])
+    c = 1 + int(spec.stream(np.array([i]), _IMG_TAG)[0] % U64(MAX_IMAGES_PER_PAGE))
+    extra = spec.stream(np.full(c - 1, i, dtype=np.int64), np.arange(1, c) + _IMG_TAG)
+    return np.unique(np.concatenate([[i], lo + (extra % U64(size)).astype(np.int64)]))
+
+
+def img_url_of_index(spec: CorpusSpec, idx) -> list[str]:
+    """Media URL of an image (distinct from its page URL)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    hosts = host_of_index(spec, idx)
+    fmts = fmt_of_index(spec, idx)
+    return [
+        f"http://host{h}.example/media/img{int(i):08d}.{f}"
+        for i, h, f in zip(idx, hosts, fmts)
+    ]
+
+
+_IMG_URL_RE = re.compile(r"/media/img(\d{8})\.(?:png|jpeg)$")
+
+
+def index_of_img_url(url: str) -> int:
+    m = _IMG_URL_RE.search(url)
+    return int(m.group(1)) if m else -1
+
+
+def page_html_of_index(spec: CorpusSpec, i: int) -> str:
+    """The page's 'served HTML' for image extraction (M3 stand-in for the
+    stored page body): embeds the page's image refs as <img src> tags, with
+    every 4th ref hidden inside a CSS background url(...) instead —
+    crawler.py:447-538 extracts both channels. The first ref repeats once so
+    the extractor's per-page dedup is exercised."""
+    urls = img_url_of_index(spec, page_image_targets(spec, i))
+    parts = []
+    for j, u in enumerate(urls):
+        if j % 4 == 3:
+            parts.append(f'<div style="background-image: url({u})">bg</div>')
+        else:
+            parts.append(f'<img src="{u}" alt="img {j}">')
+    if urls:
+        parts.append(f'<img src="{urls[0]}" alt="repeat">')
+    return "<html><body>" + "".join(parts) + "</body></html>"
 
 SITEMAP_K = 6  # page URLs listed per host sitemap
 
