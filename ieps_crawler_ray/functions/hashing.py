@@ -182,15 +182,20 @@ def phash64(pixels: np.ndarray) -> int:
     (no image libraries in this sandbox). Signed int64 to match the mandated
     ``phash:int64`` column type.
     """
-    a = np.asarray(pixels, dtype=np.float64)
-    if a.ndim == 3:
-        a = a.mean(axis=2)
-    h, w = a.shape
+    px = np.asarray(pixels)
+    h, w = px.shape[0], px.shape[1]
     # block-mean (assumes h, w multiples of 32, true for the synthetic corpus;
-    # fall back to stride sampling otherwise)
+    # fall back to stride sampling otherwise). Channel + block reduction runs
+    # as ONE integer sum over the uint8 data (exact, no float64 temporaries of
+    # the full image — this is the verify path's hottest kernel).
     if h % 32 == 0 and w % 32 == 0:
-        a = a.reshape(32, h // 32, 32, w // 32).mean(axis=(1, 3))
+        nc = px.shape[2] if px.ndim == 3 else 1
+        s = px.reshape(32, h // 32, 32, w // 32, -1).sum(axis=(1, 3, 4), dtype=np.int64)
+        a = s / (nc * (h // 32) * (w // 32))
     else:
+        a = np.asarray(px, dtype=np.float64)
+        if a.ndim == 3:
+            a = a.mean(axis=2)
         yi = (np.arange(32) * h) // 32
         xi = (np.arange(32) * w) // 32
         a = a[np.ix_(yi, xi)]

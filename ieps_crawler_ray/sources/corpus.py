@@ -441,7 +441,7 @@ def sitemap_urls_for_host(spec: CorpusSpec, host_id: int) -> list[str]:
 def corpus_path(root: str, spec: CorpusSpec) -> str:
     dims = "x".join(str(d) for d in spec.dim_choices)
     return (
-        f"{root}/corpus3-n{spec.n_images}-h{spec.n_hosts}-s{spec.seed}"
+        f"{root}/corpus4-n{spec.n_images}-h{spec.n_hosts}-s{spec.seed}"
         f"-b{spec.num_buckets}-d{dims}-nd{spec.neardup_permille}"
     )
 
