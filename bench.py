@@ -103,15 +103,27 @@ def run_bench() -> dict:
     rd.range(64, override_num_blocks=64).map_batches(_warm, batch_format="pyarrow").count()
 
     # --- crawl: fetch + dedup + frontier maintenance throughput
-    from ieps_crawler_ray.semantics import default_seeds
+    import numpy as np
 
+    # Seed 32 URLs per host: the benchmark measures STEADY-STATE crawl
+    # throughput (the 100 TB regime where every generation is budget-bound),
+    # not the first few discovery-limited ramp-up generations — a 1-URL/host
+    # seed spends over half the run in tiny generations whose fixed
+    # per-generation cost (pipeline launches, checkpoint commits) is
+    # constant in cluster size and poisons the N→4N scaling measurement.
+    b = C.host_boundaries(spec)
+    seed_idx = np.concatenate(
+        [
+            np.arange(b[h], min(b[h] + 32, b[h + 1]), dtype=np.int64)
+            for h in range(spec.n_hosts)
+        ]
+    )
     params = CrawlParams(
         spec=spec,
         max_pages=max_pages,
         politeness=True,
         politeness_factor=150,
-        seeds=default_seeds(spec, n=spec.n_hosts),  # seed every host: fewer
-        # discovery rounds ⇒ less per-generation coordination in the timed run
+        seeds=tuple(C.url_of_index(spec, seed_idx)),
     )
     root = f"{SCRATCH}/bench-ckpt-{NCPU}"
     shutil.rmtree(root, ignore_errors=True)

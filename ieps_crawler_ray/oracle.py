@@ -88,12 +88,24 @@ def _expand(params, fetch, page: PageRecord, out: CrawlOutput):
 
 
 def _fetch_one(params, fetch, rank, gen, url, idx, host_id, prio, seq, dedup, out):
-    """Shared per-URL step: seen-add, robots, fetch, dedup classify."""
+    """Shared per-URL step: seen-add, robots, content-type, fetch, dedup."""
     out.seen.add(url)
     policy = C.robots_for_host(params.spec, host_id)
     path = url.split(".example", 1)[1]
     if not policy.allowed(path):
         page = PageRecord(rank, gen, url, idx, host_id, prio, seq, "disallowed")
+        out.pages.append(page)
+        return page
+    # M5: a binary content-type short-circuits HTML processing — page stored
+    # as BINARY with its data-type code, no links, no dedup (crawler.py:630-645)
+    from .functions.binary import binary_code
+
+    ct = C.content_type_of_index(params.spec, [idx])[0]
+    code = binary_code(ct)
+    if code is not None:
+        page = PageRecord(
+            rank, gen, url, idx, host_id, prio, seq, "binary", data_type=code
+        )
         out.pages.append(page)
         return page
     caption, phash = fetch(idx)

@@ -903,34 +903,27 @@ def q_embedding_topk(sf_dir: str) -> pd.DataFrame:
     """brute-force cosine top-k vs broadcast query vector — O2
     (Vector_db_querier.py:66-92): per-batch numpy matmul partial top-k,
     tiny global merge."""
-    import ray
-
     q = _query_vec(sf_dir)
-    qn = q / np.linalg.norm(q)
-    qref = ray.put(qn)
+    qn = q / np.linalg.norm(q)  # 64 floats — rides the task closure, no pool
 
     ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    class TopK:
-        def __init__(self):
-            self.q = ray.get(qref)
+    def topk(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        mask = ids != 0
+        e = np.array(b["embedding"].to_pylist(), dtype=np.float64)[mask]
+        ids = ids[mask]
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+        en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        sims = en @ qn
+        k = min(10, len(ids))
+        top = np.argpartition(-sims, k - 1)[:k]
+        return pa.table(
+            {"vec_id": pa.array(ids[top], pa.int64()), "sim": pa.array(sims[top], pa.float64())}
+        )
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b["vec_id"].to_numpy()
-            mask = ids != 0
-            e = np.array(b["embedding"].to_pylist(), dtype=np.float64)[mask]
-            ids = ids[mask]
-            if len(ids) == 0:
-                return pa.table({"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
-            en = e / np.linalg.norm(e, axis=1, keepdims=True)
-            sims = en @ self.q
-            k = min(10, len(ids))
-            top = np.argpartition(-sims, k - 1)[:k]
-            return pa.table(
-                {"vec_id": pa.array(ids[top], pa.int64()), "sim": pa.array(sims[top], pa.float64())}
-            )
-
-    parts = ds.map_batches(TopK, batch_format="pyarrow", concurrency=(1, 16)).to_pandas()
+    parts = ds.map_batches(topk, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(["sim", "vec_id"], ascending=[False, True]).head(10)
     return parts[["vec_id"]].reset_index(drop=True)
 
@@ -1022,11 +1015,9 @@ def q_hybrid_topk(sf_dir: str) -> pd.DataFrame:
     dict on the driver — at scale that dict is one entry per doc); only the
     tiny query vector is broadcast."""
     import pyarrow.compute as pc
-    import ray
 
     q = _query_vec(sf_dir)
-    qn = q / np.linalg.norm(q)
-    qref = ray.put(qn)
+    qn = q / np.linalg.norm(q)  # tiny — rides the task closure
 
     def kw_flag(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -1039,23 +1030,18 @@ def q_hybrid_topk(sf_dir: str) -> pd.DataFrame:
     hits_ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         kw_flag, batch_format="pyarrow"
     )
-    class Sim:
-        """cosine vs the broadcast query vector — reduces the list column to
-        a scalar BEFORE the join (Arrow hash joins reject list payloads)."""
-
-        def __init__(self):
-            self.q = ray.get(qref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b["vec_id"].to_numpy()
-            e = np.array(b["embedding"].to_pylist(), dtype=np.float64)
-            en = e / np.linalg.norm(e, axis=1, keepdims=True)
-            return pa.table(
-                {"vec_id": pa.array(ids, pa.int64()), "sim": pa.array(en @ self.q, pa.float64())}
-            )
+    def sim(b: pa.Table) -> pa.Table:
+        """cosine vs the query vector — reduces the list column to a scalar
+        BEFORE the join (Arrow hash joins reject list payloads)."""
+        ids = b["vec_id"].to_numpy()
+        e = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "sim": pa.array(en @ qn, pa.float64())}
+        )
 
     sims_ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
-        Sim, batch_format="pyarrow", concurrency=(1, 16)
+        sim, batch_format="pyarrow"
     )
     joined = sims_ds.join(
         hits_ds, "left_outer", num_partitions=8, on=("vec_id",), right_on=("doc_id",)

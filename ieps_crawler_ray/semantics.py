@@ -146,10 +146,11 @@ class PageRecord:
     host_id: int
     priority: float
     seq: int
-    status: str          # 'html' | 'disallowed' | 'duplicate'
+    status: str          # 'html' | 'disallowed' | 'duplicate' | 'binary' | 'error'
     dup_of: int = -1     # winner rank when status == 'duplicate'
     caption: str = ""
     phash: int = 0
+    data_type: str = ""  # M4/M6 code when status == 'binary' (crawldb page_data)
 
 
 @dataclass

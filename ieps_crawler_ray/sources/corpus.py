@@ -72,6 +72,8 @@ class CorpusSpec:
     neardup_permille: int = 20  # ~2% near-dup captions
     keywords: tuple = DEFAULT_KEYWORDS
     dim_choices: tuple = (32, 64, 128)  # image side lengths (multiples of 32)
+    binary_permille: int = 0    # fraction of URLs serving a binary document
+    # (M5 BINARY page type; 0 keeps the corpus all-HTML)
 
     def stream(self, idx, tag) -> np.ndarray:
         """Independent uint64 stream per (image index, tag); tag may be an
@@ -146,6 +148,38 @@ def dims_of_index(spec: CorpusSpec, idx) -> tuple[np.ndarray, np.ndarray]:
 
 def fmt_of_index(spec: CorpusSpec, idx) -> np.ndarray:
     return np.where(spec.stream(idx, 3) % U64(2) == 0, "png", "jpeg")
+
+
+# content-type each URL's server answers with (M5): text/html for pages,
+# one of the 15 binary mimetypes (crawler.py:543-569) for binary documents
+_BINARY_CT_CYCLE = (
+    "application/pdf",
+    "application/msword",
+    "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "application/vnd.ms-powerpoint",
+    "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    "application/vnd.ms-excel",
+    "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "application/zip",
+    "application/x-rar",
+    "application/octet-stream",
+    "application/x-7z-compressed",
+    "application/x-tar",
+    "application/x-pdf",
+    "image/tiff",
+)
+
+
+def content_type_of_index(spec: CorpusSpec, idx) -> list[str]:
+    idx = np.asarray(idx, dtype=np.int64)
+    if not spec.binary_permille:
+        return ["text/html"] * len(idx)
+    r = spec.stream(idx, 9)
+    is_bin = (r % U64(1000)).astype(np.int64) < spec.binary_permille
+    pick = (spec.stream(idx, 10) % U64(len(_BINARY_CT_CYCLE))).astype(np.int64)
+    return [
+        _BINARY_CT_CYCLE[p] if b else "text/html" for b, p in zip(is_bin, pick)
+    ]
 
 
 def pixels_of_index(spec: CorpusSpec, i: int) -> np.ndarray:

@@ -35,9 +35,17 @@ def fetch(corpus_path):
 
 
 def _page_tuples(pages):
-    """(rank, url, gen, status, dup_of, caption-as-stored) per page."""
+    """(rank, url, gen, status, dup_of, caption-as-stored, data_type) per page."""
     return [
-        (p.rank, p.url, p.gen, p.status, p.dup_of, "" if p.status == "duplicate" else p.caption)
+        (
+            p.rank,
+            p.url,
+            p.gen,
+            p.status,
+            p.dup_of,
+            "" if p.status == "duplicate" else p.caption,
+            p.data_type,
+        )
         for p in pages
     ]
 
@@ -45,9 +53,10 @@ def _page_tuples(pages):
 def _engine_tuples(res):
     pt = res.pages_table().to_pandas()
     return [
-        (int(a), b, int(c), d, int(e), f)
-        for a, b, c, d, e, f in zip(
-            pt["rank"], pt["url"], pt["gen"], pt["status"], pt["dup_of"], pt["caption"]
+        (int(a), b, int(c), d, int(e), f, g)
+        for a, b, c, d, e, f, g in zip(
+            pt["rank"], pt["url"], pt["gen"], pt["status"], pt["dup_of"], pt["caption"],
+            pt["data_type"],
         )
     ]
 
@@ -256,5 +265,25 @@ def test_engine_sitemaps_distributed_branch(corpus_path, fetch):
     res = _run_engine(
         params, corpus_path, f"{SCRATCH}/ckpt-sitemap-dist", driver_path_max_rows=0
     )
+    assert _engine_tuples(res) == _page_tuples(oracle.pages)
+    assert res.seen_urls() == oracle.seen
+
+
+def test_engine_matches_oracle_with_binary_pages(ray_session):
+    """M5 BINARY page type: a corpus where ~8% of URLs serve binary
+    content-types — binary pages store their data-type code, produce no
+    links, never enter the dedup index, and engine == oracle exactly."""
+    spec = C.CorpusSpec(
+        n_images=500, n_hosts=10, num_buckets=4, neardup_permille=300, binary_permille=80
+    )
+    path = C.build_corpus(spec, C.corpus_path(SCRATCH, spec))
+    fetch = table_fetcher(path)
+    params = CrawlParams(spec=spec, max_pages=150, politeness=True, politeness_factor=3)
+    oracle = oracle_crawl(params, fetch)
+    statuses = {p.status for p in oracle.pages}
+    assert "binary" in statuses, "corpus/params produced no binary pages"
+    codes = {p.data_type for p in oracle.pages if p.status == "binary"}
+    assert codes and all(codes)
+    res = _run_engine(params, path, f"{SCRATCH}/ckpt-binary")
     assert _engine_tuples(res) == _page_tuples(oracle.pages)
     assert res.seen_urls() == oracle.seen
