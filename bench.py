@@ -54,7 +54,7 @@ def bench_spec(sf_dir: str):
             C.CorpusSpec(
                 n_images=20_000, n_hosts=64, num_buckets=32, dim_choices=(192, 256, 320)
             ),
-            8_000,
+            16_000,
         )
     if "0.01" in sf_dir:
         return (

@@ -930,20 +930,29 @@ def q_embedding_topk(sf_dir: str) -> pd.DataFrame:
 
 def _ivf_index_path(sf_dir: str) -> str:
     tag = sf_dir.strip("/").replace("/", "-")
-    return f"/tmp/ieps_crawler_ray/ivf-{tag}"
+    return f"/tmp/ieps_crawler_ray/ivf2-{tag}"  # v2: distributed k-means build
 
 
 IVF_K = 16       # coarse centroids
 IVF_NPROBE = 8   # probed buckets per query
 
 
+IVF_KMEANS_ITERS = 2  # Lloyd refinement rounds over the seeded init
+
+
 def _ivf_index(sf_dir: str) -> tuple[str, np.ndarray]:
-    """Build (once, cached) the IVF index: deterministic coarse centroids =
-    the K embeddings with smallest hash64(vec_id) (a seeded sample), rows
-    assigned to nearest centroid and written as a Lance-layout table
-    partitioned by bucket. The scale path of similarity search: a query
-    reads only its probed partitions (pruning at the read), instead of
-    scanning every embedding."""
+    """Build (once, cached) the IVF index, fully distributed:
+
+    1. seed centroids = the K rows with smallest hash64(vec_id), found by a
+       per-block partial top-K combiner (each block returns its K smallest
+       hash rows; the driver merges K×B candidates — no full-column read),
+    2. IVF_KMEANS_ITERS rounds of distributed Lloyd: per-block partial
+       per-cluster (sum, count) via map_batches, tiny K×B driver combine,
+       renormalized spherical centroid update,
+    3. final assignment written as a Lance-layout table partitioned by
+       bucket, so a query reads only its probed partitions (pruning at the
+       read) instead of scanning every embedding.
+    """
     import ray.data as rd
 
     from ..sources import lance_table as lt
@@ -952,11 +961,57 @@ def _ivf_index(sf_dir: str) -> tuple[str, np.ndarray]:
     cent_file = os.path.join(path, "_centroids.npy")
     if lt.exists(path) and os.path.exists(cent_file):
         return path, np.load(cent_file)
-    emb = _dim(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    ids = emb["vec_id"].to_numpy()
-    order = np.argsort(hashing.hash64([str(i) for i in ids]))[:IVF_K]
-    cents = np.array([emb["embedding"][int(k)].as_py() for k in order], dtype=np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    ds0 = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def seed_candidates(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b["vec_id"].to_numpy()
+        h = hashing.hash64([str(i) for i in ids])
+        top = np.argsort(h)[:IVF_K]
+        return pa.table(
+            {
+                "h": pa.array(h[top], pa.uint64()),
+                "embedding": pc.take(b["embedding"], pa.array(top.astype(np.int64))),
+            }
+        )
+
+    cand = ds0.map_batches(seed_candidates, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("h").head(IVF_K)
+    cents = np.array(list(cand["embedding"]), dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(IVF_KMEANS_ITERS):
+        c_now = cents  # rebind: closures must capture this round's value
+
+        def partial_means(b: pa.Table, _c=c_now) -> pa.Table:
+            e = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+            en = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+            a = np.argmax(en @ _c.T, axis=1)
+            ub = np.unique(a)
+            sums = np.zeros((len(ub), en.shape[1]))
+            cnts = np.zeros(len(ub), dtype=np.int64)
+            for j, u in enumerate(ub):
+                m = a == u
+                sums[j] = en[m].sum(axis=0)
+                cnts[j] = int(m.sum())
+            return pa.table(
+                {
+                    "bucket": pa.array(ub, pa.int64()),
+                    "n": pa.array(cnts, pa.int64()),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds0.map_batches(partial_means, batch_format="pyarrow").to_pandas()
+        new = cents.copy()
+        for bidx, grp in parts.groupby("bucket"):
+            total = np.sum(np.array(list(grp["vsum"]), dtype=np.float64), axis=0)
+            norm = np.linalg.norm(total)
+            if norm > 1e-12:
+                new[int(bidx)] = total / norm  # spherical k-means update
+        cents = new
 
     def assign(b: pa.Table) -> pa.Table:
         e = np.array(b["embedding"].to_pylist(), dtype=np.float64)

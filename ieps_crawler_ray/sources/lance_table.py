@@ -75,13 +75,25 @@ def write_table(
     os.makedirs(tmp)
     frags = []
     if partition_col is not None:
-        parts = table.column(partition_col).unique().to_pylist()
-        for p in sorted(parts, key=str):
+        # per-partition fragment writes run on a thread pool — parquet
+        # encoding releases the GIL, and the serial loop was a measurable
+        # per-generation driver floor (frontier/seen checkpoints)
+        from concurrent.futures import ThreadPoolExecutor
+
+        parts = sorted(table.column(partition_col).unique().to_pylist(), key=str)
+
+        def write_one(p):
             sub = table.filter(pa.compute.equal(table[partition_col], p))
             frag = f"part={p}/frag-{uuid.uuid4().hex[:8]}.parquet"
             os.makedirs(os.path.join(tmp, os.path.dirname(frag)), exist_ok=True)
             pq.write_table(sub, os.path.join(tmp, frag))
-            frags.append({"path": frag, "num_rows": sub.num_rows, "partition": p})
+            return {"path": frag, "num_rows": sub.num_rows, "partition": p}
+
+        if len(parts) > 4:
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                frags = list(ex.map(write_one, parts))
+        else:
+            frags = [write_one(p) for p in parts]
     else:
         for off in range(0, max(table.num_rows, 1), max_rows_per_fragment):
             sub = table.slice(off, max_rows_per_fragment)

@@ -22,7 +22,7 @@ GOLDEN = {
     "doc_fingerprints": (500, "470e41888c3e9ef69cd9d4326d009ff2"),
     "lang_id_docs": (4, "2a9b76c5350bbe019d324476bb4c07cc"),
     "doc_embed_knn": (10, "c4898554b014779e3f112d64ad477365"),
-    "embedding_topk_ivf": (10, "a67582d42882e9c0ebcaa913d475a948"),
+    "embedding_topk_ivf": (10, "191863771eb97850da3ba7dd297f8b84"),
     "media_features": (2, "378914ed9bcc052468c1e2053a70369b"),
 }
 
