@@ -160,6 +160,24 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hamming64_matrix(p: np.ndarray) -> np.ndarray:
+    """(m, m) pairwise Hamming distances of a uint64 vector, via a byte
+    popcount LUT (8 lookups/pair — an order of magnitude less memory than
+    unpackbits for the long pHash-band runs in the dedup verify)."""
+    return hamming64_cross(p, p)
+
+
+def hamming64_cross(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(len(a), len(b)) Hamming distances between two uint64 vectors."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    x = a[:, None] ^ b[None, :]
+    return _POP8[x.view(np.uint8)].reshape(len(a), len(b), 8).sum(axis=2, dtype=np.uint16)
+
+
 _DCT32 = None
 
 

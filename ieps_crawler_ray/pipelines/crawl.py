@@ -58,7 +58,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import hamming64, hash64, phash_band_keys
+from ..functions.hashing import hamming64, hamming64_cross, hash64, phash_band_keys
 from ..functions.priority import SEED_PRIORITY, link_priorities
 from ..functions.urls import paths_of
 from ..semantics import (
@@ -348,46 +348,65 @@ def _sig_batch(cfg: CrawlConfig):
     nbk = cfg.num_bk_buckets
 
     def fn(b: pa.Table) -> tuple:
-        """Fetched pages → (lean band rows, (ranks, sig_matrix)).
-
-        Two band families:
-        * family 1 — 50 MinHash bands × 4 rows. Any pair with est-Jaccard
-          ≥ 0.8 collides in ≥ 1 band (pigeonhole, semantics.MINHASH_BANDS);
-          exact-equal captions have est-J = 1.0, so the reference's md5
-          exact-dup check (M9/D3) is subsumed.
-        * family 2 — 8 pHash bands × 8 bits. Any pair with Hamming ≤ 7
-          collides in ≥ 1 band.
-
-        Band rows are LEAN (~29 B each); the 200-perm signatures live once
-        per page in a separate (rank, sig) side table, loaded (and cached
-        per worker process — the fragments are immutable) only by the verify
-        tasks that hit a family-1 candidate run."""
-        mh = minhasher()
-        caps = b["caption"].to_pylist()
-        ranks = b["rank"].to_numpy()
-        phs = b["phash"].to_numpy()
-        sigs = mh.signatures([c.split() for c in caps]).astype(np.uint32)  # (n, 200)
-        mh_keys = mh.band_keys(sigs.astype(np.uint64), bands=MINHASH_BANDS)
-        ph_keys = phash_band_keys(phs, bands=PHASH_BANDS)
-        n = len(ranks)
-        key = np.concatenate([mh_keys.ravel(), ph_keys.ravel()])
-        fam = np.concatenate(
-            [np.full(n * MINHASH_BANDS, 1, dtype=np.int8), np.full(n * PHASH_BANDS, 2, dtype=np.int8)]
-        )
-        rank_col = np.concatenate([np.repeat(ranks, MINHASH_BANDS), np.repeat(ranks, PHASH_BANDS)])
-        ph_col = np.concatenate([np.zeros(n * MINHASH_BANDS, dtype=np.int64), np.repeat(phs, PHASH_BANDS)])
-        bands = pa.table(
-            {
-                "band_key": pa.array(key, pa.uint64()),
-                "bk_bucket": pa.array((key % np.uint64(nbk)).astype(np.int32), pa.int32()),
-                "rank": pa.array(rank_col, pa.int64()),
-                "family": pa.array(fam, pa.int8()),
-                "phash": pa.array(ph_col, pa.int64()),
-            }
-        )
-        return bands, (ranks.astype(np.int64), sigs)
+        return _sig_table(b, nbk)
 
     return fn
+
+
+_SIG_REMOTE = None
+
+
+def _sig_remote():
+    """Module-level cached remote for the signature pass — defining a fresh
+    ray.remote per generation re-exports the function to every worker each
+    time (measured ~0.3-1 s/generation of pure overhead)."""
+    global _SIG_REMOTE
+    if _SIG_REMOTE is None:
+        import ray as _ray
+
+        _SIG_REMOTE = _ray.remote(num_cpus=1)(_sig_table)
+    return _SIG_REMOTE
+
+
+def _sig_table(b: pa.Table, nbk: int) -> tuple:
+    """Fetched pages → (lean band rows, (ranks, sig_matrix)).
+
+    Two band families:
+    * family 1 — 50 MinHash bands × 4 rows. Any pair with est-Jaccard
+      ≥ 0.8 collides in ≥ 1 band (pigeonhole, semantics.MINHASH_BANDS);
+      exact-equal captions have est-J = 1.0, so the reference's md5
+      exact-dup check (M9/D3) is subsumed.
+    * family 2 — 8 pHash bands × 8 bits. Any pair with Hamming ≤ 7
+      collides in ≥ 1 band.
+
+    Band rows are LEAN (~29 B each); the 200-perm signatures live once
+    per page in a separate (rank, sig) side table, loaded (and cached
+    per worker process — the fragments are immutable) only by the verify
+    tasks that hit a family-1 candidate run."""
+    mh = minhasher()
+    caps = b["caption"].to_pylist()
+    ranks = b["rank"].to_numpy()
+    phs = b["phash"].to_numpy()
+    sigs = mh.signatures([c.split() for c in caps]).astype(np.uint32)  # (n, 200)
+    mh_keys = mh.band_keys(sigs.astype(np.uint64), bands=MINHASH_BANDS)
+    ph_keys = phash_band_keys(phs, bands=PHASH_BANDS)
+    n = len(ranks)
+    key = np.concatenate([mh_keys.ravel(), ph_keys.ravel()])
+    fam = np.concatenate(
+        [np.full(n * MINHASH_BANDS, 1, dtype=np.int8), np.full(n * PHASH_BANDS, 2, dtype=np.int8)]
+    )
+    rank_col = np.concatenate([np.repeat(ranks, MINHASH_BANDS), np.repeat(ranks, PHASH_BANDS)])
+    ph_col = np.concatenate([np.zeros(n * MINHASH_BANDS, dtype=np.int64), np.repeat(phs, PHASH_BANDS)])
+    bands = pa.table(
+        {
+            "band_key": pa.array(key, pa.uint64()),
+            "bk_bucket": pa.array((key % np.uint64(nbk)).astype(np.int32), pa.int32()),
+            "rank": pa.array(rank_col, pa.int64()),
+            "family": pa.array(fam, pa.int8()),
+            "phash": pa.array(ph_col, pa.int64()),
+        }
+    )
+    return bands, (ranks.astype(np.int64), sigs)
 
 
 # per-worker caches of immutable dedup-index fragments
@@ -455,30 +474,32 @@ def _verify_bucket(group: pa.Table, sig_of) -> pa.Table:
     )
     run_end = np.concatenate((run_start[1:], [n]))
     phs_all = group["phash"].to_numpy()[order]
-    ra, rb = [], []
+    ra: list = []
+    rb: list = []
     for st, e in zip(run_start, run_end):
-        if e - st < 2 or not is_new[st:e].any():
+        m = e - st
+        if m < 2 or not is_new[st:e].any():
             continue
         rr = ranks[st:e]
         nn = is_new[st:e]
         sub = np.argsort(rr, kind="stable")
+        rr_s, nn_s = rr[sub], nn[sub]
+        new_pos = np.flatnonzero(nn_s)
+        # vectorized NEW-vs-ALL verify per run (k×m, not m×m): the pHash
+        # family's 8-bit band keyspace is small AND skewed, so runs grow
+        # O(corpus) — a per-pair Python loop was the dedup hot spot, and a
+        # full pairwise matrix re-pays the old×old quadrant every generation
         if fam[st] == 1:
-            sigs = [sig_of(int(rr[k])) for k in sub]
+            S = np.stack([sig_of(int(r)) for r in rr_s])  # (m, 200)
+            okm = (S[new_pos][:, None, :] == S[None, :, :]).mean(axis=2) >= MINHASH_THRESHOLD
         else:
-            phs = phs_all[st:e][sub].astype(np.uint64)
-        for jj in range(len(sub)):
-            if not nn[sub[jj]]:
-                continue
-            for ii in range(jj):
-                if rr[sub[ii]] == rr[sub[jj]]:
-                    continue
-                if fam[st] == 1:
-                    ok = np.mean(sigs[ii] == sigs[jj]) >= MINHASH_THRESHOLD
-                else:
-                    ok = int(hamming64(phs[ii : ii + 1], phs[jj : jj + 1])[0]) <= PHASH_HAM_MAX
-                if ok:
-                    ra.append(int(rr[sub[ii]]))
-                    rb.append(int(rr[sub[jj]]))
+            p = phs_all[st:e][sub].astype(np.uint64)
+            okm = hamming64_cross(p[new_pos], p) <= PHASH_HAM_MAX
+        jrow, ii = np.nonzero(okm)
+        jpos = new_pos[jrow]
+        keep = (ii < jpos) & (rr_s[ii] != rr_s[jpos])
+        ra.extend(rr_s[ii[keep]].tolist())
+        rb.extend(rr_s[jpos[keep]].tolist())
     return pa.table({"rank_a": pa.array(ra, pa.int64()), "rank_b": pa.array(rb, pa.int64())})
 
 
@@ -936,15 +957,16 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             else:
                 # distribute the MinHash signature pass (200 perms/caption —
                 # the driver-side version was the crawl's worst scaling term)
-                sig_task = _ray.remote(sig_fn)
+                sig_task = _sig_remote()
                 futs = [
-                    sig_task.remote(html_t.slice(o, 512))
+                    sig_task.remote(html_t.slice(o, 512), cfg.num_bk_buckets)
                     for o in range(0, len(html), 512)
                 ]
                 parts = _ray.get(futs)
                 bands_new_t = pa.concat_tables([p[0] for p in parts])
                 new_ranks = np.concatenate([p[1][0] for p in parts])
                 new_sigs = np.vstack([p[1][1] for p in parts])
+            _mark("dedup_sig")
             buckets = sorted(set(bands_new_t["bk_bucket"].to_numpy().tolist()))
             paths_by_bucket: dict[int, list[str]] = {b: [] for b in buckets}
             for g in _gens_of(cfg.root, "bands"):
@@ -963,9 +985,11 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
                         sig_paths_by_sb.setdefault(int(sb), []).append(
                             os.path.join(_gd(cfg.root, "sigs", g), fr["path"])
                         )
+            _mark("dedup_paths")
             lean_ref = _ray.put(bands_new_t)
             ranks_ref = _ray.put(new_ranks)
             sigs_ref = _ray.put(new_sigs)
+            _mark("dedup_put")
             vtask = _verify_remote()
             futs = [
                 vtask.remote(
@@ -975,6 +999,7 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
                 for b in buckets
             ]
             edges = pa.concat_tables(_ray.get(futs)).to_pandas().drop_duplicates()
+            _mark("dedup_verify")
             dup_of = _resolve_dups(edges, html["rank"].to_numpy())
         _mark("dedup")
 
