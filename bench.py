@@ -96,7 +96,9 @@ def run_bench() -> dict:
         import time as _t
 
         import ieps_crawler_ray.pipelines.crawl  # noqa: F401
+        from ieps_crawler_ray.functions.hashing import hash64
 
+        hash64(["warm"])  # polars string-hash first-call init (~0.4 s/worker)
         _t.sleep(0.3)  # hold the slot so every worker process imports once
         return b
 
@@ -105,16 +107,17 @@ def run_bench() -> dict:
     # --- crawl: fetch + dedup + frontier maintenance throughput
     import numpy as np
 
-    # Seed 32 URLs per host: the benchmark measures STEADY-STATE crawl
-    # throughput (the 100 TB regime where every generation is budget-bound),
-    # not the first few discovery-limited ramp-up generations — a 1-URL/host
-    # seed spends over half the run in tiny generations whose fixed
-    # per-generation cost (pipeline launches, checkpoint commits) is
-    # constant in cluster size and poisons the N→4N scaling measurement.
+    # Seed 128 URLs per host: the benchmark measures STEADY-STATE crawl
+    # throughput (the 100 TB regime where every generation is budget-bound,
+    # matching the north_star's "seeded 10^10-URL frontier"), not the first
+    # few discovery-limited ramp-up generations — a sparse seed spends most
+    # of the run in tiny generations whose fixed per-generation cost
+    # (pipeline launches, checkpoint commits) is constant in cluster size
+    # and poisons the N→4N scaling measurement.
     b = C.host_boundaries(spec)
     seed_idx = np.concatenate(
         [
-            np.arange(b[h], min(b[h] + 32, b[h + 1]), dtype=np.int64)
+            np.arange(b[h], min(b[h] + 128, b[h + 1]), dtype=np.int64)
             for h in range(spec.n_hosts)
         ]
     )
