@@ -794,53 +794,70 @@ def _finish_admission(cfg: CrawlConfig, adm: pd.DataFrame, rank_base: int) -> pd
     return adm
 
 
-def compact_seen(cfg: CrawlConfig, upto_gen: int) -> None:
-    """Fold seen/gen1..gen{upto} into a single table at seen/gen{upto}
-    (same partitioning). Readers always take the highest generation per URL
-    set anyway (union semantics), so replacing N small per-gen tables with
-    one compacted table at the newest gen id is observationally identical;
-    older gen directories are removed after the atomic manifest commit.
+def _compact_bucket_task(bucket: int, paths: list[str], tmp_dir: str) -> dict:
+    import uuid as _uuid
 
-    The rewrite is DISTRIBUTED per uh_bucket: each Ray task reads only its
-    bucket's fragments across generations and writes one compacted fragment
-    (seen ≈ 1.2 TB at the 10^10 design point — a driver-side concat would
-    materialize all of it). The manifest commit on the driver stays atomic;
-    a crash mid-compaction leaves only an uncommitted tmp dir behind."""
+    import pyarrow.parquet as _pq
+
+    t = pa.concat_tables([_pq.read_table(p) for p in paths])
+    frag = f"part={bucket}/frag-{_uuid.uuid4().hex[:8]}.parquet"
+    os.makedirs(os.path.join(tmp_dir, f"part={bucket}"), exist_ok=True)
+    _pq.write_table(t, os.path.join(tmp_dir, frag))
+    return {"path": frag, "num_rows": t.num_rows, "partition": bucket}
+
+
+_COMPACT_REMOTE = None
+
+
+def _compact_remote():
+    global _COMPACT_REMOTE
+    if _COMPACT_REMOTE is None:
+        import ray as _ray
+
+        _COMPACT_REMOTE = _ray.remote(num_cpus=1)(_compact_bucket_task)
+    return _COMPACT_REMOTE
+
+
+def _compact_generational(cfg: CrawlConfig, name: str, upto_gen: int) -> None:
+    """Fold {name}/gen1..gen{upto} into one table at gen{upto} (same
+    partitioning). Readers union generations, so replacing N small per-gen
+    tables with one compacted table at the newest gen id is observationally
+    identical; older gen directories are removed after the atomic manifest
+    commit.
+
+    The rewrite is DISTRIBUTED per partition bucket: each Ray task reads
+    only its bucket's fragments across generations and writes one compacted
+    fragment (seen ≈ 1.2 TB at the 10^10 design point — a driver-side
+    concat would materialize all of it). The manifest commit on the driver
+    stays atomic; a crash mid-compaction leaves only an uncommitted tmp dir
+    behind (never a broken table)."""
     import uuid as _uuid
 
     import pyarrow.parquet as _pq
     import ray as _ray
 
-    gens = [g for g in _gens_of(cfg.root, "seen") if g <= upto_gen]
+    gens = [g for g in _gens_of(cfg.root, name) if g <= upto_gen]
     if len(gens) < 2:
         return
     frag_lists: dict[int, list[str]] = {}
     for g in gens:
-        p = _gd(cfg.root, "seen", g)
+        p = _gd(cfg.root, name, g)
         man = lt.read_manifest(p)
         for fr in man["fragments"]:
             part = fr.get("partition")
             if part is not None:
                 frag_lists.setdefault(int(part), []).append(os.path.join(p, fr["path"]))
-    dest = _gd(cfg.root, "seen", upto_gen)
+    dest = _gd(cfg.root, name, gens[-1])
     tmp = os.path.join(dest, f".tmp-{_uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
-
-    @_ray.remote
-    def compact_bucket(bucket: int, paths: list[str], tmp_dir: str) -> dict:
-        t = pa.concat_tables([_pq.read_table(p) for p in paths])
-        frag = f"part={bucket}/frag-{_uuid.uuid4().hex[:8]}.parquet"
-        os.makedirs(os.path.join(tmp_dir, f"part={bucket}"), exist_ok=True)
-        _pq.write_table(t, os.path.join(tmp_dir, frag))
-        return {"path": frag, "num_rows": t.num_rows, "partition": bucket}
-
+    task = _compact_remote()
     frags = _ray.get(
-        [compact_bucket.remote(b, ps, tmp) for b, ps in sorted(frag_lists.items())]
+        [task.remote(b, ps, tmp) for b, ps in sorted(frag_lists.items())]
     )
     schema = _pq.read_schema(os.path.join(tmp, frags[0]["path"])) if frags else pa.schema([])
     lt._commit(dest, tmp, frags, schema=schema)
     for g in gens[:-1]:
-        shutil.rmtree(_gd(cfg.root, "seen", g), ignore_errors=True)
+        shutil.rmtree(_gd(cfg.root, name, g), ignore_errors=True)
     # drop gen-upto's pre-compaction fragments (unreferenced by the new
     # manifest version; readers only trust manifest-listed files)
     live = {os.path.join(dest, f["path"]) for f in frags}
@@ -849,6 +866,18 @@ def compact_seen(cfg: CrawlConfig, upto_gen: int) -> None:
             full = os.path.join(root_, fn)
             if fn.endswith(".parquet") and full not in live:
                 os.remove(full)
+
+
+def compact_seen(cfg: CrawlConfig, upto_gen: int) -> None:
+    _compact_generational(cfg, "seen", upto_gen)
+
+
+def compact_index(cfg: CrawlConfig, upto_gen: int) -> None:
+    """SCALE.md debt #4: fold the dedup bands + sigs side tables the same
+    way (one fragment per bucket per generation otherwise accumulates
+    O(generations) files the verify tasks must open)."""
+    _compact_generational(cfg, "bands", upto_gen)
+    _compact_generational(cfg, "sigs", upto_gen)
 
 
 def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = True) -> CrawlResult:
@@ -1195,6 +1224,7 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
                 shutil.rmtree(os.path.join(blooms_base, d), ignore_errors=True)
         if cfg.compact_seen_every and gen % cfg.compact_seen_every == 0:
             compact_seen(cfg, gen)
+            compact_index(cfg, gen)
         gens_this_run += 1
 
     final = _load_state(cfg.root)

@@ -127,6 +127,8 @@ def test_engine_with_seen_compaction(corpus_path, fetch):
     from ieps_crawler_ray.pipelines.crawl import _gens_of
 
     assert len(_gens_of(f"{SCRATCH}/ckpt-compact", "seen")) < res.n_generations
+    # the dedup index compacts on the same cadence (SCALE.md debt #4)
+    assert len(_gens_of(f"{SCRATCH}/ckpt-compact", "bands")) < res.n_generations
 
 
 def test_engine_resume_from_checkpoint(corpus_path, fetch):
