@@ -26,6 +26,11 @@ def main(argv=None) -> None:
     c.add_argument("--seeds", nargs="*", default=None, help="seed URLs (default: first hosts)")
     c.add_argument("--no-politeness", action="store_true")
     c.add_argument("--politeness-factor", type=int, default=3)
+    c.add_argument("--sitemaps", action="store_true", help="S4 sitemap injection")
+    c.add_argument(
+        "--binary-permille", type=int, default=0,
+        help="fraction of URLs serving binary content-types (M5)",
+    )
     c.add_argument("--ckpt", default="/tmp/ieps_crawler_ray/cli-crawl")
     c.add_argument("--no-resume", action="store_true")
     c.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
@@ -60,13 +65,18 @@ def main(argv=None) -> None:
         from .semantics import CrawlParams
         from .sources import corpus as C
 
-        spec = C.CorpusSpec(n_images=args.n_images, n_hosts=args.n_hosts)
+        spec = C.CorpusSpec(
+            n_images=args.n_images,
+            n_hosts=args.n_hosts,
+            binary_permille=args.binary_permille,
+        )
         params = CrawlParams(
             spec=spec,
             seeds=tuple(args.seeds) if args.seeds else (),
             max_pages=args.max_pages,
             politeness=not args.no_politeness,
             politeness_factor=args.politeness_factor,
+            sitemaps=args.sitemaps,
         )
         corpus = C.build_corpus(spec, C.corpus_path("/tmp/ieps_crawler_ray", spec))
         res = run_crawl(

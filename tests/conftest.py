@@ -8,7 +8,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 @pytest.fixture(scope="session")
 def ray_session():
-    """ONE Ray session for the whole pytest run (see CLAUDE instructions)."""
+    """ONE Ray session for the whole pytest run (session-scoped: per-test init/shutdown costs ~5 s each and leaks worker pools)."""
     import ray
 
     if not ray.is_initialized():
