@@ -267,81 +267,99 @@ def _corpus_lookup(corpus_path: str, base_part: int):
     return hit
 
 
+def _fetch_group(group: pa.Table, spec_dict: dict, salts: int, corpus_path: str, gen: int) -> pa.Table:
+    """One host-affine (salted) partition of the admitted set → page rows.
+    Stateful per-partition work: corpus partition load is cached per
+    worker process; robots policies per host are derived once per group
+    (ST4 host-affinity ⇒ hit rate ≈ 1, SURVEY §2.3). Module-level so it can
+    run either inside a Ray Data ``groupby(part).map_groups`` stage or as a
+    raw per-part Ray task (the budget-bounded fast path)."""
+    spec = C.CorpusSpec(**spec_dict)
+    base = int(group["part"][0].as_py()) // salts
+    caps, phs, idx_sorted, order = _corpus_lookup(corpus_path, base)
+    urls = group["url"].to_pylist()
+    idxs = group["idx"].to_numpy()
+    hosts = group["host_id"].to_numpy()
+    paths_arr = np.array(paths_of(urls), dtype=str)
+    n = len(urls)
+    # robots check, vectorized per host prefix (M7)
+    disallowed = np.zeros(n, dtype=bool)
+    for h in np.unique(hosts):
+        pol = C.robots_for_host(spec, int(h))
+        if pol.disallow_prefixes:
+            hm = hosts == h
+            for pref in pol.disallow_prefixes:
+                disallowed |= hm & np.char.startswith(paths_arr, pref)
+    # M5: binary content-types short-circuit HTML processing — the page
+    # is stored BINARY with its data-type code, no caption/links/dedup
+    # (crawler.py:630-645); robots still wins (checked first, as the
+    # reference checks is_crawlable before fetching)
+    from ..functions.binary import binary_code
+
+    data_type = np.full(n, "", dtype=object)
+    if spec.binary_permille:
+        cts = C.content_type_of_index(spec, idxs)
+        codes = [binary_code(ct) for ct in cts]
+        is_binary = ~disallowed & np.array([c is not None for c in codes])
+        data_type[is_binary] = [c for c, m in zip(codes, is_binary) if m]
+    else:
+        is_binary = np.zeros(n, dtype=bool)
+    # corpus lookup via searchsorted on the cached sorted index; a miss
+    # is a fetch failure → error row, never an exception (SURVEY §4
+    # retries row: failure rows routed to an errors output)
+    if len(idx_sorted):
+        ii_c = np.minimum(np.searchsorted(idx_sorted, idxs), len(idx_sorted) - 1)
+        valid = idx_sorted[ii_c] == idxs
+        p = order[ii_c]
+    else:
+        valid = np.zeros(n, dtype=bool)
+        p = np.zeros(n, dtype=np.int64)
+    fetched_m = ~disallowed & ~is_binary & valid
+    status = np.full(n, "error", dtype=object)
+    status[disallowed] = "disallowed"
+    status[is_binary] = "binary"
+    status[fetched_m] = "fetched"
+    captions = np.full(n, "", dtype=object)
+    captions[fetched_m] = caps[p[fetched_m]]
+    phashes = np.zeros(n, dtype=np.int64)
+    phashes[fetched_m] = phs[p[fetched_m]]
+    return pa.table(
+        {
+            "rank": group["rank"],
+            "gen": pa.array(np.full(n, gen, dtype=np.int32), pa.int32()),
+            "url": group["url"],
+            "idx": group["idx"],
+            "host_id": group["host_id"],
+            "priority": group["priority"],
+            "seq": group["seq"],
+            "status": pa.array(status, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+            "data_type": pa.array(data_type, pa.string()),
+        }
+    )
+
+
 def _make_fetch_fn(cfg: CrawlConfig, corpus_path: str, gen: int):
     spec_dict = cfg.params.spec.__dict__.copy()
     salts = cfg.hot_salts
 
     def fetch_part(group: pa.Table) -> pa.Table:
-        """One host-affine (salted) partition of the admitted set → page rows.
-        Stateful per-partition work: corpus partition load is cached per
-        worker process; robots policies per host are derived once per group
-        (ST4 host-affinity ⇒ hit rate ≈ 1, SURVEY §2.3)."""
-        spec = C.CorpusSpec(**spec_dict)
-        base = int(group["part"][0].as_py()) // salts
-        caps, phs, idx_sorted, order = _corpus_lookup(corpus_path, base)
-        urls = group["url"].to_pylist()
-        idxs = group["idx"].to_numpy()
-        hosts = group["host_id"].to_numpy()
-        paths_arr = np.array(paths_of(urls), dtype=str)
-        n = len(urls)
-        # robots check, vectorized per host prefix (M7)
-        disallowed = np.zeros(n, dtype=bool)
-        for h in np.unique(hosts):
-            pol = C.robots_for_host(spec, int(h))
-            if pol.disallow_prefixes:
-                hm = hosts == h
-                for pref in pol.disallow_prefixes:
-                    disallowed |= hm & np.char.startswith(paths_arr, pref)
-        # M5: binary content-types short-circuit HTML processing — the page
-        # is stored BINARY with its data-type code, no caption/links/dedup
-        # (crawler.py:630-645); robots still wins (checked first, as the
-        # reference checks is_crawlable before fetching)
-        from ..functions.binary import binary_code
-
-        data_type = np.full(n, "", dtype=object)
-        if spec.binary_permille:
-            cts = C.content_type_of_index(spec, idxs)
-            codes = [binary_code(ct) for ct in cts]
-            is_binary = ~disallowed & np.array([c is not None for c in codes])
-            data_type[is_binary] = [c for c, m in zip(codes, is_binary) if m]
-        else:
-            is_binary = np.zeros(n, dtype=bool)
-        # corpus lookup via searchsorted on the cached sorted index; a miss
-        # is a fetch failure → error row, never an exception (SURVEY §4
-        # retries row: failure rows routed to an errors output)
-        if len(idx_sorted):
-            ii_c = np.minimum(np.searchsorted(idx_sorted, idxs), len(idx_sorted) - 1)
-            valid = idx_sorted[ii_c] == idxs
-            p = order[ii_c]
-        else:
-            valid = np.zeros(n, dtype=bool)
-            p = np.zeros(n, dtype=np.int64)
-        fetched_m = ~disallowed & ~is_binary & valid
-        status = np.full(n, "error", dtype=object)
-        status[disallowed] = "disallowed"
-        status[is_binary] = "binary"
-        status[fetched_m] = "fetched"
-        captions = np.full(n, "", dtype=object)
-        captions[fetched_m] = caps[p[fetched_m]]
-        phashes = np.zeros(n, dtype=np.int64)
-        phashes[fetched_m] = phs[p[fetched_m]]
-        return pa.table(
-            {
-                "rank": group["rank"],
-                "gen": pa.array(np.full(n, gen, dtype=np.int32), pa.int32()),
-                "url": group["url"],
-                "idx": group["idx"],
-                "host_id": group["host_id"],
-                "priority": group["priority"],
-                "seq": group["seq"],
-                "status": pa.array(status, pa.string()),
-                "caption": pa.array(captions, pa.string()),
-                "phash": pa.array(phashes, pa.int64()),
-                "data_type": pa.array(data_type, pa.string()),
-            }
-        )
+        return _fetch_group(group, spec_dict, salts, corpus_path, gen)
 
     return fetch_part
+
+
+_FETCH_REMOTE = None
+
+
+def _fetch_remote():
+    global _FETCH_REMOTE
+    if _FETCH_REMOTE is None:
+        import ray as _ray
+
+        _FETCH_REMOTE = _ray.remote(num_cpus=1)(_fetch_group)
+    return _FETCH_REMOTE
 
 
 def _sig_batch(cfg: CrawlConfig):
@@ -356,6 +374,10 @@ def _sig_batch(cfg: CrawlConfig):
 _SIG_REMOTE = None
 
 
+def _sig_table_slice(t: pa.Table, off: int, n: int, nbk: int) -> tuple:
+    return _sig_table(t.slice(off, n), nbk)
+
+
 def _sig_remote():
     """Module-level cached remote for the signature pass — defining a fresh
     ray.remote per generation re-exports the function to every worker each
@@ -364,7 +386,7 @@ def _sig_remote():
     if _SIG_REMOTE is None:
         import ray as _ray
 
-        _SIG_REMOTE = _ray.remote(num_cpus=1)(_sig_table)
+        _SIG_REMOTE = _ray.remote(num_cpus=1)(_sig_table_slice)
     return _SIG_REMOTE
 
 
@@ -960,12 +982,30 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
 
         # ---- fetch (host-affine, salted)
         adm_t = pa.Table.from_pandas(adm, preserve_index=False)
-        fetched = (
-            rd.from_arrow(adm_t)
-            .groupby("part")
-            .map_groups(_make_fetch_fn(cfg, corpus_path, gen), batch_format="pyarrow")
-            .to_pandas()
-        )
+        if 0 < len(adm) <= cfg.driver_path_max_rows:
+            # budget-bounded fast path: the part groups are already known, so
+            # submit one raw task per part instead of paying a Ray Data
+            # groupby-shuffle launch (~0.3-0.5 s/generation of fixed cost)
+            import ray as _ray
+
+            parts_np = adm_t["part"].to_numpy()
+            ft = _fetch_remote()
+            spec_dict_f = params.spec.__dict__.copy()
+            futs = [
+                ft.remote(
+                    adm_t.filter(pa.array(parts_np == p)),
+                    spec_dict_f, cfg.hot_salts, corpus_path, gen,
+                )
+                for p in np.unique(parts_np)
+            ]
+            fetched = pa.concat_tables(_ray.get(futs)).to_pandas()
+        else:
+            fetched = (
+                rd.from_arrow(adm_t)
+                .groupby("part")
+                .map_groups(_make_fetch_fn(cfg, corpus_path, gen), batch_format="pyarrow")
+                .to_pandas()
+            )
         fetched = fetched.sort_values("rank", kind="stable").reset_index(drop=True)
         html = fetched[fetched["status"] == "fetched"]
         _mark("fetch")
@@ -985,10 +1025,13 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
                 bands_new_t, (new_ranks, new_sigs) = sig_fn(html_t)
             else:
                 # distribute the MinHash signature pass (200 perms/caption —
-                # the driver-side version was the crawl's worst scaling term)
+                # the driver-side version was the crawl's worst scaling term).
+                # The table ships via ONE ray.put; tasks slice worker-side
+                # (shipping a slice per task re-serializes its buffers).
                 sig_task = _sig_remote()
+                tref = _ray.put(html_t)
                 futs = [
-                    sig_task.remote(html_t.slice(o, 512), cfg.num_bk_buckets)
+                    sig_task.remote(tref, o, 512, cfg.num_bk_buckets)
                     for o in range(0, len(html), 512)
                 ]
                 parts = _ray.get(futs)
