@@ -98,3 +98,62 @@ def test_minhash_identical_texts_have_jaccard_one(texts):
     for i, t in enumerate(texts):
         dup = mh.signatures([t.split()])[0]
         assert MinHasher.jaccard(sigs[i], dup) == 1.0
+
+
+# ---- round-2 parser robustness ---------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=400))
+def test_clean_html_never_raises_on_arbitrary_text(txt):
+    """The HTML cleaner must degrade gracefully on garbage input — fetched
+    pages are untrusted bytes; a parser exception would kill a batch."""
+    from ieps_crawler_ray.functions.html_clean import clean_html
+
+    out, used = clean_html(txt)
+    assert out is None or isinstance(out, str)
+    assert isinstance(used, bool)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=400))
+def test_sitemap_parser_never_raises(txt):
+    from ieps_crawler_ray.functions.sitemap import parse_sitemap
+
+    kind, locs = parse_sitemap(txt)
+    assert kind in ("urlset", "index", "invalid")
+    assert isinstance(locs, list)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=300))
+def test_extract_image_urls_never_raises(txt):
+    from ieps_crawler_ray.functions.html_clean import extract_image_urls
+
+    out = extract_image_urls(txt)
+    assert isinstance(out, list)
+    assert len(out) == len(dict.fromkeys(out)), "must be deduped"
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=80), st.text(max_size=120))
+def test_classify_page_total_function(ct, url):
+    """Binary classification accepts any (content_type, url) pair."""
+    from ieps_crawler_ray.functions.binary import classify_page
+
+    ptype, dtype = classify_page(ct, url)
+    assert ptype in ("BINARY", "HTML", "UNKNOWN")
+    assert (ptype == "BINARY") == bool(dtype)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=40))
+def test_hamming_cross_matches_elementwise(vals):
+    """hamming64_cross must agree with the scalar hamming64 on every pair."""
+    from ieps_crawler_ray.functions.hashing import hamming64, hamming64_cross
+
+    p = np.array(vals, dtype=np.uint64)
+    m = hamming64_cross(p, p)
+    for i in range(len(p)):
+        for j in range(len(p)):
+            assert m[i, j] == hamming64(p[i : i + 1], p[j : j + 1])[0]
