@@ -1258,6 +1258,41 @@ def q_embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate CLUSTERS (training-data dedup unit): connected
+    components over the verified jaccard≥0.8 pair graph, every doc labeled
+    with the min doc_id of its component (singletons label themselves).
+
+    Scale plan: candidate pairs come from the non-quadratic LSH pipeline
+    (q_docs_jaccard_pairs); the component resolution runs as driver
+    union-find over the EDGE set, which is dup-rate bounded (≪ corpus) —
+    the standard shape for dedup clustering at scale. The SQL oracle
+    computes the exact answer with a recursive min-label propagation."""
+    edges = q_docs_jaccard_pairs(sf_dir).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["id_a"], edges["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    ids = _dim(sf_dir, "documents", columns=["doc_id"])["doc_id"].to_numpy()
+    out = pd.DataFrame(
+        {
+            "doc_id": np.sort(ids).astype("int64"),
+            "cluster_id": [find(int(i)) for i in np.sort(ids)],
+        }
+    )
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    return out
+
+
 # ----------------------------------------------------------- registry --------
 
 QUERIES = {
@@ -1297,6 +1332,7 @@ QUERIES = {
     "doc_segments": q_doc_segments,
     "hybrid_topk": q_hybrid_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLE_SQL = {
@@ -1441,6 +1477,21 @@ ORACLE_SQL = {
         "SELECT event_id, rn FROM (SELECT event_id, ROW_NUMBER() OVER"
         " (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) t"
         " WHERE rn <= 3"
+    ),
+    "dedup_clusters": (
+        "WITH toks AS (SELECT doc_id,"
+        " list_distinct(string_split_regex(trim(text), '\\s+')) AS ts FROM documents),"
+        " e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM toks a, toks b"
+        "  WHERE a.doc_id < b.doc_id AND"
+        "  len(list_intersect(a.ts, b.ts)) * 1.0 /"
+        "  len(list_distinct(a.ts || b.ts)) >= 0.8),"
+        " ed AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),"
+        " cc AS (WITH RECURSIVE r(node, lbl) AS ("
+        "   SELECT doc_id, doc_id FROM documents"
+        "   UNION"
+        "   SELECT ed.y, r.lbl FROM r JOIN ed ON r.node = ed.x)"
+        "  SELECT node, MIN(lbl) AS lbl FROM r GROUP BY node)"
+        " SELECT node AS doc_id, lbl AS cluster_id FROM cc ORDER BY doc_id"
     ),
     "docs_jaccard_pairs": (
         "WITH toks AS (SELECT doc_id,"
