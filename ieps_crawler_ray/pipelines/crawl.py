@@ -97,6 +97,12 @@ class CrawlConfig:
     compact_seen_every: int = 50   # fold per-generation seen tables into one
     # every K generations (bounds the per-bucket fragment count the merge
     # anti-join has to read — SCALE.md debt #2)
+    band_key_cap: int | None = None  # OPT-IN flood guard (SCALE.md debt #3):
+    # verify each new row against at most this many OLDEST rows of its band
+    # run. Bounds adversarial caption floods (a crafted band key otherwise
+    # grows its run O(corpus)); keep-oldest winners live at the front of the
+    # run, so the truncation only risks missing dups of NEWER pages. Changes
+    # dedup results when it triggers — leave None for reference parity.
 
 
 @dataclass
@@ -471,7 +477,7 @@ def _cached_sigs(paths: tuple) -> dict:
 _EMPTY_EDGES = pa.table({"rank_a": pa.array([], pa.int64()), "rank_b": pa.array([], pa.int64())})
 
 
-def _verify_bucket(group: pa.Table, sig_of) -> pa.Table:
+def _verify_bucket(group: pa.Table, sig_of, band_key_cap: int | None = None) -> pa.Table:
     """One band-key BUCKET (all rows whose band_key hashes there, old ∪ new)
     → verified similarity edges (old_rank < new_rank).
 
@@ -506,6 +512,13 @@ def _verify_bucket(group: pa.Table, sig_of) -> pa.Table:
         nn = is_new[st:e]
         sub = np.argsort(rr, kind="stable")
         rr_s, nn_s = rr[sub], nn[sub]
+        if band_key_cap is not None and m > band_key_cap:
+            # flood guard: compare only against the OLDEST cap rows (plus
+            # every new row so the generation's own pairs stay covered)
+            keep_rows = np.union1d(np.arange(band_key_cap), np.flatnonzero(nn_s))
+            sub = sub[keep_rows]
+            rr_s, nn_s = rr_s[keep_rows], nn_s[keep_rows]
+            m = len(keep_rows)
         new_pos = np.flatnonzero(nn_s)
         # vectorized NEW-vs-ALL verify per run (k×m, not m×m): the pHash
         # family's 8-bit band keyspace is small AND skewed, so runs grow
@@ -527,7 +540,8 @@ def _verify_bucket(group: pa.Table, sig_of) -> pa.Table:
 
 def _verify_one_bucket(
     new_lean: pa.Table, new_ranks: np.ndarray, new_sigs: np.ndarray,
-    bucket: int, old_paths: list, sig_paths_by_sb: dict, n_sb: int
+    bucket: int, old_paths: list, sig_paths_by_sb: dict, n_sb: int,
+    band_key_cap: int | None = None,
 ) -> pa.Table:
     """One bucket → verified edges: lean old band rows from pruned fragments
     (cached per worker — immutable), broadcast lean new rows + sig matrix,
@@ -557,7 +571,7 @@ def _verify_one_bucket(
             old_by_sb[sb] = d
         return d[rank]
 
-    return _verify_bucket(sub, sig_of)
+    return _verify_bucket(sub, sig_of, band_key_cap)
 
 
 _VERIFY_REMOTE = None
@@ -1066,7 +1080,7 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             futs = [
                 vtask.remote(
                     lean_ref, ranks_ref, sigs_ref, b, paths_by_bucket[b],
-                    sig_paths_by_sb, cfg.num_bk_buckets,
+                    sig_paths_by_sb, cfg.num_bk_buckets, cfg.band_key_cap,
                 )
                 for b in buckets
             ]

@@ -68,3 +68,38 @@ def test_link_seq_monotone_in_discovery_order():
     s = [link_seq(r, j) for r in range(3) for j in range(5)]
     assert s == sorted(s) and len(set(s)) == len(s)
     assert link_seq(0, 0) > 10  # never collides with seed seqs (= seed index)
+
+
+def test_band_key_cap_bounds_flood_verify():
+    """SCALE.md debt #3: with band_key_cap set, a crafted band-key flood
+    (every row sharing one pHash band key) verifies each new row against at
+    most cap oldest rows + the new set — bounded work, deterministic edges,
+    and dups of OLD winners are still caught (winners are oldest)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ieps_crawler_ray.pipelines.crawl import _verify_bucket
+
+    m = 500
+    ranks = np.arange(m, dtype=np.int64)
+    group = pa.table(
+        {
+            "band_key": pa.array(np.full(m, 42, dtype=np.uint64), pa.uint64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "family": pa.array(np.full(m, 2, dtype=np.int8), pa.int8()),
+            # identical phash → every pair is a (Hamming 0) duplicate
+            "phash": pa.array(np.full(m, 7, dtype=np.int64), pa.int64()),
+            "is_new": pa.array(ranks >= m - 5),  # last 5 rows are new
+        }
+    )
+    sig_of = lambda r: np.zeros(200, dtype=np.uint32)  # unused (family 2)
+    capped = _verify_bucket(group, sig_of, band_key_cap=10)
+    uncapped = _verify_bucket(group, sig_of)
+    # uncapped: each of 5 new rows pairs with every older row
+    assert uncapped.num_rows == sum(m - 5 + i for i in range(5))
+    # capped: each new row pairs only with the 10 oldest + earlier new rows
+    assert capped.num_rows == sum(10 + i for i in range(5))
+    # oldest winners still found first
+    assert capped["rank_a"].to_numpy().min() == 0
+    # deterministic
+    assert capped.equals(_verify_bucket(group, sig_of, band_key_cap=10))
