@@ -772,31 +772,63 @@ def q_events_per_day_by_type(sf_dir: str) -> pd.DataFrame:
     return out[["day", "event_type", "n"]]
 
 
+_N_UB = 64  # user-hash buckets for windowed scans (fixed group count)
+
+
+def _with_user_bucket(b: pa.Table) -> pa.Table:
+    ub = (b["user_id"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)).astype(np.int32)
+    return b.append_column("ub", pa.array(ub))
+
+
 def q_user_sessions(sf_dir: str) -> "object":
-    """session windows (gap > 1 h) per user — streaming-shaped op (§2.9):
-    partition by key, sort by ts within the group, stateful scan in pandas."""
+    """session windows (gap > 1 h) per user — streaming-shaped op (§2.9).
+    Scale shape: shuffle on a HASH BUCKET of the key (fixed group count, all
+    of one user's rows co-located), sort within the bucket, then ONE
+    segmented numpy scan over all its users — not one pandas frame per user
+    (at 10⁹ users the per-group overhead dominates; VERDICT r2 item 6)."""
     ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds() > 3600
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [np.int64(1 + gaps.sum())]}
+    def sessions_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        same_user = np.concatenate(([False], uid[1:] == uid[:-1]))
+        gap = same_user & np.concatenate(
+            ([False], (ts[1:] - ts[:-1]) > 3600 * 1_000_000_000)
         )
+        users, starts = np.unique(uid, return_index=True)
+        n_sessions = 1 + np.add.reduceat(gap.astype(np.int64), starts)
+        return pd.DataFrame({"user_id": users, "n_sessions": n_sessions})
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(sessions_seg, batch_format="pandas")
+    )
 
 
 def q_event_rank_in_user(sf_dir: str) -> "object":
-    """row_number per key (first 3) — windowed rank via sorted map_groups."""
+    """row_number per key (first 3) — windowed rank via the same
+    bucket-shuffle + sort-within-bucket + segmented vectorized scan."""
     ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).head(3).copy()
-        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["event_id", "rn"]]
+    def rank_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        idx = np.arange(len(uid), dtype=np.int64)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        rn = idx - start + 1
+        keep = rn <= 3
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy()[keep], "rn": rn[keep]}
+        )
 
-    return ds.groupby("user_id").map_groups(rank, batch_format="pandas")
+    return (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(rank_seg, batch_format="pandas")
+    )
 
 
 # ----------------------------------- D2: MinHash-LSH near-dup (docs) ---------
@@ -811,12 +843,18 @@ def _mh() -> hashing.MinHasher:
     return _MH
 
 
-def q_docs_jaccard_pairs(sf_dir: str) -> "object":
+def q_docs_jaccard_pairs(sf_dir: str, band_run_cap: int | None = None) -> "object":
     """near-duplicate pairs by token-set Jaccard ≥ 0.8 — D2 (Estrella.py
     580-603 MinHash semantics) via LSH banding (50 bands × 4 rows; miss
     probability at s=0.8 is (1−0.8⁴)⁵⁰ ≈ 3e-12) + exact verification of
     candidates. The SQL oracle computes the exact quadratic answer; the
-    pipeline must reproduce it without the quadratic scan."""
+    pipeline must reproduce it without the quadratic scan.
+
+    ``band_run_cap`` is the OPT-IN flood guard mirroring the crawl engine's
+    ``CrawlConfig.band_key_cap``: a band key whose run exceeds the cap pairs
+    only its cap OLDEST (smallest-id) members — bounding the otherwise
+    O(run²) pair emission an adversarial token flood could force. Changes
+    results when it triggers; leave None for oracle parity."""
     import ray
     import ray.data as rd
 
@@ -838,15 +876,34 @@ def q_docs_jaccard_pairs(sf_dir: str) -> "object":
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
+        if band_run_cap is not None and len(ids) > band_run_cap:
+            ids = ids[:band_run_cap]
         if len(ids) < 2:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")})
         ia, ib = np.triu_indices(len(ids), 1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
-    cand = bands.groupby("band_key").map_groups(emit_pairs, batch_format="pandas")
-    # dedup candidate pairs discovered in multiple bands (exact, shuffle on pair)
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # dedup candidate pairs discovered in multiple bands: shuffle on a HASH
+    # BUCKET of the pair (a fixed, small group count), then one vectorized
+    # drop_duplicates per bucket — the same pair always hashes to the same
+    # bucket, so the dedup is exact without one pandas group per pair
+    N_PB = 64
+
+    def add_pb(b: pa.Table) -> pa.Table:
+        key = b["id_a"].to_numpy().astype(np.uint64) * np.uint64(1_000_003) + b[
+            "id_b"
+        ].to_numpy().astype(np.uint64)
+        return b.append_column("pb", pa.array((key % np.uint64(N_PB)).astype(np.int32)))
+
+    cand = (
+        bands.groupby("band_key")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
+            batch_format="pandas",
+        )
     )
 
     # exact verify via JOIN-BACK of doc text onto the candidate pairs (no
@@ -1144,9 +1201,15 @@ def q_doc_embed_knn(sf_dir: str) -> pd.DataFrame:
     composed in-engine; rows-only — the hashed encoder has no SQL analogue)."""
     from ..functions.text import embed_texts
 
-    q = None
-    docs = _dim(sf_dir, "documents", columns=["doc_id", "text"])
-    first = docs.filter(pc.equal(docs["doc_id"], pc.min(docs["doc_id"])))
+    # query-row read is pushed down: min(doc_id) from the pruned single-column
+    # read, then a parquet filter fetches just that row's text (row-group
+    # pruned) — never the whole documents table driver-side
+    import pyarrow.dataset as pads
+
+    mn = pc.min(pq.read_table(_pq(sf_dir, "documents"), columns=["doc_id"])["doc_id"])
+    first = pads.dataset(_pq(sf_dir, "documents")).to_table(
+        columns=["text"], filter=pc.field("doc_id") == mn
+    )
     q = embed_texts(first["text"].to_pylist())[0]
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(

@@ -603,6 +603,479 @@ def _resolve_dups(edges: pd.DataFrame, new_ranks: np.ndarray) -> dict[int, int]:
     return dup_of
 
 
+def _verify_one_bucket_staged(
+    bucket: int,
+    new_paths: list,
+    old_paths: list,
+    new_sig_paths_by_sb: dict,
+    sig_paths_by_sb: dict,
+    n_sb: int,
+    band_key_cap: int | None = None,
+) -> pa.Table:
+    """Distributed-branch variant of :func:`_verify_one_bucket`: the
+    generation's NEW lean band rows and signatures are never driver-
+    materialized or broadcast — the sig pass wrote them straight to staged
+    fragments (partitioned by bk_bucket / rank-bucket), and each verify task
+    reads only its own bucket's staged fragments plus the pruned committed
+    index. Staged files are per-generation temporaries, so they bypass the
+    immutable-fragment worker caches (caching them would leak memory across
+    generations)."""
+    import pyarrow.parquet as _pq
+
+    cols = ["band_key", "rank", "family", "phash"]
+    sub = pa.concat_tables([_pq.read_table(p, columns=cols) for p in new_paths])
+    sub = sub.append_column("is_new", pa.array(np.ones(sub.num_rows, dtype=bool)))
+    if old_paths:
+        old = pa.concat_tables([_cached_bands(p) for p in old_paths])
+        old = old.append_column("is_new", pa.array(np.zeros(old.num_rows, dtype=bool)))
+        sub = pa.concat_tables([old, sub.select(old.column_names)])
+    new_by_sb: dict = {}
+    old_by_sb: dict = {}
+
+    def sig_of(rank: int) -> np.ndarray:
+        sb = rank % n_sb
+        d = new_by_sb.get(sb)
+        if d is None:
+            d = {}
+            for p in new_sig_paths_by_sb.get(sb, ()):
+                t = _pq.read_table(p, columns=["rank", "sig"])
+                for r, blob in zip(t["rank"].to_numpy(), t["sig"].to_pylist()):
+                    d[int(r)] = np.frombuffer(blob, dtype=np.uint32)
+            new_by_sb[sb] = d
+        v = d.get(rank)
+        if v is not None:
+            return v
+        od = old_by_sb.get(sb)
+        if od is None:
+            od = _cached_sigs(tuple(sig_paths_by_sb.get(sb, ())))
+            old_by_sb[sb] = od
+        return od[rank]
+
+    return _verify_bucket(sub, sig_of, band_key_cap)
+
+
+_VERIFY_STAGED_REMOTE = None
+
+
+def _verify_staged_remote():
+    global _VERIFY_STAGED_REMOTE
+    if _VERIFY_STAGED_REMOTE is None:
+        import ray as _ray
+
+        _VERIFY_STAGED_REMOTE = _ray.remote(num_cpus=1)(_verify_one_bucket_staged)
+    return _VERIFY_STAGED_REMOTE
+
+
+def _filter_ranks_task(
+    partition: int, paths: list, tmp_dir: str, drop_ranks: np.ndarray
+) -> dict | None:
+    """Rewrite one staged partition dropping the given ranks (duplicates
+    never enter the committed dedup index — database.py:416-436). The drop
+    set is dup-rate bounded, so it ships whole with the task."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    t = pa.concat_tables([_pq.read_table(p) for p in paths])
+    keep = ~np.isin(t["rank"].to_numpy(), drop_ranks)
+    t = t.filter(pa.array(keep))
+    if t.num_rows == 0:
+        return None
+    frag = f"part={partition}/frag-{_uuid.uuid4().hex[:8]}.parquet"
+    os.makedirs(os.path.join(tmp_dir, f"part={partition}"), exist_ok=True)
+    _pq.write_table(t, os.path.join(tmp_dir, frag))
+    return {"path": frag, "num_rows": t.num_rows, "partition": partition}
+
+
+_FILTER_RANKS_REMOTE = None
+
+
+def _filter_ranks_remote():
+    global _FILTER_RANKS_REMOTE
+    if _FILTER_RANKS_REMOTE is None:
+        import ray as _ray
+
+        _FILTER_RANKS_REMOTE = _ray.remote(num_cpus=1)(_filter_ranks_task)
+    return _FILTER_RANKS_REMOTE
+
+
+_EMPTY_META = pa.table(
+    {
+        "kind": pa.array([], pa.string()),
+        "path": pa.array([], pa.string()),
+        "num_rows": pa.array([], pa.int64()),
+        "partition": pa.array([], pa.int32()),
+    }
+)
+
+
+def _make_sig_writer(nbk: int, btmp: str, stmp: str):
+    """map_batches stage: html rows of a fetched batch → lean band + sig
+    fragments written DIRECTLY to the staging dirs (partitioned by
+    bk_bucket / rank-bucket); only fragment METADATA flows back through the
+    pipeline. This is what keeps the per-generation page path streaming —
+    the 200-perm signatures (×800 B/page) never transit the driver."""
+    import uuid as _uuid
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    def sig_write(b: pa.Table) -> pa.Table:
+        hb = b.filter(_pc.equal(b["status"], "fetched"))
+        if hb.num_rows == 0:
+            return _EMPTY_META
+        bands, (ranks, sigs) = _sig_table(hb, nbk)
+        kinds, paths, nrows, parts = [], [], [], []
+        bb = bands["bk_bucket"].to_numpy()
+        for k in np.unique(bb):
+            sub = bands.filter(pa.array(bb == k))
+            frag = f"part={k}/frag-{_uuid.uuid4().hex[:8]}.parquet"
+            os.makedirs(os.path.join(btmp, f"part={k}"), exist_ok=True)
+            _pq.write_table(sub, os.path.join(btmp, frag))
+            kinds.append("bands"); paths.append(frag)
+            nrows.append(sub.num_rows); parts.append(int(k))
+        sb = (ranks % nbk).astype(np.int32)
+        sig_t = pa.table(
+            {
+                "rank": pa.array(ranks, pa.int64()),
+                "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+                "sb": pa.array(sb, pa.int32()),
+            }
+        )
+        for k in np.unique(sb):
+            sub = sig_t.filter(pa.array(sb == k))
+            frag = f"part={k}/frag-{_uuid.uuid4().hex[:8]}.parquet"
+            os.makedirs(os.path.join(stmp, f"part={k}"), exist_ok=True)
+            _pq.write_table(sub, os.path.join(stmp, frag))
+            kinds.append("sigs"); paths.append(frag)
+            nrows.append(sub.num_rows); parts.append(int(k))
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "path": pa.array(paths, pa.string()),
+                "num_rows": pa.array(nrows, pa.int64()),
+                "partition": pa.array(parts, pa.int32()),
+            }
+        )
+
+    return sig_write
+
+
+def _old_index_paths(cfg: CrawlConfig, buckets: list[int]) -> tuple[dict, dict]:
+    """(band fragment paths per bk_bucket, sig fragment paths per rank-bucket)
+    of the COMMITTED dedup index, partition-pruned to the given buckets."""
+    paths_by_bucket: dict[int, list[str]] = {b: [] for b in buckets}
+    for g in _gens_of(cfg.root, "bands"):
+        p = _gd(cfg.root, "bands", g)
+        for b in buckets:
+            try:
+                paths_by_bucket[b].extend(lt.fragment_paths(p, partitions=[b]))
+            except FileNotFoundError:
+                pass
+    sig_paths_by_sb: dict[int, list[str]] = {}
+    for g in _gens_of(cfg.root, "sigs"):
+        man = lt.read_manifest(_gd(cfg.root, "sigs", g))
+        for fr in man["fragments"]:
+            sb = fr.get("partition")
+            if sb is not None:
+                sig_paths_by_sb.setdefault(int(sb), []).append(
+                    os.path.join(_gd(cfg.root, "sigs", g), fr["path"])
+                )
+    return paths_by_bucket, sig_paths_by_sb
+
+
+def _generation_driver(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t: pa.Table, mark):
+    """Budget-bounded fast path of one generation's page pipeline: the
+    admitted set fits `driver_path_max_rows`, so fetch runs as one raw task
+    per part (skipping the Ray Data groupby-shuffle launch, ~0.3-0.5 s/gen of
+    fixed cost), dedup broadcasts the generation's lean band rows + sig
+    matrix via ray.put, and pages write from a driver table. Same results as
+    :func:`_generation_distributed` (both parity-gated).
+
+    → (status counts for metrics, (rank, idx) table of non-dup html pages)."""
+    import ray as _ray
+
+    parts_np = adm_t["part"].to_numpy()
+    ft = _fetch_remote()
+    spec_dict_f = cfg.params.spec.__dict__.copy()
+    futs = [
+        ft.remote(
+            adm_t.filter(pa.array(parts_np == p)),
+            spec_dict_f, cfg.hot_salts, corpus_path, gen,
+        )
+        for p in np.unique(parts_np)
+    ]
+    fetched = pa.concat_tables(_ray.get(futs)).to_pandas()
+    fetched = fetched.sort_values("rank", kind="stable").reset_index(drop=True)
+    html = fetched[fetched["status"] == "fetched"]
+    mark("fetch")
+
+    # ---- dedup: per-bucket banded verify — NO shuffle. The lean bands
+    # index is disk-partitioned by bk_bucket and worker-cached (immutable
+    # fragments); the generation's new lean band rows + one sig per page
+    # (budget-bounded) broadcast via ray.put; one raw Ray task per bucket.
+    dup_of: dict[int, int] = {}
+    bands_new_t = None
+    if len(html):
+        sig_fn = _sig_batch(cfg)
+        html_t = pa.Table.from_pandas(html, preserve_index=False)
+        if len(html) <= 512:
+            bands_new_t, (new_ranks, new_sigs) = sig_fn(html_t)
+        else:
+            # distribute the MinHash signature pass (200 perms/caption —
+            # the driver-side version was the crawl's worst scaling term).
+            # The table ships via ONE ray.put; tasks slice worker-side
+            # (shipping a slice per task re-serializes its buffers).
+            sig_task = _sig_remote()
+            tref = _ray.put(html_t)
+            futs = [
+                sig_task.remote(tref, o, 512, cfg.num_bk_buckets)
+                for o in range(0, len(html), 512)
+            ]
+            parts = _ray.get(futs)
+            bands_new_t = pa.concat_tables([p[0] for p in parts])
+            new_ranks = np.concatenate([p[1][0] for p in parts])
+            new_sigs = np.vstack([p[1][1] for p in parts])
+        mark("dedup_sig")
+        buckets = sorted(set(bands_new_t["bk_bucket"].to_numpy().tolist()))
+        paths_by_bucket, sig_paths_by_sb = _old_index_paths(cfg, buckets)
+        mark("dedup_paths")
+        lean_ref = _ray.put(bands_new_t)
+        ranks_ref = _ray.put(new_ranks)
+        sigs_ref = _ray.put(new_sigs)
+        mark("dedup_put")
+        vtask = _verify_remote()
+        futs = [
+            vtask.remote(
+                lean_ref, ranks_ref, sigs_ref, b, paths_by_bucket[b],
+                sig_paths_by_sb, cfg.num_bk_buckets, cfg.band_key_cap,
+            )
+            for b in buckets
+        ]
+        edges = pa.concat_tables(_ray.get(futs)).to_pandas().drop_duplicates()
+        mark("dedup_verify")
+        dup_of = _resolve_dups(edges, html["rank"].to_numpy())
+    mark("dedup")
+
+    # ---- classify + write pages
+    status = fetched["status"].to_numpy().copy()
+    dup_col = np.full(len(fetched), -1, dtype=np.int64)
+    ranks = fetched["rank"].to_numpy()
+    is_fetched = status == "fetched"
+    if dup_of:
+        dup_ranks = np.fromiter(dup_of.keys(), dtype=np.int64, count=len(dup_of))
+        is_dup = is_fetched & np.isin(ranks, dup_ranks)
+    else:
+        is_dup = np.zeros(len(fetched), dtype=bool)
+    status[is_dup] = "duplicate"
+    status[is_fetched & ~is_dup] = "html"
+    if is_dup.any():
+        dup_col[is_dup] = [dup_of[int(r)] for r in ranks[is_dup]]
+    pages = fetched.copy()
+    pages["status"] = status
+    pages["dup_of"] = dup_col
+    pages.loc[pages["status"] == "duplicate", "caption"] = ""  # html nulled on dup
+    lt.write_table(pa.Table.from_pandas(pages, preserve_index=False), _gd(cfg.root, "pages", gen))
+
+    # ---- bands + sigs index += non-dup pages (duplicates never become
+    # winners and are never compared against — database.py:416-436)
+    if bands_new_t is not None:
+        dup_arr = np.fromiter(dup_of, dtype=np.int64, count=len(dup_of))
+        keep = ~np.isin(bands_new_t["rank"].to_numpy(), dup_arr)
+        kept = bands_new_t.filter(pa.array(keep))
+        if kept.num_rows:
+            lt.write_table(kept, _gd(cfg.root, "bands", gen), partition_col="bk_bucket")
+        keep_s = ~np.isin(new_ranks, dup_arr)
+        if keep_s.any():
+            kept_ranks = new_ranks[keep_s]
+            sig_t = pa.table(
+                {
+                    "rank": pa.array(kept_ranks, pa.int64()),
+                    "sig": pa.array(
+                        [new_sigs[i].tobytes() for i in np.flatnonzero(keep_s)],
+                        pa.binary(),
+                    ),
+                    "sb": pa.array(
+                        (kept_ranks % cfg.num_bk_buckets).astype(np.int32), pa.int32()
+                    ),
+                }
+            )
+            lt.write_table(sig_t, _gd(cfg.root, "sigs", gen), partition_col="sb")
+    mark("pages_bands_write")
+
+    counts = {
+        "n_html": int((status == "html").sum()),
+        "n_duplicate": int((status == "duplicate").sum()),
+        "n_disallowed": int((status == "disallowed").sum()),
+        "n_binary": int((status == "binary").sum()),
+    }
+    nondup = pages[pages["status"] == "html"]
+    nondup_ri = pa.Table.from_pandas(nondup[["rank", "idx"]], preserve_index=False)
+    return counts, nondup_ri
+
+
+def _generation_distributed(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t: pa.Table, mark):
+    """Distributed page path of one generation: fetch → dedup → classify →
+    pages/bands/sigs writes, all streaming — the driver sees only
+    policy-bounded scalar projections ((rank, status, idx) of the admitted
+    set) and the dup-rate-bounded edge set. Captions never transit the
+    driver (at 25 M pages × caption per generation the round-2 driver
+    materialization was multi-GB through one process — VERDICT r2 item 2).
+
+    → (status counts for metrics, (rank, idx) table of non-dup html pages)."""
+    import uuid as _uuid
+
+    import ray as _ray
+    import ray.data as rd
+
+    nbk = cfg.num_bk_buckets
+    fetched = (
+        rd.from_arrow(adm_t)
+        .groupby("part")
+        .map_groups(_make_fetch_fn(cfg, corpus_path, gen), batch_format="pyarrow")
+        .materialize()
+    )
+    small = fetched.select_columns(["rank", "status", "idx"]).to_pandas()
+    status0 = small["status"].to_numpy()
+    ranks_small = small["rank"].to_numpy()
+    n_fetched = int((status0 == "fetched").sum())
+    mark("fetch")
+
+    dup_of: dict[int, int] = {}
+    bands_dir = _gd(cfg.root, "bands", gen)
+    sigs_dir = _gd(cfg.root, "sigs", gen)
+    if n_fetched:
+        os.makedirs(bands_dir, exist_ok=True)
+        os.makedirs(sigs_dir, exist_ok=True)
+        btmp = os.path.join(bands_dir, f".tmp-{_uuid.uuid4().hex[:8]}")
+        stmp = os.path.join(sigs_dir, f".tmp-{_uuid.uuid4().hex[:8]}")
+        os.makedirs(btmp, exist_ok=True)
+        os.makedirs(stmp, exist_ok=True)
+        meta = (
+            fetched.map_batches(
+                _make_sig_writer(nbk, btmp, stmp), batch_format="pyarrow", batch_size=512
+            )
+            .to_pandas()  # fragment METADATA only — tiny
+        )
+        mark("dedup_sig")
+        band_meta = meta[meta["kind"] == "bands"]
+        sig_meta = meta[meta["kind"] == "sigs"]
+        new_paths_by_bucket: dict[int, list[str]] = {}
+        for p, k in zip(band_meta["path"], band_meta["partition"]):
+            new_paths_by_bucket.setdefault(int(k), []).append(os.path.join(btmp, p))
+        new_sig_paths_by_sb: dict[int, list[str]] = {}
+        for p, k in zip(sig_meta["path"], sig_meta["partition"]):
+            new_sig_paths_by_sb.setdefault(int(k), []).append(os.path.join(stmp, p))
+        buckets = sorted(new_paths_by_bucket)
+        old_by_bucket, old_sigs_by_sb = _old_index_paths(cfg, buckets)
+        mark("dedup_paths")
+        vtask = _verify_staged_remote()
+        futs = [
+            vtask.remote(
+                b, new_paths_by_bucket[b], old_by_bucket[b],
+                new_sig_paths_by_sb, old_sigs_by_sb, nbk, cfg.band_key_cap,
+            )
+            for b in buckets
+        ]
+        edges = pa.concat_tables(_ray.get(futs)).to_pandas().drop_duplicates()
+        mark("dedup_verify")
+        html_ranks = np.sort(ranks_small[status0 == "fetched"])
+        dup_of = _resolve_dups(edges, html_ranks)
+
+        # commit the staged index, dropping duplicate ranks (per-partition
+        # rewrite tasks; with no dups the staged fragments commit as-is)
+        import pyarrow.parquet as _pq
+
+        if dup_of:
+            drop = np.fromiter(dup_of, dtype=np.int64, count=len(dup_of))
+            ftask = _filter_ranks_remote()
+            for tmp_in, dest, by_part in (
+                (btmp, bands_dir, new_paths_by_bucket),
+                (stmp, sigs_dir, new_sig_paths_by_sb),
+            ):
+                tmp_out = os.path.join(dest, f".tmp-{_uuid.uuid4().hex[:8]}")
+                os.makedirs(tmp_out, exist_ok=True)
+                frags = [
+                    f
+                    for f in _ray.get(
+                        [ftask.remote(k, ps, tmp_out, drop) for k, ps in sorted(by_part.items())]
+                    )
+                    if f is not None
+                ]
+                if frags:
+                    schema = _pq.read_schema(os.path.join(tmp_out, frags[0]["path"]))
+                    lt._commit(dest, tmp_out, frags, schema=schema)
+                else:
+                    shutil.rmtree(tmp_out, ignore_errors=True)
+                shutil.rmtree(tmp_in, ignore_errors=True)
+        else:
+            for tmp_in, dest, df_m in ((btmp, bands_dir, band_meta), (stmp, sigs_dir, sig_meta)):
+                frags = [
+                    {"path": p, "num_rows": int(n), "partition": int(k)}
+                    for p, n, k in zip(df_m["path"], df_m["num_rows"], df_m["partition"])
+                ]
+                if frags:
+                    schema = _pq.read_schema(os.path.join(tmp_in, frags[0]["path"]))
+                    lt._commit(dest, tmp_in, frags, schema=schema)
+                else:
+                    shutil.rmtree(tmp_in, ignore_errors=True)
+    mark("dedup")
+
+    # ---- classify + write pages, streaming (dup map is dup-rate bounded)
+    dup_items = sorted(dup_of.items())
+    dup_ranks_arr = np.array([k for k, _ in dup_items], dtype=np.int64)
+    dup_winners_arr = np.array([v for _, v in dup_items], dtype=np.int64)
+
+    def classify(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        stt = np.array(b["status"].to_pylist(), dtype=object)
+        rr = b["rank"].to_numpy()
+        is_f = stt == "fetched"
+        dcol = np.full(n, -1, dtype=np.int64)
+        if len(dup_ranks_arr):
+            pos = np.minimum(np.searchsorted(dup_ranks_arr, rr), len(dup_ranks_arr) - 1)
+            isdup = is_f & (dup_ranks_arr[pos] == rr)
+        else:
+            isdup = np.zeros(n, dtype=bool)
+        stt[is_f & ~isdup] = "html"
+        if isdup.any():
+            stt[isdup] = "duplicate"
+            dcol[isdup] = dup_winners_arr[pos[isdup]]
+        out = b.set_column(
+            b.schema.get_field_index("status"), "status", pa.array(stt, pa.string())
+        )
+        if isdup.any():  # html nulled on dup (database.py:416-436)
+            caps = np.array(out["caption"].to_pylist(), dtype=object)
+            caps[isdup] = ""
+            out = out.set_column(
+                out.schema.get_field_index("caption"), "caption", pa.array(caps, pa.string())
+            )
+        return out.append_column("dup_of", pa.array(dcol, pa.int64()))
+
+    lt.write_dataset(
+        fetched.map_batches(classify, batch_format="pyarrow"), _gd(cfg.root, "pages", gen)
+    )
+    mark("pages_bands_write")
+
+    counts = {
+        "n_html": n_fetched - len(dup_of),
+        "n_duplicate": len(dup_of),
+        "n_disallowed": int((status0 == "disallowed").sum()),
+        "n_binary": int((status0 == "binary").sum()),
+    }
+    nd_mask = status0 == "fetched"
+    if dup_of:
+        nd_mask &= ~np.isin(ranks_small, dup_ranks_arr)
+    order = np.argsort(ranks_small[nd_mask], kind="stable")
+    nondup_ri = pa.table(
+        {
+            "rank": pa.array(ranks_small[nd_mask][order], pa.int64()),
+            "idx": pa.array(small["idx"].to_numpy()[nd_mask][order], pa.int64()),
+        }
+    )
+    return counts, nondup_ri
+
+
 def _make_link_fn(cfg: CrawlConfig):
     spec_dict = cfg.params.spec.__dict__.copy()
     keywords = tuple(cfg.params.keywords)
@@ -830,6 +1303,52 @@ def _finish_admission(cfg: CrawlConfig, adm: pd.DataFrame, rank_base: int) -> pd
     return adm
 
 
+def _seen_bloom_bucket_task(
+    bucket: int,
+    sub: pa.Table,
+    tmp_dir: str,
+    bloom_src: str,
+    bloom_dst: str,
+) -> dict:
+    """One url_hash bucket of the admitted set → (a) the generation's seen
+    fragment for that bucket, (b) the bucket's updated bloom file (read the
+    latest file → add the new hashes → write gen's file). Distributed per
+    bucket because at the 10^10 design point EVERY bucket admits rows every
+    generation — a driver loop there is O(num_buckets) serial filter I/O per
+    generation (the last such loop in the hot path). The driver commits only
+    the seen manifest and the bucket→generation bloom map in state.json."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    frag = f"part={bucket}/frag-{_uuid.uuid4().hex[:8]}.parquet"
+    os.makedirs(os.path.join(tmp_dir, f"part={bucket}"), exist_ok=True)
+    _pq.write_table(sub, os.path.join(tmp_dir, frag))
+    # the src must exist (bootstrap writes gen0 for every bucket; the resume
+    # fallback rebuilds lost files) — a silently-fresh bloom would violate
+    # the superset-of-seen invariant and re-admit previously-seen URLs
+    with open(bloom_src, "rb") as f:
+        bloom = BloomFilter.from_bytes(f.read())
+    bloom.add_many(sub["url_hash"].to_numpy().astype(np.uint64))
+    tmp_bloom = bloom_dst + f".tmp-{_uuid.uuid4().hex[:8]}"
+    with open(tmp_bloom, "wb") as f:
+        f.write(bloom.to_bytes())
+    os.replace(tmp_bloom, bloom_dst)
+    return {"path": frag, "num_rows": sub.num_rows, "partition": bucket}
+
+
+_SEEN_BLOOM_REMOTE = None
+
+
+def _seen_bloom_remote():
+    global _SEEN_BLOOM_REMOTE
+    if _SEEN_BLOOM_REMOTE is None:
+        import ray as _ray
+
+        _SEEN_BLOOM_REMOTE = _ray.remote(num_cpus=1)(_seen_bloom_bucket_task)
+    return _SEEN_BLOOM_REMOTE
+
+
 def _compact_bucket_task(bucket: int, paths: list[str], tmp_dir: str) -> dict:
     import uuid as _uuid
 
@@ -965,7 +1484,19 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             break
         n_adm = len(adm)
 
-        # ---- seen += admitted (write first: links must anti-join against it)
+        # ---- seen += admitted (write first: links must anti-join against it).
+        # Both the seen-fragment write AND the bloom add+rewrite run as one
+        # distributed task per touched bucket; untouched buckets keep their
+        # existing bloom file, tracked by the per-bucket bloom_gen map
+        # committed with state.json. At SCALE.md's 64k buckets every bucket
+        # is touched every generation — a driver loop here was the last
+        # O(all-buckets) serial I/O in the hot path. The commit stays
+        # driver-side and atomic: blooms are derived state (rebuildable from
+        # seen), and seen fragments are invisible until the manifest lands.
+        import uuid as _uuid
+
+        import ray as _ray
+
         seen_t = pa.table(
             {
                 "url": pa.array(adm["url"], pa.string()),
@@ -973,170 +1504,43 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
                 "uh_bucket": pa.array(adm["uh_bucket"].to_numpy().astype(np.int32), pa.int32()),
             }
         )
-        lt.write_table(seen_t, _gd(cfg.root, "seen", gen), partition_col="uh_bucket")
-        # blooms: rewrite ONLY buckets that admitted rows this generation —
-        # untouched buckets keep their existing file, tracked by the
-        # per-bucket bloom_gen map committed with state.json (at SCALE.md's
-        # 64k buckets a rewrite-all loop would be ~100 GB of driver I/O per
-        # generation for mostly-unchanged filters)
+        seen_dir = _gd(cfg.root, "seen", gen)
+        os.makedirs(seen_dir, exist_ok=True)
+        seen_tmp = os.path.join(seen_dir, f".tmp-{_uuid.uuid4().hex[:8]}")
+        os.makedirs(seen_tmp, exist_ok=True)
         os.makedirs(os.path.join(cfg.root, "blooms", f"gen{gen}"), exist_ok=True)
         uh_all = adm["url_hash"].to_numpy().astype(np.uint64)
         ub_all = adm["uh_bucket"].to_numpy()
         bloom_gens: list[int] = list(st["bloom_gen"])
-        for b in np.unique(ub_all):
-            b = int(b)
-            src = os.path.join(cfg.root, "blooms", f"gen{bloom_gens[b]}", f"bloom-{b}.bin")
-            with open(src, "rb") as f:
-                bloom = BloomFilter.from_bytes(f.read())
-            bloom.add_many(uh_all[ub_all == b])
-            with open(os.path.join(cfg.root, "blooms", f"gen{gen}", f"bloom-{b}.bin"), "wb") as f:
-                f.write(bloom.to_bytes())
+        sb_task = _seen_bloom_remote()
+        sb_futs = []
+        touched = [int(b) for b in np.unique(ub_all)]
+        for b in touched:
+            sb_futs.append(
+                sb_task.remote(
+                    b,
+                    seen_t.filter(pa.array(ub_all == b)),
+                    seen_tmp,
+                    os.path.join(cfg.root, "blooms", f"gen{bloom_gens[b]}", f"bloom-{b}.bin"),
+                    os.path.join(cfg.root, "blooms", f"gen{gen}", f"bloom-{b}.bin"),
+                )
+            )
+        lt._commit(seen_dir, seen_tmp, _ray.get(sb_futs), schema=seen_t.schema)
+        for b in touched:
             bloom_gens[b] = gen
         _mark("seen_bloom")
 
-        # ---- fetch (host-affine, salted)
+        # ---- fetch → dedup → classify → pages/bands/sigs writes
         adm_t = pa.Table.from_pandas(adm, preserve_index=False)
-        if 0 < len(adm) <= cfg.driver_path_max_rows:
-            # budget-bounded fast path: the part groups are already known, so
-            # submit one raw task per part instead of paying a Ray Data
-            # groupby-shuffle launch (~0.3-0.5 s/generation of fixed cost)
-            import ray as _ray
-
-            parts_np = adm_t["part"].to_numpy()
-            ft = _fetch_remote()
-            spec_dict_f = params.spec.__dict__.copy()
-            futs = [
-                ft.remote(
-                    adm_t.filter(pa.array(parts_np == p)),
-                    spec_dict_f, cfg.hot_salts, corpus_path, gen,
-                )
-                for p in np.unique(parts_np)
-            ]
-            fetched = pa.concat_tables(_ray.get(futs)).to_pandas()
+        use_driver = len(adm) <= cfg.driver_path_max_rows
+        if not use_driver:
+            # distributed page path: everything stays a Dataset / staged
+            # fragments; the driver sees only (rank, status, idx) + dup edges
+            counts, nondup_ri = _generation_distributed(cfg, corpus_path, gen, adm_t, _mark)
         else:
-            fetched = (
-                rd.from_arrow(adm_t)
-                .groupby("part")
-                .map_groups(_make_fetch_fn(cfg, corpus_path, gen), batch_format="pyarrow")
-                .to_pandas()
-            )
-        fetched = fetched.sort_values("rank", kind="stable").reset_index(drop=True)
-        html = fetched[fetched["status"] == "fetched"]
-        _mark("fetch")
-
-        # ---- dedup: per-bucket banded verify — NO shuffle. The lean bands
-        # index is disk-partitioned by bk_bucket and worker-cached (immutable
-        # fragments); the generation's new lean band rows + one sig per page
-        # (budget-bounded) broadcast via ray.put; one raw Ray task per bucket.
-        dup_of: dict[int, int] = {}
-        bands_new_t = None
-        if len(html):
-            import ray as _ray
-
-            sig_fn = _sig_batch(cfg)
-            html_t = pa.Table.from_pandas(html, preserve_index=False)
-            if len(html) <= 512:
-                bands_new_t, (new_ranks, new_sigs) = sig_fn(html_t)
-            else:
-                # distribute the MinHash signature pass (200 perms/caption —
-                # the driver-side version was the crawl's worst scaling term).
-                # The table ships via ONE ray.put; tasks slice worker-side
-                # (shipping a slice per task re-serializes its buffers).
-                sig_task = _sig_remote()
-                tref = _ray.put(html_t)
-                futs = [
-                    sig_task.remote(tref, o, 512, cfg.num_bk_buckets)
-                    for o in range(0, len(html), 512)
-                ]
-                parts = _ray.get(futs)
-                bands_new_t = pa.concat_tables([p[0] for p in parts])
-                new_ranks = np.concatenate([p[1][0] for p in parts])
-                new_sigs = np.vstack([p[1][1] for p in parts])
-            _mark("dedup_sig")
-            buckets = sorted(set(bands_new_t["bk_bucket"].to_numpy().tolist()))
-            paths_by_bucket: dict[int, list[str]] = {b: [] for b in buckets}
-            for g in _gens_of(cfg.root, "bands"):
-                p = _gd(cfg.root, "bands", g)
-                for b in buckets:
-                    try:
-                        paths_by_bucket[b].extend(lt.fragment_paths(p, partitions=[b]))
-                    except FileNotFoundError:
-                        pass
-            sig_paths_by_sb: dict[int, list[str]] = {}
-            for g in _gens_of(cfg.root, "sigs"):
-                man = lt.read_manifest(_gd(cfg.root, "sigs", g))
-                for fr in man["fragments"]:
-                    sb = fr.get("partition")
-                    if sb is not None:
-                        sig_paths_by_sb.setdefault(int(sb), []).append(
-                            os.path.join(_gd(cfg.root, "sigs", g), fr["path"])
-                        )
-            _mark("dedup_paths")
-            lean_ref = _ray.put(bands_new_t)
-            ranks_ref = _ray.put(new_ranks)
-            sigs_ref = _ray.put(new_sigs)
-            _mark("dedup_put")
-            vtask = _verify_remote()
-            futs = [
-                vtask.remote(
-                    lean_ref, ranks_ref, sigs_ref, b, paths_by_bucket[b],
-                    sig_paths_by_sb, cfg.num_bk_buckets, cfg.band_key_cap,
-                )
-                for b in buckets
-            ]
-            edges = pa.concat_tables(_ray.get(futs)).to_pandas().drop_duplicates()
-            _mark("dedup_verify")
-            dup_of = _resolve_dups(edges, html["rank"].to_numpy())
-        _mark("dedup")
-
-        # ---- classify + write pages
-        status = fetched["status"].to_numpy().copy()
-        dup_col = np.full(len(fetched), -1, dtype=np.int64)
-        ranks = fetched["rank"].to_numpy()
-        is_fetched = status == "fetched"
-        if dup_of:
-            dup_ranks = np.fromiter(dup_of.keys(), dtype=np.int64, count=len(dup_of))
-            is_dup = is_fetched & np.isin(ranks, dup_ranks)
-        else:
-            is_dup = np.zeros(len(fetched), dtype=bool)
-        status[is_dup] = "duplicate"
-        status[is_fetched & ~is_dup] = "html"
-        if is_dup.any():
-            dup_col[is_dup] = [dup_of[int(r)] for r in ranks[is_dup]]
-        pages = fetched.copy()
-        pages["status"] = status
-        pages["dup_of"] = dup_col
-        pages.loc[pages["status"] == "duplicate", "caption"] = ""  # html nulled on dup
-        lt.write_table(pa.Table.from_pandas(pages, preserve_index=False), _gd(cfg.root, "pages", gen))
-
-        # ---- bands + sigs index += non-dup pages (duplicates never become
-        # winners and are never compared against — database.py:416-436)
-        if bands_new_t is not None:
-            dup_arr = np.fromiter(dup_of, dtype=np.int64, count=len(dup_of))
-            keep = ~np.isin(bands_new_t["rank"].to_numpy(), dup_arr)
-            kept = bands_new_t.filter(pa.array(keep))
-            if kept.num_rows:
-                lt.write_table(kept, _gd(cfg.root, "bands", gen), partition_col="bk_bucket")
-            keep_s = ~np.isin(new_ranks, dup_arr)
-            if keep_s.any():
-                kept_ranks = new_ranks[keep_s]
-                sig_t = pa.table(
-                    {
-                        "rank": pa.array(kept_ranks, pa.int64()),
-                        "sig": pa.array(
-                            [new_sigs[i].tobytes() for i in np.flatnonzero(keep_s)],
-                            pa.binary(),
-                        ),
-                        "sb": pa.array(
-                            (kept_ranks % cfg.num_bk_buckets).astype(np.int32), pa.int32()
-                        ),
-                    }
-                )
-                lt.write_table(sig_t, _gd(cfg.root, "sigs", gen), partition_col="sb")
-        _mark("pages_bands_write")
+            counts, nondup_ri = _generation_driver(cfg, corpus_path, gen, adm_t, _mark)
 
         # ---- links + frontier update
-        nondup = pages[pages["status"] == "html"]
         n_links = 0
         accepted_t = None       # driver-path accepted links (pa.Table)
         accepted_ds = None      # distributed-path accepted links (Dataset)
@@ -1165,33 +1569,53 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
                     [x[1] for x in rows],
                     [x[2] for x in rows],
                 ).select(FRONTIER_COLS)
-        cand_tabs = []
-        if len(nondup):
-            nondup_t = pa.Table.from_pandas(nondup[["rank", "idx"]], preserve_index=False)
+        cand_tabs = []          # driver-path candidate tables
+        cand_ds = None          # distributed-path candidates (Dataset)
+        if nondup_ri.num_rows:
             link_fn = _make_link_fn(cfg)
-            if len(nondup) * 16 <= max(driver_sets, 1):
+            if nondup_ri.num_rows * 16 <= max(driver_sets, 1):
                 # the generation's pages are politeness-budget bounded, so
                 # their links are too — vectorized derivation on the driver
-                # skips two pipeline launches; above the threshold the same
-                # function runs as a distributed map_batches
-                link_t = link_fn(nondup_t)
+                # skips two pipeline launches; above the threshold the link
+                # rows stay a DATASET end-to-end (derive → write → merge):
+                # at 25 M pages × ~16 links each, pulling them through the
+                # driver was the round-2 residue
+                link_t = link_fn(nondup_ri)
+                n_links = link_t.num_rows
+                lt.write_table(link_t.select(["from_rank", "url"]), _gd(cfg.root, "links", gen))
+                cand_tabs.append(link_t.select(FRONTIER_COLS))
             else:
-                link_t = pa.concat_tables(
-                    rd.from_arrow(nondup_t)
+                links_ds = (
+                    rd.from_arrow(nondup_ri)
+                    .repartition(max(1, min(64, nondup_ri.num_rows // 256)))
                     .map_batches(link_fn, batch_format="pyarrow")
-                    .iter_batches(batch_format="pyarrow")
+                    .materialize()
                 )
-            n_links = link_t.num_rows
-            lt.write_table(link_t.select(["from_rank", "url"]), _gd(cfg.root, "links", gen))
+                n_links = links_ds.count()
+                lt.write_dataset(
+                    links_ds.map_batches(
+                        lambda b: b.select(["from_rank", "url"]), batch_format="pyarrow"
+                    ),
+                    _gd(cfg.root, "links", gen),
+                )
+                cand_ds = links_ds.map_batches(
+                    lambda b: b.select(FRONTIER_COLS), batch_format="pyarrow"
+                )
             _mark("links")
-            cand_tabs.append(link_t.select(FRONTIER_COLS))
         if sm_t is not None:
-            cand_tabs.append(sm_t)
-        if cand_tabs:
-            link_cand = cand_tabs[0] if len(cand_tabs) == 1 else pa.concat_tables(cand_tabs)
-            merge_fn = _make_merge_fn(
-                cfg, gen, list(range(1, gen + 1)), frontier_prev, bloom_gens
+            if cand_ds is not None:
+                cand_ds = cand_ds.union(rd.from_arrow(sm_t))
+            else:
+                cand_tabs.append(sm_t)
+        merge_fn = _make_merge_fn(
+            cfg, gen, list(range(1, gen + 1)), frontier_prev, bloom_gens
+        )
+        if cand_ds is not None:
+            accepted_ds = cand_ds.groupby("uh_bucket").map_groups(
+                merge_fn, batch_format="pyarrow"
             )
+        elif cand_tabs:
+            link_cand = cand_tabs[0] if len(cand_tabs) == 1 else pa.concat_tables(cand_tabs)
             if link_cand.num_rows <= driver_sets:
                 # per-bucket merge on the driver (reads stay bucket-pruned)
                 ubs = link_cand["uh_bucket"].to_numpy()
@@ -1250,10 +1674,10 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             "gen": gen,
             "n_frontier_in": int(lt.read_manifest(frontier_prev)["num_rows"]),
             "n_admitted": int(n_adm),
-            "n_html": int((status == "html").sum()),
-            "n_duplicate": int((status == "duplicate").sum()),
-            "n_disallowed": int((status == "disallowed").sum()),
-            "n_binary": int((status == "binary").sum()),
+            "n_html": int(counts["n_html"]),
+            "n_duplicate": int(counts["n_duplicate"]),
+            "n_disallowed": int(counts["n_disallowed"]),
+            "n_binary": int(counts["n_binary"]),
             "n_links": int(n_links),
             "n_frontier_out": int(man["num_rows"]),
             "secs": float(secs),

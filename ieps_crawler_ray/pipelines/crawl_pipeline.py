@@ -367,18 +367,51 @@ def q_crawl_images_verify(sf_dir: str) -> pd.DataFrame:
     decode + verify per-fmt (the BASELINE.json input_hint per-row invariant
     over the crawl output). n_refs_total > n_pages by construction (avg
     ≈ 8.5 images/page, matching the reference's density)."""
+    from ray.data.aggregate import Sum
+
     res, corpus = _crawl_result(sf_dir)
     params = _crawl_params_for_sf(sf_dir)
     ds = crawl_images_ds(res.pages_table(), params.spec, corpus)
-    df = ds.to_pandas()
-    out = df.groupby("fmt", as_index=False).agg(
-        n_images=("img_idx", "count"),
-        n_refs_total=("n_refs", "sum"),
-        n_phash_ok=("phash_ok", "sum"),
-        n_roundtrip_ok=("roundtrip_ok", "sum"),
-        n_psnr_ok=("psnr_ok", "sum"),
+
+    # per-fmt PARTIAL agg inside each batch (pyarrow C++ group_by), then a
+    # tiny per-fmt groupby — only partial rows ever shuffle or reach the
+    # driver (at scale the per-image stat rows are the whole corpus)
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "fmt": b["fmt"],
+                "n_refs": b["n_refs"],
+                "phash_ok": pa.compute.cast(b["phash_ok"], pa.int64()),
+                "roundtrip_ok": pa.compute.cast(b["roundtrip_ok"], pa.int64()),
+                "psnr_ok": pa.compute.cast(b["psnr_ok"], pa.int64()),
+            }
+        )
+        return t.group_by(["fmt"]).aggregate(
+            [
+                ([], "count_all"),
+                ("n_refs", "sum"),
+                ("phash_ok", "sum"),
+                ("roundtrip_ok", "sum"),
+                ("psnr_ok", "sum"),
+            ]
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            Sum("count_all", alias_name="n_images"),
+            Sum("n_refs_sum", alias_name="n_refs_total"),
+            Sum("phash_ok_sum", alias_name="n_phash_ok"),
+            Sum("roundtrip_ok_sum", alias_name="n_roundtrip_ok"),
+            Sum("psnr_ok_sum", alias_name="n_psnr_ok"),
+        )
+        .to_pandas()
     )
-    cols = ["n_refs_total", "n_phash_ok", "n_roundtrip_ok", "n_psnr_ok"]
+    out = out[
+        ["fmt", "n_images", "n_refs_total", "n_phash_ok", "n_roundtrip_ok", "n_psnr_ok"]
+    ]
+    cols = ["n_images", "n_refs_total", "n_phash_ok", "n_roundtrip_ok", "n_psnr_ok"]
     out[cols] = out[cols].astype(int)
     return out.sort_values("fmt").reset_index(drop=True)
 
