@@ -24,6 +24,15 @@ GOLDEN = {
     "doc_embed_knn": (10, "c4898554b014779e3f112d64ad477365"),
     "embedding_topk_ivf": (10, "191863771eb97850da3ba7dd297f8b84"),
     "media_features": (2, "378914ed9bcc052468c1e2053a70369b"),
+    # crawl-backed queries (engine output is parity-gated vs the sequential
+    # oracle; these pins additionally freeze the exact driver-visible VALUES)
+    "crawl_pages": (3, "b518356c70e8d3e625a3ebc89b14e653"),
+    "crawl_order": (100, "d053f5f886d8a7d94d37e5d168d15424"),
+    "crawl_frontier_metrics": (4, "d83b44dda94aaf9b98cd3653e9b6ed53"),
+    "crawl_link_stats": (1, "e83ddaa99af92ffe4100f41c433447d0"),
+    "crawl_images_verify": (2, "cf4a0419e39ea28c9151f58aa9830a34"),
+    "crawl_sitemap_stats": (1, "619f9eb4b85d0e1bb001105132ad6634"),
+    "image_verify": (2, "00c87b6b75fab4c968b1a72a8f3dc7c8"),
 }
 
 
