@@ -7,10 +7,13 @@ metadata, the page's site robots.txt and sitemap XML, and the page's
 outgoing-links JSON. The reference pulls these from Postgres; here the
 source of truth is the Lance-layout checkpoint written by the crawl.
 
-BINARY-payload exemplars (export_data.py:97-149) have no source in the
-synthetic corpus — no crawled URL classifies BINARY — so the sink writes
-the 15-entry data-type registry (crawldb.sql INSERT INTO data_type) as
-``data_types.json`` instead, keeping the family visible in the export.
+BINARY-page exemplars (export_data.py:97-149): when the crawl classified
+any page BINARY (CorpusSpec.binary_permille > 0), the sink writes that
+page's info — rank, url, data-type code and mimetype — as
+``binary_<rank>_info.json`` (the synthetic corpus carries no payload bytes
+for binary URLs, so the exemplar is the metadata the reference's page_data
+row would carry). The 15-entry data-type registry (crawldb.sql INSERT INTO
+data_type) is always written as ``data_types.json`` alongside.
 
 CLI::
 
@@ -146,8 +149,29 @@ def export_content_samples(
                 )
             written["links"] = p
 
-    # 6. binary data-type registry (no BINARY page arises in the synthetic
-    # corpus — documented in the module docstring)
+    # 6. BINARY page exemplar (export_data.py:97-149) — metadata of the first
+    # BINARY-classified page; the registry below always completes the family
+    binary = pages[pages["status"] == "binary"]
+    if len(binary):
+        row = binary.iloc[0]
+        code = row["data_type"]
+        mime = next((m for m, c in BINARY_TYPES.items() if c == code), None)
+        p = os.path.join(out_dir, f"binary_{int(row['rank'])}_info.json")
+        with open(p, "w") as f:
+            json.dump(
+                {
+                    "rank": int(row["rank"]),
+                    "url": row["url"],
+                    "gen": int(row["gen"]),
+                    "data_type": code,
+                    "content_type": mime,
+                },
+                f,
+                indent=2,
+            )
+        written["binary"] = p
+
+    # 7. binary data-type registry
     p = os.path.join(out_dir, "data_types.json")
     with open(p, "w") as f:
         json.dump(BINARY_TYPES, f, indent=2)

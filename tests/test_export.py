@@ -11,7 +11,9 @@ from ieps_crawler_ray.pipelines.export import export_content_samples
 from ieps_crawler_ray.semantics import CrawlParams
 from ieps_crawler_ray.sources import corpus as C
 
-SPEC = C.CorpusSpec(n_images=500, n_hosts=10, num_buckets=4, neardup_permille=300)
+SPEC = C.CorpusSpec(
+    n_images=500, n_hosts=10, num_buckets=4, neardup_permille=300, binary_permille=100
+)
 
 
 def test_export_one_exemplar_per_family(ray_session, tmp_path):
@@ -50,3 +52,9 @@ def test_export_one_exemplar_per_family(ray_session, tmp_path):
     assert links["n_links"] == len(links["to_urls"]) > 0
     reg = json.load(open(written["data_types"]))
     assert reg["application/pdf"] == "PDF" and len(reg) == 15
+
+    # BINARY page exemplar (export_data.py:97-149): data-type code + mimetype
+    assert "binary" in written
+    b = json.load(open(written["binary"]))
+    assert b["data_type"] in reg.values()
+    assert reg[b["content_type"]] == b["data_type"]
