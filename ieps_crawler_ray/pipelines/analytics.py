@@ -831,6 +831,49 @@ def q_event_rank_in_user(sf_dir: str) -> "object":
     )
 
 
+def q_clicks_before_purchase(sf_dir: str) -> "object":
+    """RANGE JOIN: per purchase event, the count of same-user clicks in the
+    preceding hour [ts−1h, ts) — the interval-join family (beyond the as-of
+    join's single nearest row). Scale shape: key-bucket shuffle co-locates a
+    user's rows, then ONE lexsort-merge per bucket counts every purchase's
+    window vectorized — clicks and window probes sort together and the
+    click-count difference of the two probe ranks is the answer (no per-user
+    or per-event loop, no quadratic expansion)."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def window_counts(g: pd.DataFrame) -> pd.DataFrame:
+        is_c = (g["event_type"] == "click").to_numpy()
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        u_c, t_c = uid[is_c], ts[is_c]
+        u_p, t_p = uid[is_p], ts[is_p]
+        eid_p = g["event_id"].to_numpy()[is_p]
+        m, p = len(t_c), len(t_p)
+        H = 3600 * 1_000_000_000
+        # probes sort BEFORE equal-(user, ts) clicks (kind 0 < 1), so the
+        # click-cumsum at a probe's slot counts clicks STRICTLY before it:
+        # count in [lo, hi) = clicks<hi − clicks<lo
+        all_u = np.concatenate([u_c, u_p, u_p])
+        all_t = np.concatenate([t_c, t_p - H, t_p])
+        kind = np.concatenate(
+            [np.ones(m, np.int8), np.zeros(2 * p, np.int8)]
+        )
+        order = np.lexsort((kind, all_t, all_u))
+        clicks_before = np.cumsum(kind[order] == 1) - (kind[order] == 1)
+        slot = np.empty(len(order), dtype=np.int64)
+        slot[order] = np.arange(len(order))
+        lo_cnt = clicks_before[slot[m : m + p]]
+        hi_cnt = clicks_before[slot[m + p :]]
+        return pd.DataFrame({"event_id": eid_p, "n_clicks": hi_cnt - lo_cnt})
+
+    return (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(window_counts, batch_format="pandas")
+    )
+
+
 # ----------------------------------- D2: MinHash-LSH near-dup (docs) ---------
 
 _MH = None
@@ -1481,6 +1524,7 @@ QUERIES = {
     "doc_embed_knn": q_doc_embed_knn,
     "revenue_by_part_brand": q_revenue_by_part_brand,
     "purchase_asof_click": q_purchase_asof_click,
+    "clicks_before_purchase": q_clicks_before_purchase,
     "events_per_hour": q_events_per_hour,
     "customer_order_counts": q_customer_order_counts,
     "doc_segments": q_doc_segments,
@@ -1654,6 +1698,14 @@ ORACLE_SQL = {
         " WHERE a.doc_id < b.doc_id AND"
         " len(list_intersect(a.ts, b.ts)) * 1.0 /"
         " len(list_distinct(a.ts || b.ts)) >= 0.8 ORDER BY 1, 2"
+    ),
+    "clicks_before_purchase": (
+        "SELECT p.event_id, COUNT(c.event_id) AS n_clicks"
+        " FROM events p LEFT JOIN events c"
+        "  ON c.user_id = p.user_id AND c.event_type = 'click'"
+        "  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts"
+        " WHERE p.event_type = 'purchase'"
+        " GROUP BY p.event_id ORDER BY p.event_id"
     ),
     "docs_ngram_jaccard_pairs": (
         "WITH toks AS (SELECT doc_id,"
