@@ -749,6 +749,167 @@ def q_doc_fingerprints(sf_dir: str) -> "object":
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_doc_repetition(sf_dir: str) -> "object":
+    """Gopher-style repetition quality signal: duplicate-token fraction per
+    doc (training-data quality filtering — high repetition => low quality).
+
+    Vectorized via polars ``str.split → list.len / list.n_unique`` inside
+    ``map_batches`` — no Python loop over docs; the milli-ratio is integer
+    arithmetic so the DuckDB oracle hash-matches exactly."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        b = b.filter(pc.less(b["doc_id"], 200))
+        toks = pl.from_arrow(b["text"]).str.split(" ")
+        n_tok = toks.list.len().cast(pl.Int64).to_numpy()
+        n_uniq = toks.list.n_unique().cast(pl.Int64).to_numpy()
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_unique_tokens": pa.array(n_uniq, pa.int64()),
+                "rep_permille": pa.array((n_tok - n_uniq) * 1000 // n_tok, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_docs_sample_hash(sf_dir: str) -> pd.DataFrame:
+    """Deterministic content-hash sampling (reproducible ~1/8 subsample, the
+    standard trick for stable training-data subsets): keep docs whose
+    md5(text) hex prefix < '2', report kept/total per lang. Pure per-batch
+    map + partial agg — no shuffle of document rows, only per-lang partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["lang", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        digests = hashing.md5_hex(b["text"].to_pylist())
+        kept = np.fromiter((d[0] < "2" for d in digests), dtype=np.int64, count=len(digests))
+        t = pa.table({"lang": b["lang"], "kept": pa.array(kept, pa.int64())})
+        return _partial(t, ["lang"], [("kept", "sum"), ([], "count_all")])
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("kept_sum", alias_name="n_kept"), Sum("count_all", alias_name="n_total"))
+        .to_pandas()
+    )
+    return out[["lang", "n_total", "n_kept"]]
+
+
+# --------------------------------------- exact distributed quantiles ---------
+
+
+def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact quantile_disc(l_extendedprice, q) for q ∈ {0.5, 0.9, 0.99}
+    WITHOUT a global sort: iterative histogram refinement.
+
+    Each round is one streaming column scan that bins values into 4096
+    equi-width bins per still-unresolved quantile (partial bincounts inside
+    ``map_batches``, so the shuffle moves ≤4096-row partials per block), the
+    driver walks the cumulative histogram to the bin holding the target rank,
+    and the search interval shrinks 4096×. A quantile resolves by pulling the
+    final bin's values (≤ cap rows) and indexing the local rank. At 100 TB
+    this is ceil(log_4096(N/cap)) scans + one bounded pull — the classic
+    distributed exact-selection shape; a global ``sort`` would be an
+    all-to-all shuffle of every row."""
+    QS = (0.5, 0.9, 0.99)
+    col = "l_extendedprice"
+    ds = _tbl(sf_dir, "lineitem", columns=[col])
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    agg = ds.aggregate(Count(), Min(col), Max(col))
+    n, vmin, vmax = int(agg["count()"]), float(agg[f"min({col})"]), float(agg[f"max({col})"])
+
+    import math
+
+    NBINS, CAP = 4096, 100_000
+    # state per quantile: interval [lo, hi], hi-inclusive flag, rank within it
+    pend = {q: (vmin, vmax, True, math.floor((n - 1) * q)) for q in QS}
+    done: dict[float, float] = {}
+
+    def _mask(v: np.ndarray, lo: float, hi: float, inc: bool) -> np.ndarray:
+        return (v >= lo) & ((v < hi) | (inc & (v == hi)))
+
+    while pend:
+        edges = {q: np.linspace(lo, hi, NBINS + 1) for q, (lo, hi, _, _) in pend.items()}
+        qids = sorted(pend)
+
+        def hist(b: pa.Table, _qids=qids, _edges=edges, _pend=dict(pend)) -> pa.Table:
+            v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            out_q, out_bin, out_cnt = [], [], []
+            for qi, q in enumerate(_qids):
+                lo, hi, inc, _ = _pend[q]
+                vv = v[_mask(v, lo, hi, inc)]
+                if not len(vv):
+                    continue
+                b_idx = np.clip(np.searchsorted(_edges[q], vv, side="right") - 1, 0, NBINS - 1)
+                cnt = np.bincount(b_idx, minlength=NBINS)
+                nz = np.nonzero(cnt)[0]
+                out_q.extend([qi] * len(nz))
+                out_bin.extend(nz.tolist())
+                out_cnt.extend(cnt[nz].tolist())
+            return pa.table(
+                {
+                    "qi": pa.array(out_q, pa.int64()),
+                    "bin": pa.array(out_bin, pa.int64()),
+                    "cnt": pa.array(out_cnt, pa.int64()),
+                }
+            )
+
+        h = (
+            ds.map_batches(hist, batch_format="pyarrow")
+            .groupby(["qi", "bin"])
+            .aggregate(Sum("cnt", alias_name="n"))
+            .to_pandas()
+        )
+        nxt: dict[float, tuple] = {}
+        resolve: dict[float, tuple] = {}
+        for qi, q in enumerate(qids):
+            lo, hi, inc, rank = pend[q]
+            hh = h[h["qi"] == qi].sort_values("bin")
+            cum = hh["n"].cumsum().to_numpy()
+            pos = int(np.searchsorted(cum, rank + 1))
+            b_id = int(hh["bin"].iloc[pos])
+            local = rank - (int(cum[pos - 1]) if pos else 0)
+            b_n = int(hh["n"].iloc[pos])
+            e = edges[q]
+            n_lo, n_hi = float(e[b_id]), float(e[b_id + 1])
+            n_inc = inc and b_id == NBINS - 1
+            if b_n <= CAP or n_lo == n_hi:
+                resolve[q] = (n_lo, n_hi, n_inc, local)
+            else:
+                nxt[q] = (n_lo, n_hi, n_inc, local)
+        if resolve:
+            rqs = sorted(resolve)
+
+            def pull(b: pa.Table, _rqs=rqs, _res=dict(resolve)) -> pa.Table:
+                v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+                out_q, out_v = [], []
+                for qi, q in enumerate(_rqs):
+                    lo, hi, inc, _ = _res[q]
+                    vv = v[_mask(v, lo, hi, inc)]
+                    out_q.extend([qi] * len(vv))
+                    out_v.extend(vv.tolist())
+                return pa.table(
+                    {"qi": pa.array(out_q, pa.int64()), "v": pa.array(out_v, pa.float64())}
+                )
+
+            vals = ds.map_batches(pull, batch_format="pyarrow").to_pandas()
+            for qi, q in enumerate(rqs):
+                vv = np.sort(vals[vals["qi"] == qi]["v"].to_numpy())
+                done[q] = float(vv[resolve[q][3]])
+        pend = nxt
+
+    return pd.DataFrame(
+        {"q": list(QS), "value": [done[q] for q in QS]}
+    )
+
+
 # ------------------------------------------ windows / event-time family ------
 
 
@@ -1512,6 +1673,9 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "lang_id_docs": q_lang_id_docs,
     "doc_fingerprints": q_doc_fingerprints,
+    "doc_repetition": q_doc_repetition,
+    "docs_sample_hash": q_docs_sample_hash,
+    "price_quantiles": q_price_quantiles,
     "events_per_day_by_type": q_events_per_day_by_type,
     "user_sessions": q_user_sessions,
     "event_rank_in_user": q_event_rank_in_user,
@@ -1534,6 +1698,25 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "doc_repetition": (
+        "SELECT doc_id,"
+        " len(string_split(text, ' '))::BIGINT AS n_tokens,"
+        " len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique_tokens,"
+        " ((len(string_split(text, ' ')) - len(list_distinct(string_split(text, ' '))))"
+        "   * 1000 // len(string_split(text, ' ')))::BIGINT AS rep_permille"
+        " FROM documents WHERE doc_id < 200 ORDER BY doc_id"
+    ),
+    "docs_sample_hash": (
+        "SELECT lang, COUNT(*) AS n_total,"
+        " SUM(CASE WHEN substr(md5(text), 1, 1) < '2' THEN 1 ELSE 0 END)::BIGINT AS n_kept"
+        " FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    "price_quantiles": (
+        "SELECT 0.5::DOUBLE AS q, quantile_disc(l_extendedprice, 0.5) AS value FROM lineitem"
+        " UNION ALL SELECT 0.9::DOUBLE, quantile_disc(l_extendedprice, 0.9) FROM lineitem"
+        " UNION ALL SELECT 0.99::DOUBLE, quantile_disc(l_extendedprice, 0.99) FROM lineitem"
+        " ORDER BY q"
+    ),
     "events_per_hour": (
         "SELECT EXTRACT(hour FROM ts)::BIGINT AS hour, COUNT(*) AS n"
         " FROM events GROUP BY 1 ORDER BY 1"
