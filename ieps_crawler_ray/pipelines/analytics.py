@@ -777,6 +777,52 @@ def q_doc_repetition(sf_dir: str) -> "object":
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary stats: top-20 tokens by document frequency.
+
+    Each doc lives in exactly one batch, so deduping (token, doc) inside the
+    batch (polars explode → unique) makes the per-batch per-token counts
+    exact partials of COUNT(DISTINCT doc_id) — the shuffle moves one row per
+    (token, batch), i.e. vocabulary-sized partials, never token occurrences.
+    Final top-k is a sort of the aggregated vocabulary (tiny here; at 100 TB
+    the same plan holds with a per-block partial top-k before the driver
+    merge if the vocabulary itself is huge)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.DataFrame(
+                {
+                    "doc_id": pl.from_arrow(b["doc_id"]),
+                    "token": pl.from_arrow(b["text"]).str.split(" "),
+                }
+            )
+            .explode("token")
+            .unique(subset=["doc_id", "token"])
+            .group_by("token")
+            .len("df")
+        )
+        return pa.table(
+            {
+                "token": pa.array(df["token"].to_list(), pa.string()),
+                "df": pa.array(df["df"].to_list(), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    out = out.sort_values(["df", "token"], ascending=[False, True], kind="mergesort").head(20)
+    return out[["token", "df"]].reset_index(drop=True)
+
+
 def q_docs_sample_hash(sf_dir: str) -> pd.DataFrame:
     """Deterministic content-hash sampling (reproducible ~1/8 subsample, the
     standard trick for stable training-data subsets): keep docs whose
@@ -1675,6 +1721,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "doc_repetition": q_doc_repetition,
     "docs_sample_hash": q_docs_sample_hash,
+    "top_terms": q_top_terms,
     "price_quantiles": q_price_quantiles,
     "events_per_day_by_type": q_events_per_day_by_type,
     "user_sessions": q_user_sessions,
@@ -1705,6 +1752,11 @@ ORACLE_SQL = {
         " ((len(string_split(text, ' ')) - len(list_distinct(string_split(text, ' '))))"
         "   * 1000 // len(string_split(text, ' ')))::BIGINT AS rep_permille"
         " FROM documents WHERE doc_id < 200 ORDER BY doc_id"
+    ),
+    "top_terms": (
+        "SELECT token, COUNT(DISTINCT doc_id) AS df FROM"
+        " (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)"
+        " GROUP BY token ORDER BY df DESC, token LIMIT 20"
     ),
     "docs_sample_hash": (
         "SELECT lang, COUNT(*) AS n_total,"
