@@ -604,6 +604,56 @@ def q_customer_order_counts(sf_dir: str) -> pd.DataFrame:
     return out[["c_mktsegment", "n_customers", "n_orders", "n_zero_order_customers"]]
 
 
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """anti-join: customers with no URGENT-priority order — the NOT-EXISTS
+    shape of the coverage checks (validate_crawler.py:54-63 "every page has a
+    site" style referential audit). Scale plan: the predicate pushes into the
+    parquet READ (row-group pruning — only urgent orders leave storage) →
+    per-block distinct-key partial combiner → per-key groupby (partials only
+    cross the shuffle) → distributed left-outer hash join against customer →
+    vectorized null filter. No driver materialization of either fact table;
+    the result IS the anti-join output."""
+    from ray.data.aggregate import Sum
+
+    keys = (
+        _tbl(
+            sf_dir,
+            "orders",
+            columns=["o_custkey"],
+            filter=(pc.field("o_orderpriority") == "1-URGENT"),
+        )
+        .map_batches(
+            lambda b: b.group_by(["o_custkey"]).aggregate([([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("count_all", alias_name="cnt"))
+    )
+
+    def anti(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_null(b["cnt"])).select(["c_custkey"])
+
+    out = (
+        _tbl(sf_dir, "customer", columns=["c_custkey"])
+        .join(
+            keys,
+            "left_outer",
+            num_partitions=8,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        )
+        .map_batches(anti, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if "c_custkey" not in out.columns:  # fully-matched corpus → empty result
+        out = pd.DataFrame({"c_custkey": []})
+    return (
+        out.astype({"c_custkey": "int64"})
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+
+
 # ------------------------------------------ O5: recent-N + M12 segments ------
 
 
@@ -1038,6 +1088,51 @@ def q_event_rank_in_user(sf_dir: str) -> "object":
     )
 
 
+def q_event_gap_stats(sf_dir: str) -> "object":
+    """LAG-window inter-event gaps per user (count / sum / max, exact integer
+    milliseconds) — the windowed-rate family (A7) expressed as a true lag
+    window. Same scale shape as ``q_user_sessions``: shuffle on a fixed-count
+    HASH BUCKET of user_id, sort within the bucket, ONE segmented numpy scan
+    over all the bucket's users (no per-user pandas frames)."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def gaps_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        if len(uid) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], np.int64),
+                    "n_gaps": np.array([], np.int64),
+                    "sum_gap_ms": np.array([], np.int64),
+                    "max_gap_ms": np.array([], np.int64),
+                }
+            )
+        # floor-to-ms per timestamp BEFORE differencing (epoch_ms semantics)
+        ms = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64) // 1_000_000
+        same = np.concatenate(([False], uid[1:] == uid[:-1]))
+        gapv = np.where(same, np.concatenate(([0], ms[1:] - ms[:-1])), 0)
+        users, starts = np.unique(uid, return_index=True)
+        n = np.add.reduceat(same.astype(np.int64), starts)
+        s = np.add.reduceat(gapv, starts)
+        mx = np.maximum.reduceat(gapv, starts)  # gaps >= 0, boundary 0 is safe
+        keep = n > 0  # single-event users have no LAG row
+        return pd.DataFrame(
+            {
+                "user_id": users[keep],
+                "n_gaps": n[keep],
+                "sum_gap_ms": s[keep],
+                "max_gap_ms": mx[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(gaps_seg, batch_format="pandas")
+    )
+
+
 def q_clicks_before_purchase(sf_dir: str) -> "object":
     """RANGE JOIN: per purchase event, the count of same-user clicks in the
     preceding hour [ts−1h, ts) — the interval-join family (beyond the as-of
@@ -1460,6 +1555,112 @@ def q_embedding_topk_ivf(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+LSH_NTABLES = 8  # independent hash tables (the classic recall lever; L× storage)
+LSH_NBITS = 8    # hyperplanes per table → 2^8 = 256 buckets per table
+LSH_NPROBE = 12  # per-table multiprobe: codes ranked by margin-mismatch penalty
+
+
+def _lsh_index_path(sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "-")
+    return f"/tmp/ieps_crawler_ray/lsh-{tag}"
+
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    """(NTABLES, NBITS, dim) fixed seeded hyperplanes — no training pass."""
+    return np.random.default_rng(7).standard_normal((LSH_NTABLES, LSH_NBITS, dim))
+
+
+def _lsh_index(sf_dir: str) -> tuple[str, np.ndarray]:
+    """Build (once, cached) a multi-table random-hyperplane LSH ANN index —
+    the LSH-bucketed scale path beside the IVF one. Each vector is written
+    once PER TABLE under partition id ``table*2^NBITS + sign_bucket`` (the
+    classic L-times storage/recall tradeoff; IVF is the 1× alternative).
+    Unlike IVF there is NO training pass: the index build is one stateless
+    streaming map over the corpus, the cheapest path when the corpus churns
+    faster than a k-means fit amortizes."""
+    from ..sources import lance_table as lt
+
+    path = _lsh_index_path(sf_dir)
+    planes_file = os.path.join(path, "_planes.npy")
+    q = _query_vec(sf_dir)
+    planes = _lsh_planes(len(q))
+    if lt.exists(path) and os.path.exists(planes_file):
+        return path, np.load(planes_file)
+
+    weights = 1 << np.arange(LSH_NBITS)
+
+    def assign(b: pa.Table, _p=planes) -> pa.Table:
+        e = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        out = []
+        for li in range(LSH_NTABLES):
+            bucket = (((e @ _p[li].T) >= 0) @ weights).astype(np.int32)
+            out.append(
+                b.append_column(
+                    "pid", pa.array(li * (1 << LSH_NBITS) + bucket, pa.int32())
+                )
+            )
+        return pa.concat_tables(out)
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+    lt.write_dataset(ds, path, partition_col="pid")
+    os.makedirs(path, exist_ok=True)
+    np.save(planes_file, planes)
+    return path, planes
+
+
+def q_embedding_topk_lsh(sf_dir: str) -> pd.DataFrame:
+    """ANN top-k via multi-table sign-LSH: per table, rank all 2^NBITS codes
+    by the query's hyperplane-margin mismatch penalty (standard multiprobe)
+    and read only the LSH_NPROBE best partitions — NTABLES×NPROBE pruned
+    partition reads, exact cosine within, vec_id-deduped across tables.
+    Approximate by construction (rows-only driver check); recall vs brute
+    force asserted in tests/test_analytics_extra.py (at sf0.01 — on the
+    near-orthogonal sf0.001 synthetic vectors the 10th neighbor sits at the
+    similarity noise floor, where sign-LSH carries no signal by design)."""
+    from ..sources import lance_table as lt
+
+    path, planes = _lsh_index(sf_dir)
+    q = _query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+    codes = np.arange(1 << LSH_NBITS)
+    bits = (codes[:, None] >> np.arange(LSH_NBITS)) & 1
+    probe: list[int] = []
+    for li in range(LSH_NTABLES):
+        margins = planes[li] @ qn
+        penalty = (np.abs(margins) * (bits != (margins >= 0))).sum(axis=1)
+        best = np.argsort(penalty, kind="stable")[:LSH_NPROBE]
+        probe.extend((li * (1 << LSH_NBITS) + best).tolist())
+    ds = lt.read_dataset(path, columns=["vec_id", "embedding"], partitions=probe)
+
+    def topk(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        mask = ids != 0
+        e = np.array(b["embedding"].to_pylist(), dtype=np.float64)[mask]
+        ids = ids[mask]
+        if len(ids) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
+        en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        sims = en @ qn
+        k = min(10, len(ids))
+        top = np.argpartition(-sims, k - 1)[:k]
+        return pa.table(
+            {"vec_id": pa.array(ids[top], pa.int64()), "sim": pa.array(sims[top], pa.float64())}
+        )
+
+    parts = ds.map_batches(topk, batch_format="pyarrow").to_pandas()
+    parts["sim"] = parts["sim"].round(8)
+    out = (
+        parts.drop_duplicates("vec_id")  # a hit can surface from several tables
+        .sort_values(["sim", "vec_id"], ascending=[False, True])
+        .head(10)
+    )
+    return out[["vec_id"]].reset_index(drop=True)
+
+
 def q_hybrid_topk(sf_dir: str) -> pd.DataFrame:
     """hybrid keyword+vector ranking — O3 (Vector_db_querier.py:100-124):
     0.6·cosine + 0.4·keyword-hit. The keyword flag is computed distributed
@@ -1742,6 +1943,9 @@ QUERIES = {
     "hybrid_topk": q_hybrid_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "customers_without_orders": q_customers_without_orders,
+    "event_gap_stats": q_event_gap_stats,
+    "embedding_topk_lsh": q_embedding_topk_lsh,
 }
 
 ORACLE_SQL = {
@@ -1971,5 +2175,19 @@ ORACLE_SQL = {
         " WHERE a.vec_id < b.vec_id AND"
         " list_cosine_similarity(a.embedding, b.embedding) >= 0.4 ORDER BY 1, 2"
     ),
-    # rows-only (no SQL oracle): lang_id_docs, doc_fingerprints, simhash_docs
+    "customers_without_orders": (
+        "SELECT c_custkey FROM customer c WHERE NOT EXISTS"
+        " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+        "  AND o.o_orderpriority = '1-URGENT')"
+        " ORDER BY c_custkey"
+    ),
+    "event_gap_stats": (
+        "SELECT user_id, COUNT(*) AS n_gaps, SUM(gap_ms)::BIGINT AS sum_gap_ms,"
+        " MAX(gap_ms)::BIGINT AS max_gap_ms"
+        " FROM (SELECT user_id, epoch_ms(ts) - LAG(epoch_ms(ts)) OVER"
+        "  (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms FROM events) t"
+        " WHERE gap_ms IS NOT NULL GROUP BY user_id ORDER BY user_id"
+    ),
+    # rows-only (no SQL oracle): lang_id_docs, doc_fingerprints, simhash_docs,
+    # embedding_topk_lsh (approximate; recall gate in tests)
 }

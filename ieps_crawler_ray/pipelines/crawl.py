@@ -697,7 +697,17 @@ def warm_verify_pool(num_bk_buckets: int) -> None:
 
 
 def _pool_size(num_buckets: int) -> int:
-    return max(1, min(num_buckets, os.cpu_count() or 8))
+    """Verify-pool width = the RAY SESSION's CPU budget, not the host's
+    os.cpu_count(): the actors are num_cpus=0 (see _verify_pool), so sizing
+    by the host would silently run a 4-cpu session's verify wave 32-wide —
+    over-subscribing the node and invalidating any N-vs-4N scaling read."""
+    import ray as _ray
+
+    try:
+        budget = int(_ray.cluster_resources().get("CPU", 0)) or (os.cpu_count() or 8)
+    except Exception:
+        budget = os.cpu_count() or 8
+    return max(1, min(num_buckets, budget))
 
 
 def _resolve_dups(edges: pd.DataFrame, new_ranks: np.ndarray) -> dict[int, int]:

@@ -27,6 +27,28 @@ def test_ivf_is_deterministic(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_lsh_topk_recall(ray_session):
+    # gated at sf0.01: on sf0.001's near-orthogonal synthetic vectors the
+    # 10th neighbor sits at the similarity noise floor where sign-LSH has no
+    # signal (measured recall sweep in the q_embedding_topk_lsh docstring)
+    from ieps_crawler_ray.pipelines.analytics import q_embedding_topk, q_embedding_topk_lsh
+
+    sf = "/root/testdata/sf0.01"
+    exact = q_embedding_topk(sf)
+    approx = q_embedding_topk_lsh(sf)
+    assert len(approx) == len(exact)
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / len(exact)
+    assert recall >= 0.8, f"LSH recall@10 too low: {recall}"
+
+
+def test_lsh_is_deterministic(ray_session):
+    from ieps_crawler_ray.pipelines.analytics import q_embedding_topk_lsh
+
+    a = q_embedding_topk_lsh(SF)
+    b = q_embedding_topk_lsh(SF)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_crawl_queries_deterministic(ray_session):
     from ieps_crawler_ray.pipelines.crawl_pipeline import q_crawl_order, q_crawl_pages
 
