@@ -58,7 +58,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import hamming64, hamming64_cross, hash64, phash_band_keys
+from ..functions.hashing import hamming64, hash64, phash_band_keys
 from ..functions.priority import SEED_PRIORITY, link_priorities
 from ..functions.urls import paths_of
 from ..semantics import (
@@ -505,31 +505,54 @@ def _make_sigs_of(
     from the worker-cached committed side-table matrices."""
     old_cache: dict = {}
     staged_cache: dict = {}
+    low_cache: dict = {}  # id-keyed per-task; committed mats also module-cached
 
     def old_of(sb: int):
         hit = old_cache.get(sb)
         if hit is None:
-            hit = _cached_sigs(tuple(old_sig_paths_by_sb.get(sb, ())))
+            paths = tuple(old_sig_paths_by_sb.get(sb, ()))
+            hit = _cached_sigs(paths) + (("old", paths),)
             old_cache[sb] = hit
         return hit
 
     def staged_of(sb: int):
         hit = staged_cache.get(sb)
         if hit is None:
-            hit = _cached_sigs(tuple(new_sig_paths_by_sb.get(sb, ())), cache=False)
+            hit = _cached_sigs(tuple(new_sig_paths_by_sb.get(sb, ())), cache=False) + (None,)
             staged_cache[sb] = hit
         return hit
 
-    def sigs_of(ranks: np.ndarray) -> np.ndarray:
+    def low_of(sm: np.ndarray, key) -> np.ndarray:
+        """uint8 low-byte copy of a sig matrix: committed fragments convert
+        once per WORKER (module cache keyed by fragment paths — immutable),
+        per-generation temporaries once per task."""
+        if key is not None:
+            hit = _SIGS8_CACHE.get(key)
+            if hit is None:
+                while len(_SIGS8_CACHE) >= 32:  # stale path-sets (compaction)
+                    _SIGS8_CACHE.pop(next(iter(_SIGS8_CACHE)))
+                hit = _SIGS8_CACHE[key] = (sm & 0xFF).astype(np.uint8)
+            return hit
+        hit = low_cache.get(id(sm))
+        if hit is None:
+            hit = low_cache[id(sm)] = (sm & 0xFF).astype(np.uint8)
+        return hit
+
+    def sigs_of(ranks: np.ndarray, low: bool = False) -> np.ndarray:
+        """ranks → row-aligned sig matrix. ``low=True`` gathers from the
+        uint8 low-byte projections instead (1/4 the memory traffic; byte
+        equality upper-bounds word equality, see _verify_bucket)."""
         n = len(ranks)
         ranks = ranks.astype(np.int64)
         out = None
+        dt = np.uint8 if low else new_mat.dtype
         if len(new_ranks_sorted):
+            nm = low_of(new_mat, None) if low else new_mat
             p = np.minimum(np.searchsorted(new_ranks_sorted, ranks), len(new_ranks_sorted) - 1)
             got = new_ranks_sorted[p] == ranks
             if got.any():
-                out = np.empty((n, new_mat.shape[1]), dtype=new_mat.dtype)
-                out[got] = new_mat[p[got]]
+                out = np.empty((n, nm.shape[1]), dtype=dt)
+                out[got] = nm[p[got]]
         else:
             got = np.zeros(n, dtype=bool)
         rem_idx = np.flatnonzero(~got)
@@ -542,9 +565,11 @@ def _make_sigs_of(
                 filled = np.zeros(len(sel), dtype=bool)
                 sources = (staged_of(int(sb)),) if staged else ()
                 sources = sources + (old_of(int(sb)),)
-                for sr, sm in sources:
+                for sr, sm, mkey in sources:
                     if not len(sr):
                         continue
+                    if low:
+                        sm = low_of(sm, mkey)
                     q = np.minimum(np.searchsorted(sr, sel), len(sr) - 1)
                     hit = (sr[q] == sel) & ~filled
                     if hit.any():
@@ -562,16 +587,27 @@ def _make_sigs_of(
 _EMPTY_EDGES = pa.table({"rank_a": pa.array([], pa.int64()), "rank_b": pa.array([], pa.int64())})
 
 
+_VERIFY_SIG_PREFIX = 50     # prefix dims for the exact pigeonhole pre-filter
+_VERIFY_PAIR_CHUNK = 1 << 18  # pair-compare chunk — bounds temp memory
+_SIGS8_CACHE: dict = {}     # fragment-paths → uint8 low-byte sig matrix (worker-cached)
+
+
 def _verify_bucket(group: pa.Table, sigs_of, band_key_cap: int | None = None) -> pa.Table:
     """One band-key BUCKET (all rows whose band_key hashes there, old ∪ new)
     → verified similarity edges (old_rank < new_rank).
 
-    Rows are sorted by (family, band_key); only key-runs of length ≥ 2
-    containing a new row are verified — the exact family predicate runs only
-    on banded candidates (D2, SURVEY §2.7). ``sigs_of(ranks)`` resolves
-    family-1 signatures VECTORIZED — one matrix gather per run (broadcast
-    matrix for new ranks, cached side-table matrices for old ranks); the
-    per-rank python lookup loop was the dedup_verify hot spot."""
+    Fully vectorized across ALL key-runs at once: one lexsort by
+    (family, band_key, rank), then a global pair list (each NEW row × its
+    within-run rank predecessors) built with segment arithmetic — no Python
+    loop over runs (the bucket holds tens of thousands of tiny runs per
+    generation; per-run numpy dispatch overhead dominated dedup_verify).
+    The exact family predicate runs only on banded candidates (D2, SURVEY
+    §2.7). MinHash pairs go through an exact two-stage pigeonhole prune: a
+    pair whose first P of H signature dims match fewer than ``T·H − (H−P)``
+    times can never reach mean ≥ T, so only survivors (real dups + rare
+    near-threshold randoms) pay the full-width compare — ~4× less memory
+    traffic with zero false negatives. ``sigs_of(ranks)`` resolves family-1
+    signatures in one matrix gather per bucket."""
     n = group.num_rows
     if n < 2:
         return _EMPTY_EDGES
@@ -581,46 +617,102 @@ def _verify_bucket(group: pa.Table, sigs_of, band_key_cap: int | None = None) ->
     is_new = group["is_new"].to_numpy()
     if not is_new.any():
         return _EMPTY_EDGES
-    order = np.lexsort((key, fam))
+    order = np.lexsort((ranks, key, fam))  # run-segmented, rank-sorted within
     fam, key, ranks, is_new = fam[order], key[order], ranks[order], is_new[order]
-    run_start = np.flatnonzero(
-        np.concatenate(([True], (key[1:] != key[:-1]) | (fam[1:] != fam[:-1])))
+    phs = group["phash"].to_numpy()[order]
+
+    new_run = np.concatenate(([True], (key[1:] != key[:-1]) | (fam[1:] != fam[:-1])))
+    run_id = np.cumsum(new_run) - 1
+    run_len = np.bincount(run_id)
+    has_new = np.bincount(run_id, weights=is_new.astype(np.float64)) > 0
+    good = (run_len >= 2) & has_new
+    keep = good[run_id]
+    if band_key_cap is not None:
+        starts_all = np.concatenate(([0], np.cumsum(run_len)))[:-1]
+        pos_all = np.arange(n) - starts_all[run_id]
+        # flood guard: compare only against the OLDEST cap rows (plus every
+        # new row so the generation's own pairs stay covered)
+        keep &= (pos_all < band_key_cap) | is_new
+    idx = np.flatnonzero(keep)
+    if len(idx) < 2:
+        return _EMPTY_EDGES
+    fam, ranks, is_new, phs, run_id = fam[idx], ranks[idx], is_new[idx], phs[idx], run_id[idx]
+    n2 = len(idx)
+
+    seg_first = np.concatenate(([True], run_id[1:] != run_id[:-1]))
+    seg_starts = np.flatnonzero(seg_first)
+    seg_of_row = np.cumsum(seg_first) - 1
+    pos = np.arange(n2) - seg_starts[seg_of_row]
+    new_rows = np.flatnonzero(is_new & (pos > 0))
+    cnt = pos[new_rows]  # each new row pairs with its run predecessors
+    total = int(cnt.sum())
+    if total == 0:
+        return _EMPTY_EDGES
+    i_idx = np.repeat(new_rows, cnt)
+    offs = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+    j_idx = (
+        np.arange(total)
+        - np.repeat(offs, cnt)
+        + np.repeat(seg_starts[seg_of_row[new_rows]], cnt)
     )
-    run_end = np.concatenate((run_start[1:], [n]))
-    phs_all = group["phash"].to_numpy()[order]
+    valid = ranks[j_idx] != ranks[i_idx]  # same page in two bands of one run
+    i_idx, j_idx = i_idx[valid], j_idx[valid]
+
     ra: list = []
     rb: list = []
-    for st, e in zip(run_start, run_end):
-        m = e - st
-        if m < 2 or not is_new[st:e].any():
-            continue
-        rr = ranks[st:e]
-        nn = is_new[st:e]
-        sub = np.argsort(rr, kind="stable")
-        rr_s, nn_s = rr[sub], nn[sub]
-        if band_key_cap is not None and m > band_key_cap:
-            # flood guard: compare only against the OLDEST cap rows (plus
-            # every new row so the generation's own pairs stay covered)
-            keep_rows = np.union1d(np.arange(band_key_cap), np.flatnonzero(nn_s))
-            sub = sub[keep_rows]
-            rr_s, nn_s = rr_s[keep_rows], nn_s[keep_rows]
-            m = len(keep_rows)
-        new_pos = np.flatnonzero(nn_s)
-        # vectorized NEW-vs-ALL verify per run (k×m, not m×m): the pHash
-        # family's 8-bit band keyspace is small AND skewed, so runs grow
-        # O(corpus) — a per-pair Python loop was the dedup hot spot, and a
-        # full pairwise matrix re-pays the old×old quadrant every generation
-        if fam[st] == 1:
-            S = sigs_of(rr_s)  # (m, 200) — one vectorized gather
-            okm = (S[new_pos][:, None, :] == S[None, :, :]).mean(axis=2) >= MINHASH_THRESHOLD
-        else:
-            p = phs_all[st:e][sub].astype(np.uint64)
-            okm = hamming64_cross(p[new_pos], p) <= PHASH_HAM_MAX
-        jrow, ii = np.nonzero(okm)
-        jpos = new_pos[jrow]
-        keep = (ii < jpos) & (rr_s[ii] != rr_s[jpos])
-        ra.extend(rr_s[ii[keep]].tolist())
-        rb.extend(rr_s[jpos[keep]].tolist())
+    fam1 = fam[i_idx] == 1
+    if fam1.any():
+        pi, pj = i_idx[fam1], j_idx[fam1]
+        used = np.unique(np.concatenate([pi, pj]))
+        # low-byte projection: byte equality is a SUPERSET of word equality,
+        # so byte-match counts upper-bound true match counts — the uint8
+        # stages below are exact prunes (zero false negatives) at 1/4 the
+        # memory traffic. The verify wave runs pool-wide concurrently and is
+        # BANDWIDTH-bound on this box, so bytes-per-pair IS the wall time;
+        # full uint32 sigs are gathered only for the stage-2 survivors
+        # (almost exclusively genuine duplicates).
+        S8 = sigs_of(ranks[used], low=True)
+        inv = np.empty(n2, dtype=np.int64)
+        inv[used] = np.arange(len(used))
+        si, sj = inv[pi], inv[pj]
+        H = S8.shape[1]
+        P = min(_VERIFY_SIG_PREFIX, H)
+        need = MINHASH_THRESHOLD * H
+        s3i: list = []
+        s3j: list = []
+        for c0 in range(0, len(si), _VERIFY_PAIR_CHUNK):
+            ci, cj = si[c0 : c0 + _VERIFY_PAIR_CHUNK], sj[c0 : c0 + _VERIFY_PAIR_CHUNK]
+            # stage 1: uint8 prefix — pigeonhole: a pair under need-(H-P)
+            # prefix matches can never reach `need` over all H dims
+            pm8 = (S8[ci, :P] == S8[cj, :P]).sum(axis=1)
+            c1 = np.flatnonzero(pm8 >= need - (H - P))
+            if not len(c1):
+                continue
+            # stage 2: uint8 full width on prefix survivors
+            m8f = pm8[c1] + (S8[ci[c1], P:] == S8[cj[c1], P:]).sum(axis=1)
+            c2 = c1[m8f >= need]
+            if len(c2):
+                s3i.append(pi[c0 + c2])
+                s3j.append(pj[c0 + c2])
+        if s3i:
+            # stage 3: exact uint32 confirm of the surviving pairs only
+            qi, qj = np.concatenate(s3i), np.concatenate(s3j)
+            rows = np.unique(np.concatenate([qi, qj]))
+            Sx = sigs_of(ranks[rows])
+            inv3 = np.empty(n2, dtype=np.int64)
+            inv3[rows] = np.arange(len(rows))
+            mt = (Sx[inv3[qi]] == Sx[inv3[qj]]).sum(axis=1)
+            ok = (mt / H) >= MINHASH_THRESHOLD
+            if ok.any():
+                ra.extend(ranks[qj[ok]].tolist())
+                rb.extend(ranks[qi[ok]].tolist())
+    fam2 = ~fam1
+    if fam2.any():
+        pi, pj = i_idx[fam2], j_idx[fam2]
+        ok = hamming64(phs[pi].astype(np.uint64), phs[pj].astype(np.uint64)) <= PHASH_HAM_MAX
+        if ok.any():
+            ra.extend(ranks[pj[ok]].tolist())
+            rb.extend(ranks[pi[ok]].tolist())
     return pa.table({"rank_a": pa.array(ra, pa.int64()), "rank_b": pa.array(rb, pa.int64())})
 
 
