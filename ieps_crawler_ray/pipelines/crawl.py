@@ -588,8 +588,27 @@ _EMPTY_EDGES = pa.table({"rank_a": pa.array([], pa.int64()), "rank_b": pa.array(
 
 
 _VERIFY_SIG_PREFIX = 50     # prefix dims for the exact pigeonhole pre-filter
-_VERIFY_PAIR_CHUNK = 1 << 18  # pair-compare chunk — bounds temp memory
+_VERIFY_PAIR_CHUNK = 1 << 14  # pair-compare chunk — sized to stay cache-resident
 _SIGS8_CACHE: dict = {}     # fragment-paths → uint8 low-byte sig matrix (worker-cached)
+_VERIFY_BUFS: dict = {}     # P → persistent per-actor compare buffers
+
+
+def _bufs(P: int):
+    """Reused chunk buffers for the pair-compare loop. Fancy-index
+    materialization (`S8[ci, :P]`) allocates ~100 MB of fresh pages per
+    bucket call; with 16+ verify actors concurrent the page-fault storms
+    serialize on the VM memory subsystem and dominated the wave (measured
+    8× on the kernel even single-threaded). np.take/np.equal into
+    preallocated buffers makes the steady state allocation-free."""
+    hit = _VERIFY_BUFS.get(P)
+    if hit is None:
+        ch = _VERIFY_PAIR_CHUNK
+        hit = _VERIFY_BUFS[P] = (
+            np.empty((ch, P), np.uint8),
+            np.empty((ch, P), np.uint8),
+            np.empty((ch, P), bool),
+        )
+    return hit
 
 
 def _verify_bucket(group: pa.Table, sigs_of, band_key_cap: int | None = None) -> pa.Table:
@@ -657,6 +676,20 @@ def _verify_bucket(group: pa.Table, sigs_of, band_key_cap: int | None = None) ->
     )
     valid = ranks[j_idx] != ranks[i_idx]  # same page in two bands of one run
     i_idx, j_idx = i_idx[valid], j_idx[valid]
+    # DEDUP candidate pairs across bands: a true near-dup pair co-occurs in
+    # many band runs of the same bucket (≈ J⁴·n_bands for MinHash, ≥2 of 8
+    # pHash bands), so the raw pair list verifies each real pair ~dozens of
+    # times. One lexsort keeps a single instance per (family, rank, rank) —
+    # the rows carry identical signatures in every band, so dropping the
+    # copies cannot change any verdict.
+    famp, rap, rbp = fam[i_idx], ranks[i_idx], ranks[j_idx]
+    o = np.lexsort((rbp, rap, famp))
+    i_idx, j_idx = i_idx[o], j_idx[o]
+    rap, rbp, famp = rap[o], rbp[o], famp[o]
+    first = np.concatenate(
+        ([True], (rap[1:] != rap[:-1]) | (rbp[1:] != rbp[:-1]) | (famp[1:] != famp[:-1]))
+    )
+    i_idx, j_idx = i_idx[first], j_idx[first]
 
     ra: list = []
     rb: list = []
@@ -677,14 +710,20 @@ def _verify_bucket(group: pa.Table, sigs_of, band_key_cap: int | None = None) ->
         si, sj = inv[pi], inv[pj]
         H = S8.shape[1]
         P = min(_VERIFY_SIG_PREFIX, H)
+        S8p = np.ascontiguousarray(S8[:, :P])  # whole-row np.take target
+        A, B, E = _bufs(P)
         need = MINHASH_THRESHOLD * H
         s3i: list = []
         s3j: list = []
         for c0 in range(0, len(si), _VERIFY_PAIR_CHUNK):
             ci, cj = si[c0 : c0 + _VERIFY_PAIR_CHUNK], sj[c0 : c0 + _VERIFY_PAIR_CHUNK]
+            k = len(ci)
             # stage 1: uint8 prefix — pigeonhole: a pair under need-(H-P)
             # prefix matches can never reach `need` over all H dims
-            pm8 = (S8[ci, :P] == S8[cj, :P]).sum(axis=1)
+            np.take(S8p, ci, axis=0, out=A[:k])
+            np.take(S8p, cj, axis=0, out=B[:k])
+            np.equal(A[:k], B[:k], out=E[:k])
+            pm8 = E[:k].sum(axis=1)
             c1 = np.flatnonzero(pm8 >= need - (H - P))
             if not len(c1):
                 continue
