@@ -1897,6 +1897,186 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """Multi-level ROLLUP aggregate over (nation, year): ONE distributed scan
+    computes the finest-grain partials (broadcast dim join + per-batch
+    combiner + one small groupby); the coarser levels — per-nation and the
+    grand total — derive from the finest RESULT (|nations| × |years| rows,
+    result-sized), never a re-scan or second shuffle. Rolled-up keys use
+    'ALL' / -1 sentinels so the oracle's NULL representation can't diverge.
+    Revenue rounds at 2 decimals (the input precision): the multi-level sums
+    re-add finest partials in a different order than the oracle's row-order
+    sum, and cent-exact true values keep both inside the same rounding cell
+    at any scale factor."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    cust = _dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nk = nation.column("n_nationkey").to_numpy()
+    order = np.argsort(nk)
+    names = nation.column("n_name").take(pa.array(order))
+    pos = np.searchsorted(nk[order], cust.column("c_nationkey").to_numpy())
+    dim = pa.table(
+        {"o_custkey": cust["c_custkey"], "n_name": names.take(pa.array(pos, pa.int64()))}
+    )
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    joined = broadcast_join(ds, dim, "o_custkey", ["n_name"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(b["o_orderdate"]), pa.int64())
+        t = pa.table({"n_name": b["n_name"], "yr": yr, "o_totalprice": b["o_totalprice"]})
+        return _partial(t, ["n_name", "yr"], [("o_totalprice", "sum"), ([], "count_all")])
+
+    fine = (
+        joined.map_batches(prep, batch_format="pyarrow")
+        .groupby(["n_name", "yr"])
+        .aggregate(
+            Sum("o_totalprice_sum", alias_name="t"), Sum("count_all", alias_name="n_orders")
+        )
+        .to_pandas()
+    )
+    nat = fine.groupby("n_name", as_index=False).agg(
+        t=("t", "sum"), n_orders=("n_orders", "sum")
+    )
+    nat["yr"] = -1
+    tot = pd.DataFrame(
+        {
+            "n_name": ["ALL"],
+            "yr": [-1],
+            "t": [fine["t"].sum()],
+            "n_orders": [fine["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([fine, nat, tot], ignore_index=True)
+    out["revenue"] = out["t"].round(2)
+    out = out.sort_values(["n_name", "yr"]).reset_index(drop=True)
+    return out[["n_name", "yr", "revenue", "n_orders"]].astype(
+        {"yr": "int64", "n_orders": "int64"}
+    )
+
+
+def q_events_rolling_avg(sf_dir: str) -> "object":
+    """Moving-window aggregate: per-user rolling mean of ``value`` over the
+    trailing 3 rows (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the rolling
+    window family beyond LAG (q_event_gap_stats). Same scale shape as the
+    other window ops: shuffle on a fixed-count HASH BUCKET of user_id, sort
+    within the bucket, ONE segmented numpy scan with shifted arrays (no
+    per-user frames, no global sort — the driver compare sorts rows)."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def roll_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        v = g["value"].to_numpy().astype(np.float64)
+        n = len(uid)
+        if n == 0:
+            return pd.DataFrame(
+                {"event_id": np.array([], np.int64), "avg3": np.array([], np.float64)}
+            )
+        s1 = np.concatenate(([False], uid[1:] == uid[:-1]))
+        s2 = np.concatenate(([False, False], uid[2:] == uid[:-2]))
+        v1 = np.concatenate(([0.0], v[:-1]))
+        v2 = np.concatenate(([0.0, 0.0], v[:-2]))
+        # accumulate oldest→newest like the window frame so the float sum
+        # rounds identically to the oracle's
+        tot = np.where(s2, v2, 0.0) + np.where(s1, v1, 0.0) + v
+        cnt = 1 + s1.astype(np.int64) + s2.astype(np.int64)
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(), "avg3": np.round(tot / cnt, 6)}
+        )
+
+    return (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(roll_seg, batch_format="pandas")
+    )
+
+
+def q_parts_in_big_orders(sf_dir: str) -> pd.DataFrame:
+    """EXISTS semi-join, two hops: brands of parts appearing in at least one
+    lineitem of a > $450k order. Scale plan: the price predicate pushes into
+    the orders READ (row-group pruning) → hash semi-join lineitem⋈keys with
+    per-batch (orderkey, partkey) distinct combiners so the exchange moves
+    deduplicated keys only → global distinct partkey (dim-bounded set) →
+    broadcast brand lookup → per-batch count partials. Neither fact table
+    ever materializes on the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import broadcast_join
+
+    keys = _tbl(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey"],
+        filter=(pc.field("o_totalprice") > 450000.0),
+    )
+    li = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]).map_batches(
+        lambda b: b.group_by(["l_orderkey", "l_partkey"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    hit = li.join(keys, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    parts_distinct = (
+        hit.map_batches(
+            lambda b: b.group_by(["l_partkey"]).aggregate([]), batch_format="pyarrow"
+        )
+        .groupby("l_partkey")
+        .aggregate(Count(alias_name="_c"))
+    )
+    part_dim = _dim(sf_dir, "part", columns=["p_partkey", "p_brand"]).rename_columns(
+        ["l_partkey", "p_brand"]
+    )
+    branded = broadcast_join(parts_distinct, part_dim, "l_partkey", ["p_brand"])
+    out = (
+        branded.map_batches(
+            lambda b: _partial(b, ["p_brand"], [([], "count_all")]), batch_format="pyarrow"
+        )
+        .groupby("p_brand")
+        .aggregate(Sum("count_all", alias_name="n_parts"))
+        .to_pandas()
+    )
+    return out[["p_brand", "n_parts"]].sort_values("p_brand").reset_index(drop=True)
+
+
+def q_docs_stratified_sample(sf_dir: str) -> "object":
+    """Stratified (per-group allocation) deterministic sampler: ~30 docs per
+    language stratum. Pass 1 computes per-lang counts (per-batch combiner →
+    tiny groupby result); the per-stratum keep threshold
+    floor(30·65536/n) as a 4-hex-digit string rides in the task closure;
+    pass 2 hash-gates md5(text) prefixes — reproducible across runs and
+    engines, no shuffle of document rows, strata sampled proportionally to
+    the target regardless of skew."""
+    from ray.data.aggregate import Sum
+
+    cnt = (
+        _tbl(sf_dir, "documents", columns=["lang"])
+        .map_batches(
+            lambda b: _partial(b, ["lang"], [([], "count_all")]), batch_format="pyarrow"
+        )
+        .groupby("lang")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    thr = {
+        lang: "%04x" % min(65535, (30 * 65536) // int(n))
+        for lang, n in zip(cnt["lang"], cnt["n"])
+    }
+
+    def gate(b: pa.Table) -> pa.Table:
+        digests = hashing.md5_hex(b["text"].to_pylist())
+        langs = b["lang"].to_pylist()
+        keep = np.fromiter(
+            (d[:4] < thr[lang] for d, lang in zip(digests, langs)),
+            dtype=bool,
+            count=len(digests),
+        )
+        return b.filter(pa.array(keep)).select(["doc_id", "lang"])
+
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return docs.map_batches(gate, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- registry --------
 
 QUERIES = {
@@ -1946,6 +2126,10 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "event_gap_stats": q_event_gap_stats,
     "embedding_topk_lsh": q_embedding_topk_lsh,
+    "revenue_rollup": q_revenue_rollup,
+    "events_rolling_avg": q_events_rolling_avg,
+    "parts_in_big_orders": q_parts_in_big_orders,
+    "docs_stratified_sample": q_docs_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -2187,6 +2371,34 @@ ORACLE_SQL = {
         " FROM (SELECT user_id, epoch_ms(ts) - LAG(epoch_ms(ts)) OVER"
         "  (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms FROM events) t"
         " WHERE gap_ms IS NOT NULL GROUP BY user_id ORDER BY user_id"
+    ),
+    "revenue_rollup": (
+        "SELECT COALESCE(n_name, 'ALL') AS n_name, COALESCE(yr, -1) AS yr,"
+        " ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders"
+        " FROM (SELECT n.n_name AS n_name,"
+        "   EXTRACT(year FROM o.o_orderdate)::BIGINT AS yr, o.o_totalprice"
+        "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        "  JOIN nation n ON c.c_nationkey = n.n_nationkey)"
+        " GROUP BY ROLLUP(n_name, yr) ORDER BY n_name, yr"
+    ),
+    "events_rolling_avg": (
+        "SELECT event_id, ROUND(AVG(value) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3"
+        " FROM events ORDER BY event_id"
+    ),
+    "parts_in_big_orders": (
+        "SELECT p_brand, COUNT(*) AS n_parts FROM part p"
+        " WHERE EXISTS (SELECT 1 FROM lineitem l JOIN orders o"
+        "  ON l.l_orderkey = o.o_orderkey"
+        "  WHERE l.l_partkey = p.p_partkey AND o.o_totalprice > 450000)"
+        " GROUP BY p_brand ORDER BY p_brand"
+    ),
+    "docs_stratified_sample": (
+        "WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)"
+        " SELECT d.doc_id, d.lang FROM documents d JOIN cnt USING (lang)"
+        " WHERE substr(md5(d.text), 1, 4) <"
+        "  printf('%04x', LEAST(65535, (30 * 65536) // cnt.n))"
+        " ORDER BY d.doc_id"
     ),
     # rows-only (no SQL oracle): lang_id_docs, doc_fingerprints, simhash_docs,
     # embedding_topk_lsh (approximate; recall gate in tests)
