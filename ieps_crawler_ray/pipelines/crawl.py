@@ -490,11 +490,62 @@ def _cached_sigs(paths: tuple, cache: bool = True) -> tuple:
     return ranks[order], mat[order]
 
 
+def _load_sig_bucket(paths: tuple) -> tuple:
+    """Ray task: merge ONE rank-bucket's committed sig fragments into
+    (sorted ranks int64, uint32 matrix, uint8 low-byte projection). The
+    result lives in the OBJECT STORE, so every verify actor on the node
+    reads it zero-copy — one parquet parse + one uint8 conversion per
+    (bucket, fragment-set) per session, instead of one per ACTOR (which
+    multiplied the side-table load with pool width and anti-scaled the
+    verify wave)."""
+    sr, sm = _cached_sigs(paths, cache=False)
+    return sr, sm, (sm & 0xFF).astype(np.uint8)
+
+
+_SIG_LOAD_REMOTE = None
+_SIG_REF_CACHE: dict = {}
+
+
+def _sig_load_remote():
+    global _SIG_LOAD_REMOTE
+    if _SIG_LOAD_REMOTE is None:
+        import ray as _ray
+
+        _SIG_LOAD_REMOTE = _ray.remote(num_cpus=0)(_load_sig_bucket)
+    return _SIG_LOAD_REMOTE
+
+
+def _sig_refs(sig_paths_by_sb: dict) -> dict:
+    """Committed sig fragments → shared object-store matrices (see
+    :func:`_load_sig_bucket`). Driver-side cache keyed by (job, bucket,
+    fragment paths): unchanged buckets reuse their live object across
+    generations; a commit/compaction that rewrites a bucket's fragments
+    changes the key, the stale ref drops and plasma reclaims it."""
+    import ray as _ray
+
+    job = _ray.get_runtime_context().get_job_id()
+    load = _sig_load_remote()
+    out: dict = {}
+    live: set = set()
+    for sb, paths in sig_paths_by_sb.items():
+        key = (job, int(sb), tuple(paths))
+        live.add(key)
+        ref = _SIG_REF_CACHE.get(key)
+        if ref is None:
+            ref = _SIG_REF_CACHE[key] = load.remote(tuple(paths))
+        out[int(sb)] = ref
+    for k in [
+        k for k in _SIG_REF_CACHE if k[0] != job or (k[1] in out and k not in live)
+    ]:
+        _SIG_REF_CACHE.pop(k)
+    return out
+
+
 def _make_sigs_of(
     new_ranks_sorted: np.ndarray,
     new_mat: np.ndarray,
     new_sig_paths_by_sb: dict,
-    old_sig_paths_by_sb: dict,
+    old_sig_refs_by_sb: dict,
     n_sb: int,
     staged: bool,
 ):
@@ -502,16 +553,21 @@ def _make_sigs_of(
     uint32 matrix in one gather. New ranks resolve from the generation's
     broadcast matrix (driver path) or the staged fragments (distributed
     path, lazily per rank-bucket, uncached — per-gen temporaries); old ranks
-    from the worker-cached committed side-table matrices."""
+    zero-copy from the object-store matrices shared across the pool."""
     old_cache: dict = {}
     staged_cache: dict = {}
-    low_cache: dict = {}  # id-keyed per-task; committed mats also module-cached
+    low_cache: dict = {}  # per-task uint8 projections of staged/new matrices
 
     def old_of(sb: int):
         hit = old_cache.get(sb)
         if hit is None:
-            paths = tuple(old_sig_paths_by_sb.get(sb, ()))
-            hit = _cached_sigs(paths) + (("old", paths),)
+            ref = old_sig_refs_by_sb.get(sb)
+            if ref is None:
+                hit = (np.empty(0, np.int64), np.empty((0, 0), np.uint32), None)
+            else:
+                import ray as _ray
+
+                hit = _ray.get(ref)  # zero-copy plasma read
             old_cache[sb] = hit
         return hit
 
@@ -522,17 +578,9 @@ def _make_sigs_of(
             staged_cache[sb] = hit
         return hit
 
-    def low_of(sm: np.ndarray, key) -> np.ndarray:
-        """uint8 low-byte copy of a sig matrix: committed fragments convert
-        once per WORKER (module cache keyed by fragment paths — immutable),
-        per-generation temporaries once per task."""
-        if key is not None:
-            hit = _SIGS8_CACHE.get(key)
-            if hit is None:
-                while len(_SIGS8_CACHE) >= 32:  # stale path-sets (compaction)
-                    _SIGS8_CACHE.pop(next(iter(_SIGS8_CACHE)))
-                hit = _SIGS8_CACHE[key] = (sm & 0xFF).astype(np.uint8)
-            return hit
+    def low_of(sm: np.ndarray) -> np.ndarray:
+        """uint8 low-byte copy for matrices that arrive without one (the
+        generation's own rows + staged temporaries) — once per task."""
         hit = low_cache.get(id(sm))
         if hit is None:
             hit = low_cache[id(sm)] = (sm & 0xFF).astype(np.uint8)
@@ -547,7 +595,7 @@ def _make_sigs_of(
         out = None
         dt = np.uint8 if low else new_mat.dtype
         if len(new_ranks_sorted):
-            nm = low_of(new_mat, None) if low else new_mat
+            nm = low_of(new_mat) if low else new_mat
             p = np.minimum(np.searchsorted(new_ranks_sorted, ranks), len(new_ranks_sorted) - 1)
             got = new_ranks_sorted[p] == ranks
             if got.any():
@@ -565,11 +613,11 @@ def _make_sigs_of(
                 filled = np.zeros(len(sel), dtype=bool)
                 sources = (staged_of(int(sb)),) if staged else ()
                 sources = sources + (old_of(int(sb)),)
-                for sr, sm, mkey in sources:
+                for sr, sm, sm8 in sources:
                     if not len(sr):
                         continue
                     if low:
-                        sm = low_of(sm, mkey)
+                        sm = sm8 if sm8 is not None else low_of(sm)
                     q = np.minimum(np.searchsorted(sr, sel), len(sr) - 1)
                     hit = (sr[q] == sel) & ~filled
                     if hit.any():
@@ -589,7 +637,6 @@ _EMPTY_EDGES = pa.table({"rank_a": pa.array([], pa.int64()), "rank_b": pa.array(
 
 _VERIFY_SIG_PREFIX = 50     # prefix dims for the exact pigeonhole pre-filter
 _VERIFY_PAIR_CHUNK = 1 << 14  # pair-compare chunk — sized to stay cache-resident
-_SIGS8_CACHE: dict = {}     # fragment-paths → uint8 low-byte sig matrix (worker-cached)
 _VERIFY_BUFS: dict = {}     # P → persistent per-actor compare buffers
 
 
@@ -757,15 +804,16 @@ def _verify_bucket(group: pa.Table, sigs_of, band_key_cap: int | None = None) ->
 
 def _verify_one_bucket(
     new_lean: pa.Table, new_ranks: np.ndarray, new_sigs: np.ndarray,
-    bucket: int, old_paths: list, sig_paths_by_sb: dict, n_sb: int,
+    bucket: int, old_paths: list, sig_refs_by_sb: dict, n_sb: int,
     band_key_cap: int | None = None,
 ) -> pa.Table:
     """One bucket → verified edges: lean old band rows from pruned fragments
     (cached per worker — immutable), broadcast lean new rows + sig matrix,
-    old sigs lazily from the cached (rank, sig) side table. Raw Ray task:
-    the fan-out is a bounded set of pre-partitioned units (≤ num_bk_buckets),
-    which a task pool expresses with far less overhead than a Dataset
-    pipeline — the documented carve-out for per-partition state."""
+    old sigs zero-copy from the pool-shared object-store side table
+    (:func:`_sig_refs`). Raw Ray task: the fan-out is a bounded set of
+    pre-partitioned units (≤ num_bk_buckets), which a task pool expresses
+    with far less overhead than a Dataset pipeline — the documented
+    carve-out for per-partition state."""
     bb = new_lean["bk_bucket"].to_numpy()
     mask = bb == bucket
     sub = new_lean.filter(pa.array(mask)).drop_columns(["bk_bucket"])
@@ -777,7 +825,7 @@ def _verify_one_bucket(
     new_order = np.argsort(new_ranks, kind="stable")
     new_sorted = new_ranks[new_order]
     sigs_of = _make_sigs_of(
-        new_sorted, new_sigs[new_order], {}, sig_paths_by_sb, n_sb, staged=False
+        new_sorted, new_sigs[new_order], {}, sig_refs_by_sb, n_sb, staged=False
     )
     return _verify_bucket(sub, sigs_of, band_key_cap)
 
@@ -863,7 +911,7 @@ def _verify_one_bucket_staged(
     new_paths: list,
     old_paths: list,
     new_sig_paths_by_sb: dict,
-    sig_paths_by_sb: dict,
+    sig_refs_by_sb: dict,
     n_sb: int,
     band_key_cap: int | None = None,
 ) -> pa.Table:
@@ -888,7 +936,7 @@ def _verify_one_bucket_staged(
         np.empty(0, dtype=np.int64),
         np.empty((0, 0), dtype=np.uint32),
         new_sig_paths_by_sb,
-        sig_paths_by_sb,
+        sig_refs_by_sb,
         n_sb,
         staged=True,
     )
@@ -1068,6 +1116,7 @@ def _generation_driver(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t: pa.T
         mark("dedup_sig")
         buckets = sorted(set(bands_new_t["bk_bucket"].to_numpy().tolist()))
         paths_by_bucket, sig_paths_by_sb = _old_index_paths(cfg, buckets)
+        sig_refs_by_sb = _sig_refs(sig_paths_by_sb)
         mark("dedup_paths")
         lean_ref = _ray.put(bands_new_t)
         ranks_ref = _ray.put(new_ranks)
@@ -1077,7 +1126,7 @@ def _generation_driver(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t: pa.T
         futs = [
             pool[b % len(pool)].verify.remote(
                 lean_ref, ranks_ref, sigs_ref, b, paths_by_bucket[b],
-                sig_paths_by_sb, cfg.num_bk_buckets, cfg.band_key_cap,
+                sig_refs_by_sb, cfg.num_bk_buckets, cfg.band_key_cap,
             )
             for b in buckets
         ]
@@ -1200,12 +1249,13 @@ def _generation_distributed(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t:
             new_sig_paths_by_sb.setdefault(int(k), []).append(os.path.join(stmp, p))
         buckets = sorted(new_paths_by_bucket)
         old_by_bucket, old_sigs_by_sb = _old_index_paths(cfg, buckets)
+        old_sig_refs = _sig_refs(old_sigs_by_sb)
         mark("dedup_paths")
         pool = _verify_pool(_pool_size(nbk))
         futs = [
             pool[b % len(pool)].verify_staged.remote(
                 b, new_paths_by_bucket[b], old_by_bucket[b],
-                new_sig_paths_by_sb, old_sigs_by_sb, nbk, cfg.band_key_cap,
+                new_sig_paths_by_sb, old_sig_refs, nbk, cfg.band_key_cap,
             )
             for b in buckets
         ]
