@@ -2077,6 +2077,347 @@ def q_docs_stratified_sample(sf_dir: str) -> "object":
     return docs.map_batches(gate, batch_format="pyarrow")
 
 
+# ---------------------------------- window / pivot / stats extensions --------
+
+
+def q_top_orders_per_customer(sf_dir: str) -> "object":
+    """top-k per group (ROW_NUMBER ≤ 3 within customer by price): the
+    per-entity exemplar selector (the export sink's "best page per family"
+    generalized). Scale plan: a per-batch partial top-3-per-key combiner
+    bounds what crosses the shuffle (the global top-3 of a key is a subset
+    of its per-batch top-3s), then the same fixed-count hash-bucket shuffle +
+    ONE segmented numpy rank scan as ``q_event_rank_in_user`` — no per-key
+    pandas groups, no global sort."""
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        df = df.groupby("o_custkey", sort=False).head(3)
+        ub = (df["o_custkey"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)).astype(
+            np.int32
+        )
+        return pa.Table.from_pandas(df.assign(ub=ub), preserve_index=False)
+
+    def rank_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        key = g["o_custkey"].to_numpy()
+        idx = np.arange(len(key), dtype=np.int64)
+        new = np.concatenate(([True], key[1:] != key[:-1]))
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        rn = idx - start + 1
+        keep = rn <= 3
+        return pd.DataFrame(
+            {
+                "o_custkey": key[keep],
+                "o_orderkey": g["o_orderkey"].to_numpy()[keep],
+                "o_totalprice": g["o_totalprice"].to_numpy()[keep],
+                "rn": rn[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(rank_seg, batch_format="pandas")
+    )
+
+
+def q_revenue_running_by_nation(sf_dir: str) -> pd.DataFrame:
+    """cumulative window sum (SUM OVER PARTITION BY nation ORDER BY year):
+    ONE distributed scan computes the finest (nation, year) partials exactly
+    as ``q_revenue_rollup``; the running sum is then a cumsum over that
+    RESULT-sized frame (|nations| × |years| rows) on the driver — the
+    standard two-level plan for windowed aggregates whose window key is a
+    coarse grain of the data."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    cust = _dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nk = nation.column("n_nationkey").to_numpy()
+    order = np.argsort(nk)
+    names = nation.column("n_name").take(pa.array(order))
+    pos = np.searchsorted(nk[order], cust.column("c_nationkey").to_numpy())
+    dim = pa.table(
+        {"o_custkey": cust["c_custkey"], "n_name": names.take(pa.array(pos, pa.int64()))}
+    )
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    joined = broadcast_join(ds, dim, "o_custkey", ["n_name"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(b["o_orderdate"]), pa.int64())
+        t = pa.table({"n_name": b["n_name"], "yr": yr, "o_totalprice": b["o_totalprice"]})
+        return _partial(t, ["n_name", "yr"], [("o_totalprice", "sum")])
+
+    fine = (
+        joined.map_batches(prep, batch_format="pyarrow")
+        .groupby(["n_name", "yr"])
+        .aggregate(Sum("o_totalprice_sum", alias_name="t"))
+        .to_pandas()
+        .sort_values(["n_name", "yr"])
+        .reset_index(drop=True)
+    )
+    fine["running_revenue"] = fine.groupby("n_name", sort=False)["t"].cumsum().round(2)
+    return fine[["n_name", "yr", "running_revenue"]].astype({"yr": "int64"})
+
+
+def q_orders_status_pivot(sf_dir: str) -> pd.DataFrame:
+    """PIVOT / conditional crosstab: orders per (priority × status) as one row
+    per priority with one column per status — a single distributed scan with
+    the CASE-WHEN columns materialized inside the per-batch combiner, so the
+    shuffle moves |priorities| partial rows per batch and there is no second
+    pass per pivot column."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        st = b["o_orderstatus"]
+        t = pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_open": pc.cast(pc.equal(st, "O"), pa.int64()),
+                "n_fulfilled": pc.cast(pc.equal(st, "F"), pa.int64()),
+                "n_pending": pc.cast(pc.equal(st, "P"), pa.int64()),
+            }
+        )
+        return _partial(
+            t,
+            ["o_orderpriority"],
+            [("n_open", "sum"), ("n_fulfilled", "sum"), ("n_pending", "sum"), ([], "count_all")],
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_open_sum", alias_name="n_open"),
+            Sum("n_fulfilled_sum", alias_name="n_fulfilled"),
+            Sum("n_pending_sum", alias_name="n_pending"),
+            Sum("count_all", alias_name="n_total"),
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    return out[["o_orderpriority", "n_open", "n_fulfilled", "n_pending", "n_total"]]
+
+
+def q_price_quantity_stats(sf_dir: str) -> pd.DataFrame:
+    """distributed statistical moments per group: stddev_samp + Pearson corr of
+    (quantity, price) per returnflag. Two passes for numerical stability —
+    pass 1 gets exact n/Σ per flag (means), pass 2 sums CENTERED second
+    moments (x−μ)², (y−ν)², (x−μ)(y−ν) inside ``map_batches`` with the means
+    broadcast in the closure (result-sized). Raw-moment single-pass
+    (Σx²−(Σx)²/n) would cancel catastrophically at 100 TB row counts; the
+    centered two-pass matches the oracle's stable one-pass to ~1e-12
+    relative."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def pass1(b: pa.Table) -> pa.Table:
+        return _partial(
+            b,
+            ["l_returnflag"],
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ([], "count_all")],
+        )
+
+    first = (
+        ds.map_batches(pass1, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="sx"),
+            Sum("l_extendedprice_sum", alias_name="sy"),
+            Sum("count_all", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    mu = {
+        r["l_returnflag"]: (r["sx"] / r["n"], r["sy"] / r["n"], int(r["n"]))
+        for _, r in first.iterrows()
+    }
+
+    def pass2(b: pa.Table) -> pa.Table:
+        flags = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = b["l_quantity"].to_numpy()
+        y = b["l_extendedprice"].to_numpy()
+        mx = np.empty(len(flags))
+        my = np.empty(len(flags))
+        for f, (fx, fy, _) in mu.items():
+            sel = flags == f
+            mx[sel] = fx
+            my[sel] = fy
+        dx = x - mx
+        dy = y - my
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "sxx": pa.array(dx * dx),
+                "syy": pa.array(dy * dy),
+                "sxy": pa.array(dx * dy),
+            }
+        )
+        return _partial(
+            t, ["l_returnflag"], [("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")]
+        )
+
+    second = (
+        ds.map_batches(pass2, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("sxx_sum", alias_name="sxx"),
+            Sum("syy_sum", alias_name="syy"),
+            Sum("sxy_sum", alias_name="sxy"),
+        )
+        .to_pandas()
+        .set_index("l_returnflag")
+    )
+    rows = []
+    for f, (fx, fy, n) in sorted(mu.items()):
+        sxx, syy, sxy = (second.loc[f, c] for c in ("sxx", "syy", "sxy"))
+        rows.append(
+            {
+                "l_returnflag": f,
+                "n": n,
+                "avg_qty": round(fx, 6),
+                "std_price": round(float(np.sqrt(syy / (n - 1))), 6),
+                "corr_qty_price": round(float(sxy / np.sqrt(sxx * syy)), 6),
+            }
+        )
+    return pd.DataFrame(rows).astype({"n": "int64"})
+
+
+def q_revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(returnflag, linestatus): all four grouping sets from ONE
+    distributed scan — the finest grain aggregates through the per-batch
+    combiner + small groupby, and the three coarser sets (per-flag, per-status,
+    grand total) derive from the finest RESULT (|flags| × |statuses| rows).
+    'ALL' sentinels stand in for the rolled-up NULLs (same convention as
+    ``q_revenue_rollup``)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return _partial(
+            b,
+            ["l_returnflag", "l_linestatus"],
+            [("l_extendedprice", "sum"), ([], "count_all")],
+        )
+
+    fine = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_extendedprice_sum", alias_name="t"), Sum("count_all", alias_name="n")
+        )
+        .to_pandas()
+    )
+    by_flag = fine.groupby("l_returnflag", as_index=False).agg(t=("t", "sum"), n=("n", "sum"))
+    by_flag["l_linestatus"] = "ALL"
+    by_status = fine.groupby("l_linestatus", as_index=False).agg(t=("t", "sum"), n=("n", "sum"))
+    by_status["l_returnflag"] = "ALL"
+    total = pd.DataFrame(
+        {"l_returnflag": ["ALL"], "l_linestatus": ["ALL"], "t": [fine["t"].sum()], "n": [fine["n"].sum()]}
+    )
+    out = pd.concat([fine, by_flag, by_status, total], ignore_index=True)
+    out["revenue"] = out["t"].round(2)
+    out = out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return out[["l_returnflag", "l_linestatus", "revenue", "n"]].astype({"n": "int64"})
+
+
+def q_nations_by_region(sf_dir: str) -> pd.DataFrame:
+    """STRING_AGG / LISTAGG per group: ordered name concatenation per region.
+    Collect-type aggregates can't pre-combine into scalars; the scale shape is
+    a per-batch (key → sorted name list) partial, a groupby on the key moving
+    only those lists, and the order-correct merge at the end — here expressed
+    over the dimension tables it targets (regions are bounded; the VALUE is
+    bounded per key, which is what makes LISTAGG legal at scale at all)."""
+    nation = _tbl(sf_dir, "nation", columns=["n_regionkey", "n_name"])
+    region = _dim(sf_dir, "region", columns=["r_regionkey", "r_name"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        names = sorted(g["n_name"].tolist())
+        return pd.DataFrame(
+            {
+                "n_regionkey": [int(g["n_regionkey"].iloc[0])],
+                "nations": [",".join(names)],
+                "n_nations": [len(names)],
+            }
+        )
+
+    out = nation.groupby("n_regionkey").map_groups(agg, batch_format="pandas").to_pandas()
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    out["r_name"] = out["n_regionkey"].map(rmap)
+    out = out.sort_values("r_name").reset_index(drop=True)
+    return out[["r_name", "nations", "n_nations"]].astype({"n_nations": "int64"})
+
+
+def q_user_click_purchase(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER JOIN: per-user click counts ⟗ per-user purchase counts —
+    users that only click, only purchase, or do both all appear, with zero
+    counts where a side is missing. Both sides are fact-scale aggregates
+    (per-block partial combiner → small per-key groupby) joined with the
+    hash-partitioned distributed full-outer join; nothing is materialized
+    driver-side until the per-user result."""
+    from ray.data.aggregate import Sum
+
+    def per_user(event_type: str, alias: str):
+        return (
+            _tbl(
+                sf_dir,
+                "events",
+                columns=["user_id"],
+                filter=(pc.field("event_type") == event_type),
+            )
+            .map_batches(
+                lambda b: b.group_by(["user_id"]).aggregate([([], "count_all")]),
+                batch_format="pyarrow",
+            )
+            .groupby("user_id")
+            .aggregate(Sum("count_all", alias_name=alias))
+        )
+
+    clicks = per_user("click", "n_clicks")
+    purchases = per_user("purchase", "n_purchases")
+    joined = clicks.join(
+        purchases,
+        "full_outer",
+        num_partitions=8,
+        on=("user_id",),
+        right_on=("user_id",),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cols = {c: b[c] for c in b.column_names}
+        uid_l = cols.get("user_id_l", cols.get("user_id"))
+        uid_r = cols.get("user_id_r")
+        uid = uid_l if uid_r is None else pc.coalesce(uid_l, uid_r)
+        return pa.table(
+            {
+                "user_id": pc.cast(uid, pa.int64()),
+                "n_clicks": pc.coalesce(cols["n_clicks"], pa.scalar(0, pa.int64())),
+                "n_purchases": pc.coalesce(cols["n_purchases"], pa.scalar(0, pa.int64())),
+            }
+        )
+
+    out = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 # ----------------------------------------------------------- registry --------
 
 QUERIES = {
@@ -2130,6 +2471,13 @@ QUERIES = {
     "events_rolling_avg": q_events_rolling_avg,
     "parts_in_big_orders": q_parts_in_big_orders,
     "docs_stratified_sample": q_docs_stratified_sample,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "revenue_running_by_nation": q_revenue_running_by_nation,
+    "orders_status_pivot": q_orders_status_pivot,
+    "price_quantity_stats": q_price_quantity_stats,
+    "revenue_cube": q_revenue_cube,
+    "nations_by_region": q_nations_by_region,
+    "user_click_purchase": q_user_click_purchase,
 }
 
 ORACLE_SQL = {
@@ -2399,6 +2747,60 @@ ORACLE_SQL = {
         " WHERE substr(md5(d.text), 1, 4) <"
         "  printf('%04x', LEAST(65535, (30 * 65536) // cnt.n))"
         " ORDER BY d.doc_id"
+    ),
+    "top_orders_per_customer": (
+        "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM"
+        " (SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER"
+        "  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn"
+        "  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"
+    ),
+    "revenue_running_by_nation": (
+        "SELECT n_name, yr, ROUND(SUM(rev) OVER"
+        " (PARTITION BY n_name ORDER BY yr), 2) AS running_revenue FROM"
+        " (SELECT n.n_name AS n_name, EXTRACT(year FROM o.o_orderdate)::BIGINT AS yr,"
+        "  SUM(o.o_totalprice) AS rev"
+        "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        "  JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1, 2)"
+        " ORDER BY n_name, yr"
+    ),
+    "orders_status_pivot": (
+        "SELECT o_orderpriority,"
+        " SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,"
+        " SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_fulfilled,"
+        " SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_pending,"
+        " COUNT(*) AS n_total"
+        " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "price_quantity_stats": (
+        "SELECT l_returnflag, COUNT(*) AS n,"
+        " ROUND(AVG(l_quantity), 6) AS avg_qty,"
+        " ROUND(STDDEV_SAMP(l_extendedprice), 6) AS std_price,"
+        " ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price"
+        " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "revenue_cube": (
+        "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,"
+        " COALESCE(l_linestatus, 'ALL') AS l_linestatus,"
+        " ROUND(SUM(l_extendedprice), 2) AS revenue, COUNT(*) AS n"
+        " FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+        " ORDER BY l_returnflag, l_linestatus"
+    ),
+    "nations_by_region": (
+        "SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,"
+        " COUNT(*) AS n_nations"
+        " FROM nation JOIN region ON n_regionkey = r_regionkey"
+        " GROUP BY r_name ORDER BY r_name"
+    ),
+    "user_click_purchase": (
+        "SELECT COALESCE(c.user_id, p.user_id) AS user_id,"
+        " COALESCE(c.n_clicks, 0) AS n_clicks,"
+        " COALESCE(p.n_purchases, 0) AS n_purchases FROM"
+        " (SELECT user_id, COUNT(*) AS n_clicks FROM events"
+        "  WHERE event_type = 'click' GROUP BY user_id) c"
+        " FULL OUTER JOIN"
+        " (SELECT user_id, COUNT(*) AS n_purchases FROM events"
+        "  WHERE event_type = 'purchase' GROUP BY user_id) p"
+        " ON c.user_id = p.user_id ORDER BY user_id"
     ),
     # rows-only (no SQL oracle): lang_id_docs, doc_fingerprints, simhash_docs,
     # embedding_topk_lsh (approximate; recall gate in tests)
