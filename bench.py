@@ -217,6 +217,30 @@ def hardware_ceiling(n_lo: int = 4, n_hi: int = 16, secs: float = 3.0) -> float:
     return (rates[n_hi] / rates[n_lo]) / (n_hi / n_lo)
 
 
+def burn_rate(n: int = 16, secs: float = 2.0) -> float:
+    """Absolute n-process pure-python loop rate (iterations/s) — a machine
+    HEALTH probe taken immediately before each scaling leg. Unlike the
+    4-vs-16 ceiling ratio (which can read 'healthy' when contention hits
+    both widths), an absolute rate drop between the two legs directly
+    flags that one leg ran on a busier machine — the dominant noise source
+    on this shared-host VM (observed 3× swings between back-to-back runs)."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.perf_counter()
+        x = 0
+        while time.perf_counter() - t0 < secs:
+            x += 1
+        q.put(x)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q,)) for _ in range(n)]
+    t0 = time.perf_counter()
+    [p.start() for p in ps]
+    [p.join() for p in ps]
+    return sum(q.get() for _ in range(n)) / (time.perf_counter() - t0)
+
+
 def run_scaling() -> None:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -229,7 +253,10 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = one(4), one(16)
+    health_lo = burn_rate()
+    lo = one(4)
+    health_hi = burn_rate()
+    hi = one(16)
     ceiling = round(hardware_ceiling(), 3)
     # efficiency on the fetch+dedup+decode headline: time ratio / cpu ratio
     eff = (lo["fetch_dedup_decode_sec"] / hi["fetch_dedup_decode_sec"]) / (16 / 4)
@@ -245,8 +272,16 @@ def run_scaling() -> None:
                 "fetch_dedup_decode_sec": [lo["fetch_dedup_decode_sec"], hi["fetch_dedup_decode_sec"]],
                 "scaling_efficiency_fetch_dedup_decode": round(eff, 3),
                 "scaling_efficiency_total": round(eff_total, 3),
+                "components": {
+                    k: [lo["queries"].get(k), hi["queries"].get(k)]
+                    for k in ("crawl", "crawl_images", "image_verify")
+                },
                 "hardware_ceiling_4_to_16": ceiling,
                 "efficiency_vs_hardware_ceiling": round(eff / ceiling, 3),
+                # absolute 16-proc burn rate right before each leg; a drop
+                # between them = external contention hit that leg
+                "leg_health_burn_rate": [round(health_lo, 0), round(health_hi, 0)],
+                "leg_health_ratio": round(health_hi / health_lo, 3),
             }
         )
     )

@@ -2418,6 +2418,130 @@ def q_user_click_purchase(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_embedding_norm_stats(sf_dir: str) -> pd.DataFrame:
+    """vector-column aggregate: per-label mean/max L2 norm over the embedding
+    list column — the schema-level proof that `list<float>` flows through the
+    zero-copy Arrow path (FixedSizeList → one contiguous numpy matrix per
+    batch, one BLAS reduction, no per-row Python). Partial (sum, max, n) per
+    label per batch; only those scalars cross the shuffle."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _tbl(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def norms(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        arr = emb.combine_chunks() if hasattr(emb, "combine_chunks") else emb
+        flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(len(b), -1)
+        nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        t = pa.table(
+            {"label": b["label"], "nrm": pa.array(nrm), "mx": pa.array(nrm)}
+        )
+        return _partial(t, ["label"], [("nrm", "sum"), ("mx", "max"), ([], "count_all")])
+
+    out = (
+        ds.map_batches(norms, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("nrm_sum", alias_name="s"),
+            Max("mx_max", alias_name="m"),
+            Sum("count_all", alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    out["avg_norm"] = (out["s"] / out["n"]).round(6)
+    out["max_norm"] = out["m"].round(6)
+    return out[["label", "n", "avg_norm", "max_norm"]].astype({"label": "int32", "n": "int64"})
+
+
+def q_approx_distinct_hll(sf_dir: str) -> pd.DataFrame:
+    """approximate COUNT DISTINCT via a mergeable HyperLogLog sketch — the
+    scale substitute for ``q_distinct_counts``: each batch folds into a 4 KiB
+    register blob inside ``map_batches``, the shuffle moves ONE blob per
+    (event_type, batch) instead of every distinct value, and the merge is an
+    elementwise max (associative + idempotent ⇒ safe under task retries).
+    Deterministic for the fixed seed (golden-pinned); accuracy ±~1.6 % at
+    4096 registers, gated by a tolerance test against the exact distinct."""
+    from ..state import sketches
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        rows = [("__ALL__", sketches.registers(df["user_id"].to_numpy()).tobytes())]
+        for et, g in df.groupby("event_type", sort=False):
+            rows.append((str(et), sketches.registers(g["user_id"].to_numpy()).tobytes()))
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows]),
+                "regs": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        merged = sketches.merge(list(g["regs"]))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users_approx": [sketches.estimate(merged)],
+            }
+        )
+
+    out = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(reduce, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_users_approx": "int64"})
+
+
+def q_doc_regex_terms(sf_dir: str) -> pd.DataFrame:
+    """regex token extraction + frequency (the extract/filter family): tokens
+    with an interior 'a' (``[a-z]+a[a-z]+``) from the first 100 docs, top-15
+    by count. The doc_id predicate pushes into the parquet read; extraction
+    and the partial count run vectorized in polars (explode + Rust regex)
+    inside ``map_batches``; only per-token partials cross the shuffle, and
+    the top-15 merge is driver-side on the result."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(
+        sf_dir, "documents", columns=["doc_id", "text"], filter=(pc.field("doc_id") < 100)
+    )
+
+    def extract(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({"text": b["text"].to_pylist()})
+        toks = (
+            df.select(pl.col("text").str.split(" ").alias("token"))
+            .explode("token")
+            .filter(pl.col("token").str.contains(r"^[a-z]+a[a-z]+$"))
+        )
+        counts = toks.group_by("token").len(name="n")
+        return pa.table(
+            {
+                "token": pa.array(counts["token"].to_list(), pa.string()),
+                "n": pa.array(counts["n"].to_list(), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(15)
+        .reset_index(drop=True)
+    )
+    return out[["token", "n"]]
+
+
 # ----------------------------------------------------------- registry --------
 
 QUERIES = {
@@ -2478,6 +2602,9 @@ QUERIES = {
     "revenue_cube": q_revenue_cube,
     "nations_by_region": q_nations_by_region,
     "user_click_purchase": q_user_click_purchase,
+    "approx_distinct_hll": q_approx_distinct_hll,
+    "doc_regex_terms": q_doc_regex_terms,
+    "embedding_norm_stats": q_embedding_norm_stats,
 }
 
 ORACLE_SQL = {
@@ -2802,6 +2929,22 @@ ORACLE_SQL = {
         "  WHERE event_type = 'purchase' GROUP BY user_id) p"
         " ON c.user_id = p.user_id ORDER BY user_id"
     ),
+    "doc_regex_terms": (
+        "SELECT token, COUNT(*) AS n FROM"
+        " (SELECT unnest(list_filter(string_split(text, ' '),"
+        "   t -> regexp_full_match(t, '[a-z]+a[a-z]+'))) AS token"
+        "  FROM documents WHERE doc_id < 100)"
+        " GROUP BY token ORDER BY n DESC, token LIMIT 15"
+    ),
+    "embedding_norm_stats": (
+        "SELECT label, COUNT(*) AS n,"
+        " ROUND(AVG(sqrt(list_sum(list_transform(embedding,"
+        "   x -> x::DOUBLE * x::DOUBLE)))), 6) AS avg_norm,"
+        " ROUND(MAX(sqrt(list_sum(list_transform(embedding,"
+        "   x -> x::DOUBLE * x::DOUBLE)))), 6) AS max_norm"
+        " FROM embeddings GROUP BY label ORDER BY label"
+    ),
     # rows-only (no SQL oracle): lang_id_docs, doc_fingerprints, simhash_docs,
-    # embedding_topk_lsh (approximate; recall gate in tests)
+    # embedding_topk_lsh (approximate; recall gate in tests),
+    # approx_distinct_hll (sketch estimate; tolerance + golden gates in tests)
 }

@@ -56,3 +56,23 @@ def test_crawl_queries_deterministic(ray_session):
     pd.testing.assert_frame_equal(a1, a2)
     p1 = q_crawl_pages(SF)
     assert p1["n"].sum() == 300  # max_pages for the sf0.001 tier
+
+
+def test_hll_query_within_tolerance_of_exact(ray_session):
+    import duckdb
+
+    from ieps_crawler_ray.pipelines.analytics import q_approx_distinct_hll
+
+    approx = q_approx_distinct_hll(SF).set_index("event_type")["n_users_approx"]
+    con = duckdb.connect()
+    exact = con.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n FROM"
+        f" read_parquet('{SF}/events.parquet') GROUP BY event_type"
+    ).df().set_index("event_type")["n"]
+    exact["__ALL__"] = con.execute(
+        f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    con.close()
+    for et, n in exact.items():
+        rel = abs(approx[et] - n) / max(n, 1)
+        assert rel < 0.06, (et, approx[et], n)

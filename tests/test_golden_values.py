@@ -34,6 +34,9 @@ GOLDEN = {
     "crawl_sitemap_stats": (1, "619f9eb4b85d0e1bb001105132ad6634"),
     "image_verify": (2, "00c87b6b75fab4c968b1a72a8f3dc7c8"),
     "crawl_audit": (9, "29b98f6a71a39653eb67f29e789b27d1"),
+    # sketch estimate (deterministic seed; accuracy separately tolerance-gated
+    # vs exact distinct in test_analytics_extra)
+    "approx_distinct_hll": (6, "85645e39b32710b60aa746c0565d94af"),
 }
 
 

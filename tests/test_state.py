@@ -103,3 +103,29 @@ def test_band_key_cap_bounds_flood_verify():
     assert capped["rank_a"].to_numpy().min() == 0
     # deterministic
     assert capped.equals(_verify_bucket(group, sig_of, band_key_cap=10))
+
+
+def test_hll_accuracy_and_merge():
+    from ieps_crawler_ray.state import sketches
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 2**62, 50_000, dtype=np.uint64)
+    exact = len(np.unique(vals))
+    # single-shot estimate within the 4096-register error envelope
+    est = sketches.estimate(sketches.registers(vals))
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # merge of arbitrary splits == whole (partition independence)
+    parts = np.array_split(vals, 7)
+    merged = sketches.merge([sketches.registers(p) for p in parts])
+    assert sketches.estimate(merged) == est
+    # idempotent under re-merge (task-retry safety)
+    remerged = sketches.merge([merged, sketches.registers(parts[0])])
+    assert sketches.estimate(remerged) == est
+
+
+def test_hll_small_range_linear_counting():
+    from ieps_crawler_ray.state import sketches
+
+    vals = np.arange(100, dtype=np.uint64)
+    est = sketches.estimate(sketches.registers(vals))
+    assert abs(est - 100) <= 5, est
