@@ -253,10 +253,24 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    health_lo = burn_rate()
-    lo = one(4)
-    health_hi = burn_rate()
-    hi = one(16)
+    # K alternating repeats per width, scored on the per-width MINIMUM:
+    # external contention on this shared-host VM is strictly ADDITIVE (it
+    # can only slow a leg down, never speed it up), so min-of-K is a
+    # consistent estimator of each width's uncontended time — the standard
+    # benchmarking practice — while a single pair of legs is hostage to
+    # whichever 3-minute contention window it lands in (observed identical
+    # configs 2.2× apart back-to-back). Alternating the widths also removes
+    # leg-order bias (page-cache warm-up, drift).
+    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+    samples: dict[int, list[dict]] = {4: [], 16: []}
+    health: dict[int, list[float]] = {4: [], 16: []}
+    for _ in range(repeats):
+        for ncpu in (4, 16):
+            health[ncpu].append(round(burn_rate(), 0))
+            samples[ncpu].append(one(ncpu))
+    lo = min(samples[4], key=lambda r: r["fetch_dedup_decode_sec"])
+    hi = min(samples[16], key=lambda r: r["fetch_dedup_decode_sec"])
+    health_lo, health_hi = max(health[4]), max(health[16])
     ceiling = round(hardware_ceiling(), 3)
     # efficiency on the fetch+dedup+decode headline: time ratio / cpu ratio
     eff = (lo["fetch_dedup_decode_sec"] / hi["fetch_dedup_decode_sec"]) / (16 / 4)
@@ -278,10 +292,15 @@ def run_scaling() -> None:
                 },
                 "hardware_ceiling_4_to_16": ceiling,
                 "efficiency_vs_hardware_ceiling": round(eff / ceiling, 3),
-                # absolute 16-proc burn rate right before each leg; a drop
-                # between them = external contention hit that leg
-                "leg_health_burn_rate": [round(health_lo, 0), round(health_hi, 0)],
+                # absolute 16-proc burn rate before each width's legs (max
+                # over repeats); a gap between them = residual contention
+                "leg_health_burn_rate": [health_lo, health_hi],
                 "leg_health_ratio": round(health_hi / health_lo, 3),
+                "repeats_per_width": repeats,
+                "fdd_samples": {
+                    "4": [r["fetch_dedup_decode_sec"] for r in samples[4]],
+                    "16": [r["fetch_dedup_decode_sec"] for r in samples[16]],
+                },
             }
         )
     )

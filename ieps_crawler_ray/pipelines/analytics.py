@@ -2456,6 +2456,42 @@ def q_embedding_norm_stats(sf_dir: str) -> pd.DataFrame:
     return out[["label", "n", "avg_norm", "max_norm"]].astype({"label": "int32", "n": "int64"})
 
 
+def q_embedding_clusters(sf_dir: str) -> pd.DataFrame:
+    """k-means clustering as a first-class result: per-cluster size and mean
+    within-cluster cosine similarity from the distributed spherical-Lloyd
+    index (`_ivf_index` — per-block partial means, K×B driver combine,
+    bucket-partitioned assignment table). The summary pass re-reads ONLY the
+    partitioned assignment table and reduces (count, Σcos) per bucket inside
+    map_batches; deterministic (hash-seeded centroids), golden-pinned."""
+    from ray.data.aggregate import Sum
+
+    from ..sources import lance_table as lt
+
+    path, cents = _ivf_index(sf_dir)
+
+    def stats(b: pa.Table) -> pa.Table:
+        e = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        en = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+        bk = b["bucket"].to_numpy().astype(np.int64)
+        cos = np.einsum("ij,ij->i", en, cents[bk])
+        t = pa.table({"cluster_id": pa.array(bk), "cos": pa.array(cos)})
+        return _partial(t, ["cluster_id"], [("cos", "sum"), ([], "count_all")])
+
+    out = (
+        lt.read_dataset(path, columns=["embedding", "bucket"])
+        .map_batches(stats, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Sum("cos_sum", alias_name="s"), Sum("count_all", alias_name="n"))
+        .to_pandas()
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+    out["avg_cos_to_centroid"] = (out["s"] / out["n"]).round(6)
+    return out[["cluster_id", "n", "avg_cos_to_centroid"]].astype(
+        {"cluster_id": "int64", "n": "int64"}
+    )
+
+
 def q_approx_distinct_hll(sf_dir: str) -> pd.DataFrame:
     """approximate COUNT DISTINCT via a mergeable HyperLogLog sketch — the
     scale substitute for ``q_distinct_counts``: each batch folds into a 4 KiB
@@ -2605,6 +2641,7 @@ QUERIES = {
     "approx_distinct_hll": q_approx_distinct_hll,
     "doc_regex_terms": q_doc_regex_terms,
     "embedding_norm_stats": q_embedding_norm_stats,
+    "embedding_clusters": q_embedding_clusters,
 }
 
 ORACLE_SQL = {
@@ -2946,5 +2983,6 @@ ORACLE_SQL = {
     ),
     # rows-only (no SQL oracle): lang_id_docs, doc_fingerprints, simhash_docs,
     # embedding_topk_lsh (approximate; recall gate in tests),
-    # approx_distinct_hll (sketch estimate; tolerance + golden gates in tests)
+    # approx_distinct_hll (sketch estimate; tolerance + golden gates in tests),
+    # embedding_clusters (iterative k-means — not SQL-expressible; golden)
 }

@@ -879,14 +879,20 @@ def _pool_size(num_buckets: int) -> int:
     """Verify-pool width = the RAY SESSION's CPU budget, not the host's
     os.cpu_count(): the actors are num_cpus=0 (see _verify_pool), so sizing
     by the host would silently run a 4-cpu session's verify wave 32-wide —
-    over-subscribing the node and invalidating any N-vs-4N scaling read."""
+    over-subscribing the node and invalidating any N-vs-4N scaling read.
+    ``IEPS_VERIFY_POOL_CAP`` additionally bounds the width: the compare
+    kernel is DRAM-bandwidth-bound (see _verify_bucket), so on a single
+    node the wave stops scaling at the memory-system saturation point —
+    on a multi-node cluster the cap is per node, where each node brings
+    its own memory system and the wave scales with nodes again."""
     import ray as _ray
 
     try:
         budget = int(_ray.cluster_resources().get("CPU", 0)) or (os.cpu_count() or 8)
     except Exception:
         budget = os.cpu_count() or 8
-    return max(1, min(num_buckets, budget))
+    cap = int(os.environ.get("IEPS_VERIFY_POOL_CAP", "0")) or num_buckets
+    return max(1, min(num_buckets, budget, cap))
 
 
 def _resolve_dups(edges: pd.DataFrame, new_ranks: np.ndarray) -> dict[int, int]:

@@ -37,6 +37,8 @@ GOLDEN = {
     # sketch estimate (deterministic seed; accuracy separately tolerance-gated
     # vs exact distinct in test_analytics_extra)
     "approx_distinct_hll": (6, "85645e39b32710b60aa746c0565d94af"),
+    # iterative spherical k-means (not SQL-expressible; hash-seeded centroids)
+    "embedding_clusters": (16, "bae562247cd9f086c9d4dfe91a0c216b"),
 }
 
 
