@@ -29,6 +29,11 @@ import subprocess
 import sys
 import time
 
+# before ray.init: the raylet (and so every worker process) inherits this —
+# arrow's jemalloc default re-pays mmap+page-fault setup per concurrent blob
+# read on this VM (16 readers collapse to ~180 MB/s; mimalloc: 2-3 GB/s)
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCRATCH = "/tmp/ieps_crawler_ray"
