@@ -2578,6 +2578,237 @@ def q_doc_regex_terms(sf_dir: str) -> pd.DataFrame:
     return out[["token", "n"]]
 
 
+def q_group_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-GROUP median (quantile_disc 0.5 of o_totalprice per
+    o_orderpriority) without a global sort — the grouped variant of
+    :func:`q_price_quantiles`, vectorized ACROSS groups: one scan computes
+    per-group (count, min, max) partials; one scan bins every row into 4096
+    equi-width bins OF ITS OWN GROUP (per-batch (group, bin) partials, so
+    the shuffle moves ≤ groups×4096 partial rows per block); the driver
+    walks each group's cumulative histogram to the median bin; one final
+    scan pulls only median-bin members (≤ bin cap per group) and indexes
+    the local rank. At 100 TB: 3 streaming scans + a bounded pull per
+    group, vs a full shuffle for sort-within-group."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    gcol, vcol = "o_orderpriority", "o_totalprice"
+    ds = _tbl(sf_dir, "orders", columns=[gcol, vcol])
+    stats = (
+        ds.map_batches(
+            lambda b: _partial(b, [gcol], [(vcol, "min"), (vcol, "max"), ([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .groupby(gcol)
+        .aggregate(
+            Min(f"{vcol}_min", alias_name="lo"),
+            Max(f"{vcol}_max", alias_name="hi"),
+            Sum("count_all", alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values(gcol)
+        .reset_index(drop=True)
+    )
+    NBINS = 4096
+    groups = stats[gcol].tolist()
+    gidx = {g: i for i, g in enumerate(groups)}
+    lo = stats["lo"].to_numpy(dtype=np.float64)
+    hi = stats["hi"].to_numpy(dtype=np.float64)
+    rank = ((stats["n"].to_numpy() - 1) * 0.5).astype(np.int64)  # floor((n-1)·q)
+    width = np.maximum(hi - lo, 1e-300)
+
+    def hist(b: pa.Table, _gidx=dict(gidx), _lo=lo, _w=width) -> pa.Table:
+        g = np.array([_gidx[x] for x in b[gcol].to_pylist()], dtype=np.int64)
+        v = b[vcol].to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = np.clip(((v - _lo[g]) / _w[g] * NBINS).astype(np.int64), 0, NBINS - 1)
+        key = g * NBINS + bins
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uk), "cnt": pa.array(cnt.astype(np.int64))})
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+        .sort_values("key")
+    )
+    hk = h["key"].to_numpy()
+    hn = h["n"].to_numpy()
+    med_bin = np.empty(len(groups), dtype=np.int64)
+    local_rank = np.empty(len(groups), dtype=np.int64)
+    for i in range(len(groups)):
+        m = (hk >= i * NBINS) & (hk < (i + 1) * NBINS)
+        cum = np.cumsum(hn[m])
+        pos = int(np.searchsorted(cum, rank[i] + 1))
+        med_bin[i] = hk[m][pos] - i * NBINS
+        local_rank[i] = rank[i] - (int(cum[pos - 1]) if pos else 0)
+
+    def pull(b: pa.Table, _gidx=dict(gidx), _lo=lo, _w=width, _mb=med_bin) -> pa.Table:
+        g = np.array([_gidx[x] for x in b[gcol].to_pylist()], dtype=np.int64)
+        v = b[vcol].to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = np.clip(((v - _lo[g]) / _w[g] * NBINS).astype(np.int64), 0, NBINS - 1)
+        keep = bins == _mb[g]
+        return pa.table({"g": pa.array(g[keep]), "v": pa.array(v[keep])})
+
+    vals = ds.map_batches(pull, batch_format="pyarrow").to_pandas()
+    med = np.empty(len(groups), dtype=np.float64)
+    for i in range(len(groups)):
+        vv = np.sort(vals[vals["g"] == i]["v"].to_numpy())
+        med[i] = vv[local_rank[i]]
+    return pd.DataFrame({gcol: groups, "median_price": np.round(med, 2)})
+
+
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Top-20 tokens by TOTAL occurrence via a mergeable Misra-Gries
+    (space-saving) sketch + exact recount — the scale shape for heavy
+    hitters over a vocabulary too large to shuffle: each batch emits a
+    capacity-512 MG summary (vs its full token histogram), the driver
+    merges summaries and decrements to a 4096-entry candidate set
+    (guaranteed to contain every token with true count > N/4096 — far
+    below any top-20 boundary on a zipfian corpus), and one second scan
+    exactly recounts ONLY the candidates (set rides in the task closure),
+    making the final top-k EXACT — which is why this sketch query can
+    carry a plain SQL oracle, unlike the HLL estimate."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+    CAP_BATCH, CAP_MERGE = 512, 4096
+
+    def mg(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        counts = (
+            pl.DataFrame({"token": pl.from_arrow(b["text"]).str.split(" ")})
+            .explode("token")
+            .group_by("token")
+            .len("n")
+            .sort(["n", "token"], descending=[True, False])
+        )
+        # Misra-Gries: keep top CAP_BATCH, subtract the (CAP_BATCH+1)-th
+        # count from the survivors (the classic decrement, batched)
+        if counts.height > CAP_BATCH:
+            cut = int(counts["n"][CAP_BATCH])
+            counts = counts.head(CAP_BATCH).with_columns((pl.col("n") - cut).alias("n"))
+            counts = counts.filter(pl.col("n") > 0)
+        return pa.table(
+            {
+                "token": pa.array(counts["token"].to_list(), pa.string()),
+                "n": pa.array(counts["n"].to_list(), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(mg, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+    )
+    cand = set(merged.head(CAP_MERGE)["token"].tolist())
+
+    def recount(b: pa.Table, _cand=frozenset(cand)) -> pa.Table:
+        import polars as pl
+
+        counts = (
+            pl.DataFrame({"token": pl.from_arrow(b["text"]).str.split(" ")})
+            .explode("token")
+            .filter(pl.col("token").is_in(list(_cand)))
+            .group_by("token")
+            .len("n")
+        )
+        return pa.table(
+            {
+                "token": pa.array(counts["token"].to_list(), pa.string()),
+                "n": pa.array(counts["n"].to_list(), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+    return out[["token", "n"]]
+
+
+def q_bloom_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Semi-join via broadcast BLOOM prefilter + exact fixup join: revenue
+    per returnflag of lineitems belonging to > $400k orders. The build side
+    (filtered order keys) folds into a bit-array bloom (16 bits/key, k=4 —
+    ~0.2 % FP) shipped ONCE via ray.put; every lineitem batch probes the
+    bloom vectorized and drops ~all non-members WITHOUT any shuffle; only
+    the surviving sliver joins (hash, exact) against the key set, so false
+    positives cannot reach the result — the exchange moves the semi-join's
+    selectivity, not the fact table. This is the standard 100 TB shape when
+    the build side is too big to broadcast exactly but its bloom is not."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    keys_t = _dim(sf_dir, "orders", columns=["o_orderkey"])  # pushdown filter below
+    ok = pq.read_table(
+        _pq(sf_dir, "orders"), columns=["o_orderkey"], filters=[("o_totalprice", ">", 400000.0)]
+    )["o_orderkey"].to_numpy()
+    del keys_t
+    m = max(1 << 14, 1 << int(np.ceil(np.log2(len(ok) * 16 + 1))))
+
+    def _hash(v: np.ndarray, seed: np.uint64) -> np.ndarray:
+        x = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ seed
+        x ^= x >> np.uint64(29)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(32)
+        return x
+
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    seeds = [np.uint64(s) for s in (0x1234, 0xBEEF, 0xCAFE, 0xF00D)]
+    for s in seeds:
+        h = _hash(ok, s) % np.uint64(m)
+        np.bitwise_or.at(bits, (h >> np.uint64(6)).astype(np.int64), np.uint64(1) << (h & np.uint64(63)))
+    bloom_ref = _ray.put(bits)
+
+    def probe(b: pa.Table, _m=m, _seeds=tuple(seeds), _ref=bloom_ref) -> pa.Table:
+        bb = _ray.get(_ref)  # zero-copy plasma read, once per task
+        v = b["l_orderkey"].to_numpy().astype(np.int64)
+        hit = np.ones(len(v), dtype=bool)
+        for s in _seeds:
+            h = _hash(v, s) % np.uint64(_m)
+            hit &= (bb[(h >> np.uint64(6)).astype(np.int64)] >> (h & np.uint64(63))) & np.uint64(1) > 0
+        return b.filter(pa.array(hit))
+
+    li = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
+    keys_ds = _tbl(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey"],
+        filter=(pc.field("o_totalprice") > 400000.0),
+    )
+    hit = li.map_batches(probe, batch_format="pyarrow").join(
+        keys_ds, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    out = (
+        hit.map_batches(
+            lambda b: _partial(
+                b.select(["l_returnflag", "l_extendedprice"]),
+                ["l_returnflag"],
+                [("l_extendedprice", "sum"), ([], "count_all")],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("l_extendedprice_sum", alias_name="revenue"),
+            Sum("count_all", alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out[["l_returnflag", "revenue", "n"]]
+
+
 # ----------------------------------------------------------- registry --------
 
 QUERIES = {
@@ -2642,6 +2873,9 @@ QUERIES = {
     "doc_regex_terms": q_doc_regex_terms,
     "embedding_norm_stats": q_embedding_norm_stats,
     "embedding_clusters": q_embedding_clusters,
+    "group_quantiles": q_group_quantiles,
+    "heavy_hitters": q_heavy_hitters,
+    "bloom_semi_join": q_bloom_semi_join,
 }
 
 ORACLE_SQL = {
@@ -2980,6 +3214,21 @@ ORACLE_SQL = {
         " ROUND(MAX(sqrt(list_sum(list_transform(embedding,"
         "   x -> x::DOUBLE * x::DOUBLE)))), 6) AS max_norm"
         " FROM embeddings GROUP BY label ORDER BY label"
+    ),
+    "group_quantiles": (
+        "SELECT o_orderpriority, round(quantile_disc(o_totalprice, 0.5), 2) AS median_price"
+        " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "heavy_hitters": (
+        "SELECT token, COUNT(*)::BIGINT AS n FROM"
+        " (SELECT unnest(string_split(text, ' ')) AS token FROM documents)"
+        " GROUP BY token ORDER BY n DESC, token LIMIT 20"
+    ),
+    "bloom_semi_join": (
+        "SELECT l_returnflag, round(SUM(l_extendedprice), 2) AS revenue, COUNT(*)::BIGINT AS n"
+        " FROM lineitem WHERE l_orderkey IN"
+        " (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)"
+        " GROUP BY l_returnflag ORDER BY l_returnflag"
     ),
     # rows-only (no SQL oracle): lang_id_docs, doc_fingerprints, simhash_docs,
     # embedding_topk_lsh (approximate; recall gate in tests),

@@ -658,7 +658,12 @@ def _bufs(P: int):
     return hit
 
 
-def _verify_bucket(group: pa.Table, sigs_of, band_key_cap: int | None = None) -> pa.Table:
+def _verify_bucket(
+    group: pa.Table,
+    sigs_of,
+    band_key_cap: int | None = None,
+    slice_mod: tuple[int, int] | None = None,
+) -> pa.Table:
     """One band-key BUCKET (all rows whose band_key hashes there, old ∪ new)
     → verified similarity edges (old_rank < new_rank).
 
@@ -710,6 +715,14 @@ def _verify_bucket(group: pa.Table, sigs_of, band_key_cap: int | None = None) ->
     seg_of_row = np.cumsum(seg_first) - 1
     pos = np.arange(n2) - seg_starts[seg_of_row]
     new_rows = np.flatnonzero(is_new & (pos > 0))
+    if slice_mod is not None:
+        # pair ownership is keyed by the NEW row (each new row pairs with its
+        # run predecessors), so striding the new rows partitions the bucket's
+        # pair list EXACTLY across S subtasks — the skew fix for heavy
+        # band-key floods: one hot bucket's O(run²) compare no longer
+        # serializes the verify wave on a wide pool (see _verify_subtasks)
+        t, S = slice_mod
+        new_rows = new_rows[t::S]
     cnt = pos[new_rows]  # each new row pairs with its run predecessors
     total = int(cnt.sum())
     if total == 0:
@@ -806,6 +819,7 @@ def _verify_one_bucket(
     new_lean: pa.Table, new_ranks: np.ndarray, new_sigs: np.ndarray,
     bucket: int, old_paths: list, sig_refs_by_sb: dict, n_sb: int,
     band_key_cap: int | None = None,
+    slice_mod: tuple[int, int] | None = None,
 ) -> pa.Table:
     """One bucket → verified edges: lean old band rows from pruned fragments
     (cached per worker — immutable), broadcast lean new rows + sig matrix,
@@ -827,7 +841,9 @@ def _verify_one_bucket(
     sigs_of = _make_sigs_of(
         new_sorted, new_sigs[new_order], {}, sig_refs_by_sb, n_sb, staged=False
     )
-    return _verify_bucket(sub, sigs_of, band_key_cap)
+    t0 = time.perf_counter()
+    out = _verify_bucket(sub, sigs_of, band_key_cap, slice_mod)
+    return out.replace_schema_metadata({b"secs": b"%.4f" % (time.perf_counter() - t0)})
 
 
 _VERIFY_POOL: dict = {}
@@ -895,6 +911,40 @@ def _pool_size(num_buckets: int) -> int:
     return max(1, min(num_buckets, budget, cap))
 
 
+def _verify_split(pool_n: int, n_buckets: int) -> int:
+    """Subtasks per bucket for the verify wave. A single hot band-key bucket
+    (caption flood — observed: one 2 040-row run ⇒ 2 M pairs in one bucket)
+    otherwise serializes the wave on a wide pool: with tasks == buckets the
+    wall is max(bucket), not sum/width. Striding the bucket's new rows
+    (``slice_mod`` in :func:`_verify_bucket`) partitions its pair list
+    EXACTLY across S subtasks, so widening the pool keeps helping. S scales
+    with pool width (≥2 tasks per actor for balance), 1 on narrow pools
+    (no overhead when the pool is the bottleneck anyway). Env override:
+    ``IEPS_VERIFY_SPLIT``."""
+    env = int(os.environ.get("IEPS_VERIFY_SPLIT", "0"))
+    if env:
+        return env
+    return max(1, min(8, (4 * pool_n) // max(1, n_buckets)))
+
+
+_VERIFY_WAVE: dict = {}
+
+
+def _collect_verify(parts: list) -> pa.Table:
+    """Concat verify-task results, recording the wave's per-task timing
+    skew (max vs sum) into the generation's stage_secs for auditability."""
+    secs = [
+        float(p.schema.metadata[b"secs"])
+        for p in parts
+        if p.schema.metadata and b"secs" in p.schema.metadata
+    ]
+    if secs:
+        _VERIFY_WAVE["verify_task_max"] = round(max(secs), 3)
+        _VERIFY_WAVE["verify_task_sum"] = round(sum(secs), 3)
+        _VERIFY_WAVE["verify_n_tasks"] = len(secs)
+    return pa.concat_tables(parts)
+
+
 def _resolve_dups(edges: pd.DataFrame, new_ranks: np.ndarray) -> dict[int, int]:
     """Sequential winner resolution (keep-oldest, duplicates never become
     winners — database.py:416-436). Edge count is dup-rate bounded, so this
@@ -920,6 +970,7 @@ def _verify_one_bucket_staged(
     sig_refs_by_sb: dict,
     n_sb: int,
     band_key_cap: int | None = None,
+    slice_mod: tuple[int, int] | None = None,
 ) -> pa.Table:
     """Distributed-branch variant of :func:`_verify_one_bucket`: the
     generation's NEW lean band rows and signatures are never driver-
@@ -946,7 +997,9 @@ def _verify_one_bucket_staged(
         n_sb,
         staged=True,
     )
-    return _verify_bucket(sub, sigs_of, band_key_cap)
+    t0 = time.perf_counter()
+    out = _verify_bucket(sub, sigs_of, band_key_cap, slice_mod)
+    return out.replace_schema_metadata({b"secs": b"%.4f" % (time.perf_counter() - t0)})
 
 
 def _filter_ranks_task(
@@ -1129,14 +1182,17 @@ def _generation_driver(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t: pa.T
         sigs_ref = _ray.put(new_sigs)
         mark("dedup_put")
         pool = _verify_pool(_pool_size(cfg.num_bk_buckets))
+        S = _verify_split(len(pool), len(buckets))
         futs = [
-            pool[b % len(pool)].verify.remote(
+            pool[(b * S + t) % len(pool)].verify.remote(
                 lean_ref, ranks_ref, sigs_ref, b, paths_by_bucket[b],
                 sig_refs_by_sb, cfg.num_bk_buckets, cfg.band_key_cap,
+                (t, S) if S > 1 else None,
             )
             for b in buckets
+            for t in range(S)
         ]
-        edges = pa.concat_tables(_ray.get(futs)).to_pandas().drop_duplicates()
+        edges = _collect_verify(_ray.get(futs)).to_pandas().drop_duplicates()
         mark("dedup_verify")
         dup_of = _resolve_dups(edges, html["rank"].to_numpy())
     mark("dedup")
@@ -1258,14 +1314,17 @@ def _generation_distributed(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t:
         old_sig_refs = _sig_refs(old_sigs_by_sb)
         mark("dedup_paths")
         pool = _verify_pool(_pool_size(nbk))
+        S = _verify_split(len(pool), len(buckets))
         futs = [
-            pool[b % len(pool)].verify_staged.remote(
+            pool[(b * S + t) % len(pool)].verify_staged.remote(
                 b, new_paths_by_bucket[b], old_by_bucket[b],
                 new_sig_paths_by_sb, old_sig_refs, nbk, cfg.band_key_cap,
+                (t, S) if S > 1 else None,
             )
             for b in buckets
+            for t in range(S)
         ]
-        edges = pa.concat_tables(_ray.get(futs)).to_pandas().drop_duplicates()
+        edges = _collect_verify(_ray.get(futs)).to_pandas().drop_duplicates()
         mark("dedup_verify")
         html_ranks = np.sort(ranks_small[status0 == "fetched"])
         dup_of = _resolve_dups(edges, html_ranks)
@@ -2104,6 +2163,9 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
 
         # ---- metrics + commit
         secs = time.perf_counter() - t0
+        if _VERIFY_WAVE:  # per-task skew audit rides inside stage_secs JSON
+            stage_t.update(_VERIFY_WAVE)
+            _VERIFY_WAVE.clear()
         m = {
             "gen": gen,
             "n_frontier_in": int(lt.read_manifest(frontier_prev)["num_rows"]),
