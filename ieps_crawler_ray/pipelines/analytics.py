@@ -2809,6 +2809,191 @@ def q_bloom_semi_join(sf_dir: str) -> pd.DataFrame:
     return out[["l_returnflag", "revenue", "n"]]
 
 
+# ----------------------- training-data curation: redact / chunk / decontam ---
+
+
+def q_doc_redacted(sf_dir: str) -> pd.DataFrame:
+    """Policy-driven pattern redaction (the PII-scrub shape of a training-data
+    pipeline: regex → placeholder, e.g. emails/SSNs; the synthetic corpus has
+    no digits so the policy here scrubs a term list). Per-lang: docs touched,
+    total matches, and an ORDER-INDEPENDENT mergeable checksum of the redacted
+    text (sum of md5-prefix per doc) — checksum instead of concatenation so
+    the reduction stays a partial-agg + tiny groupby, never a per-lang gather
+    of the corpus. Vectorized via polars count_matches/replace_all."""
+    from ray.data.aggregate import Sum
+
+    pat = r"\b(key|hash|value)\b"
+    ds = _tbl(sf_dir, "documents", columns=["lang", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        import polars as pl
+
+        s = pl.from_arrow(b["text"])
+        n_hits = s.str.count_matches(pat).cast(pl.Int64).to_numpy()
+        red = s.str.replace_all(pat, "<SECRET>")
+        check = np.fromiter(
+            (int(hashlib.md5(x.encode()).hexdigest()[:12], 16) for x in red),
+            dtype=np.int64,
+            count=len(red),
+        )
+        t = pa.table(
+            {
+                "lang": b["lang"],
+                "one": pa.array(np.ones(len(red), np.int64)),
+                "hit": pa.array((n_hits > 0).astype(np.int64)),
+                "n_hits": pa.array(n_hits),
+                "check": pa.array(check),
+            }
+        )
+        return _partial(
+            t,
+            ["lang"],
+            [("one", "sum"), ("hit", "sum"), ("n_hits", "sum"), ("check", "sum")],
+        )
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("one_sum", alias_name="n_docs"),
+            Sum("hit_sum", alias_name="n_docs_hit"),
+            Sum("n_hits_sum", alias_name="n_hits"),
+            Sum("check_sum", alias_name="redacted_check"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out[["lang", "n_docs", "n_docs_hit", "n_hits", "redacted_check"]]
+
+
+def q_doc_chunks(sf_dir: str) -> "object":
+    """Training-window chunking: split each doc's token stream into windows of
+    64 tokens at stride 48 (16-token overlap) → one row per chunk. The
+    sequence-packing prep step of an LLM data pipeline. Stateless flat-map, no
+    shuffle; chunk emission is numpy offset arithmetic over the batch's flat
+    token array (np.repeat / reduceat shapes), not a per-doc Python loop."""
+    W, S = 64, 48
+    ds = _tbl(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") < 100),
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        toks = pl.from_arrow(b["text"]).str.split(" ")
+        lens = toks.list.len().cast(pl.Int64).to_numpy()
+        flat = toks.explode().to_numpy()  # all tokens, batch-flat
+        doc_off = np.concatenate(([0], np.cumsum(lens)))
+        doc_ids = b["doc_id"].to_numpy()
+        n_chunks = (lens + S - 1) // S  # DuckDB generate_series(1, len, 48)
+        rep_doc = np.repeat(np.arange(len(lens)), n_chunks)
+        # chunk_idx within doc: global arange minus each doc's first position
+        first = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+        cidx = np.arange(rep_doc.size) - first[rep_doc]
+        start = cidx * S  # token offset of chunk within doc
+        n_tok = np.minimum(W, lens[rep_doc] - start)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[rep_doc], pa.int64()),
+                "chunk_idx": pa.array(cidx, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "first_token": pa.array(flat[doc_off[rep_doc] + start], pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 8-gram with a
+    held-out benchmark set (docs 0-4) — the standard eval-leak scrub of an LLM
+    data pipeline. The benchmark's 8-grams broadcast ONCE (ray.put, tiny by
+    definition); each batch tokenizes, integer-codes its vocab (np.unique),
+    maps benchmark tokens through the same coding (absent token ⇒ gram can't
+    match), and tests all sliding windows at once via a packed void-view
+    np.isin — exact string-gram membership, zero per-row Python, no shuffle.
+    Per-lang partial counts reduce through a tiny groupby."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    N = 8
+    bench_t = pq.read_table(
+        _pq(sf_dir, "documents"), columns=["text"], filters=[("doc_id", "<", 5)]
+    )
+    bench_grams = set()
+    for txt in bench_t["text"].to_pylist():
+        tk = txt.split(" ")
+        for i in range(max(0, len(tk) - N + 1)):
+            bench_grams.add(tuple(tk[i : i + N]))
+    bench_ref = _ray.put(sorted(bench_grams))
+
+    def f(b: pa.Table, _ref=bench_ref) -> pa.Table:
+        import polars as pl
+
+        bench = _ray.get(_ref)  # zero-copy-ish plasma read, once per task
+        toks = pl.from_arrow(b["text"]).str.split(" ")
+        lens = toks.list.len().cast(pl.Int64).to_numpy()
+        flat = toks.explode().to_numpy().astype(object)
+        vocab, codes = np.unique(flat.astype(str), return_inverse=True)
+        codes = codes.astype(np.int32)
+        # benchmark grams → batch-local codes; grams with unseen tokens drop
+        bt = np.asarray([t for g in bench for t in g], dtype=str)
+        pos = np.searchsorted(vocab, bt)
+        pos_ok = (pos < len(vocab)) & (vocab[np.minimum(pos, len(vocab) - 1)] == bt)
+        bcodes = np.where(pos_ok, pos, -1).astype(np.int32).reshape(-1, N)
+        bcodes = bcodes[(bcodes >= 0).all(axis=1)]
+        doc_off = np.concatenate(([0], np.cumsum(lens)))
+        hits_per_doc = np.zeros(len(lens), dtype=np.int64)
+        if len(bcodes) and len(codes) >= N:
+            win = np.lib.stride_tricks.sliding_window_view(codes, N)
+            vv = np.ascontiguousarray(win).view(f"V{4 * N}").ravel()
+            bv = np.ascontiguousarray(bcodes).view(f"V{4 * N}").ravel()
+            hit = np.isin(vv, bv)
+            # windows crossing doc boundaries are invalid: keep only windows
+            # starting in [doc_off[d], doc_off[d] + max(len-7, 0))
+            n_valid = np.maximum(lens - (N - 1), 0)
+            starts = doc_off[:-1]
+            valid = np.zeros(len(vv) + 1, dtype=np.int64)
+            np.add.at(valid, np.minimum(starts, len(vv)), 1)
+            np.add.at(valid, np.minimum(starts + n_valid, len(vv)), -1)
+            in_doc = np.cumsum(valid[:-1]) > 0
+            hit &= in_doc
+            seg = np.minimum(starts, max(len(vv) - 1, 0))
+            hits_per_doc = np.add.reduceat(hit.astype(np.int64), seg)
+            hits_per_doc[n_valid == 0] = 0
+        mask = b["doc_id"].to_numpy() >= 5
+        t = pa.table(
+            {
+                "lang": b["lang"].filter(pa.array(mask)),
+                "one": pa.array(np.ones(int(mask.sum()), np.int64)),
+                "contam": pa.array((hits_per_doc[mask] > 0).astype(np.int64)),
+                "w": pa.array(hits_per_doc[mask]),
+            }
+        )
+        return _partial(t, ["lang"], [("one", "sum"), ("contam", "sum"), ("w", "sum")])
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("one_sum", alias_name="n_docs"),
+            Sum("contam_sum", alias_name="n_contaminated"),
+            Sum("w_sum", alias_name="n_hit_windows"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out[["lang", "n_docs", "n_contaminated", "n_hit_windows"]]
+
+
 # ----------------------------------------------------------- registry --------
 
 QUERIES = {
@@ -2876,9 +3061,43 @@ QUERIES = {
     "group_quantiles": q_group_quantiles,
     "heavy_hitters": q_heavy_hitters,
     "bloom_semi_join": q_bloom_semi_join,
+    "doc_redacted": q_doc_redacted,
+    "doc_chunks": q_doc_chunks,
+    "decontaminate_docs": q_decontaminate_docs,
 }
 
 ORACLE_SQL = {
+    "doc_redacted": (
+        "SELECT lang, COUNT(*) AS n_docs,"
+        " SUM(CASE WHEN regexp_matches(text, '\\b(key|hash|value)\\b') THEN 1 ELSE 0 END)::BIGINT"
+        "   AS n_docs_hit,"
+        " SUM(len(regexp_extract_all(text, '\\b(key|hash|value)\\b')))::BIGINT AS n_hits,"
+        " SUM(('0x' || substr(md5(regexp_replace(text, '\\b(key|hash|value)\\b',"
+        "   '<SECRET>', 'g')), 1, 12))::BIGINT)::BIGINT AS redacted_check"
+        " FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    "doc_chunks": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
+        "   FROM documents WHERE doc_id < 100),"
+        " idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 48)) AS i FROM toks)"
+        " SELECT doc_id, ((i - 1) // 48)::BIGINT AS chunk_idx,"
+        " len(t[i:i+63])::BIGINT AS n_tokens, t[i] AS first_token"
+        " FROM idx ORDER BY doc_id, chunk_idx"
+    ),
+    "decontaminate_docs": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),"
+        " idx AS (SELECT doc_id, t,"
+        "   unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i FROM toks),"
+        " ng AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g FROM idx),"
+        " bench AS (SELECT DISTINCT g FROM ng WHERE doc_id < 5),"
+        " hits AS (SELECT ng.doc_id, COUNT(*) AS w FROM ng JOIN bench USING (g)"
+        "   WHERE ng.doc_id >= 5 GROUP BY ng.doc_id)"
+        " SELECT d.lang, COUNT(*) AS n_docs,"
+        " SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,"
+        " COALESCE(SUM(h.w), 0)::BIGINT AS n_hit_windows"
+        " FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+        " WHERE d.doc_id >= 5 GROUP BY d.lang ORDER BY d.lang"
+    ),
     "doc_repetition": (
         "SELECT doc_id,"
         " len(string_split(text, ' '))::BIGINT AS n_tokens,"
