@@ -2994,6 +2994,216 @@ def q_decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     return out[["lang", "n_docs", "n_contaminated", "n_hit_windows"]]
 
 
+# --------------------- batch-2 extensions: skyline / mode / entropy / hhi ----
+
+
+def q_skyline_orders(sf_dir: str) -> pd.DataFrame:
+    """Pareto skyline of orders (maximize o_totalprice, minimize o_orderdate):
+    an order is on the frontier iff no other order has strictly better one
+    dimension and at-least-as-good the other. Distributed shape: each block
+    computes its LOCAL skyline vectorized (sort by price desc + prefix-min of
+    date over strictly-higher price classes — O(n log n), no pairwise loop);
+    the global skyline of the union of local skylines equals the global
+    skyline (dominance is transitive), so the driver merges only
+    frontier-sized partials."""
+
+    def _local_skyline(price: np.ndarray, date: np.ndarray) -> np.ndarray:
+        """boolean keep-mask; dominated iff minDate(price' > price) <= date
+        OR minDate(price' == price) < date."""
+        order = np.lexsort((date, -price))
+        ps, ds_ = price[order], date[order]
+        new_grp = np.concatenate(([True], ps[1:] != ps[:-1]))
+        grp_id = np.cumsum(new_grp) - 1
+        grp_start = np.flatnonzero(new_grp)
+        grp_min = ds_[grp_start]  # date asc within a price class
+        prev_min = np.concatenate(
+            ([np.iinfo(np.int64).max], np.minimum.accumulate(grp_min)[:-1])
+        )
+        dominated = (prev_min[grp_id] <= ds_) | (grp_min[grp_id] < ds_)
+        keep = np.zeros(len(price), dtype=bool)
+        keep[order] = ~dominated
+        return keep
+
+    ds = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def f(b: pa.Table) -> pa.Table:
+        keep = _local_skyline(
+            b["o_totalprice"].to_numpy(), b["o_orderdate"].to_numpy().astype(np.int64)
+        )
+        return b.filter(pa.array(keep))
+
+    part = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    keep = _local_skyline(
+        part["o_totalprice"].to_numpy(),
+        part["o_orderdate"].to_numpy().astype(np.int64),
+    )
+    out = part[keep].sort_values("o_totalprice", ascending=False).reset_index(drop=True)
+    return out[["o_orderkey", "o_totalprice", "o_orderdate"]]
+
+
+def q_user_top_event(sf_dir: str) -> "object":
+    """mode per group: each user's most frequent event type (count desc,
+    event_type asc tiebreak). Partial (user,type) counts inside map_batches →
+    groupby sum → bucket-by-user-hash shuffle → ONE segmented argmax scan per
+    bucket (sort + first-per-user), not a pandas frame per user."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(
+        sf_dir,
+        "events",
+        columns=["user_id", "event_type"],
+        filter=(pc.field("user_id") < 100),
+    )
+
+    counts = (
+        ds.map_batches(
+            lambda b: _partial(b, ["user_id", "event_type"], [([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("count_all", alias_name="n"))
+    )
+
+    def top_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n", "event_type"], ascending=[True, False, True])
+        first = np.concatenate(
+            ([True], g["user_id"].to_numpy()[1:] != g["user_id"].to_numpy()[:-1])
+        )
+        return g[first][["user_id", "event_type", "n"]]
+
+    return (
+        counts.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(top_seg, batch_format="pandas")
+    )
+
+
+def q_events_entropy_by_day(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy (base 2) of the event-type mix per day — drift
+    monitoring over a stream. Distributed (day,type) partial counts; the
+    entropy itself is computed on the tiny counts table (days × types)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["ts", "event_type"])
+
+    def f(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        t = pa.table({"day": day, "event_type": b["event_type"]})
+        return _partial(t, ["day", "event_type"], [([], "count_all")])
+
+    counts = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    total = counts.groupby("day")["n"].transform("sum")
+    p = counts["n"] / total
+    counts["h_term"] = -p * np.log2(p)
+    out = (
+        counts.groupby("day")
+        .agg(h=("h_term", "sum"), n=("n", "sum"))
+        .reset_index()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    out["h"] = out["h"].round(6)
+    return out[["day", "h", "n"]]
+
+
+def q_argmax_events(sf_dir: str) -> pd.DataFrame:
+    """arg_max per group: for each event type, the max value and the smallest
+    event_id attaining it. Per-batch partial (type, max, argmin-id-at-max)
+    rows; merge is a tiny per-type reduction — exact because no arithmetic
+    touches the compared doubles."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def f(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        mx = df.groupby("event_type")["value"].transform("max")
+        at = df[df["value"] == mx]
+        out = (
+            at.groupby("event_type")
+            .agg(max_value=("value", "max"), argmax_event_id=("event_id", "min"))
+            .reset_index()
+        )
+        return out
+
+    parts = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    mx = parts.groupby("event_type")["max_value"].transform("max")
+    at = parts[parts["max_value"] == mx]
+    out = (
+        at.groupby("event_type")
+        .agg(max_value=("max_value", "max"), argmax_event_id=("argmax_event_id", "min"))
+        .reset_index()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return out[["event_type", "max_value", "argmax_event_id"]]
+
+
+def q_revenue_hhi(sf_dir: str) -> pd.DataFrame:
+    """Market-concentration (Herfindahl) of customer revenue within each
+    nation: HHI = Σ(share²) over a nation's customers. Two-level aggregate:
+    per-customer revenue (partial agg + groupby on the fact), then broadcast
+    cust→nation dim and reduce Σrev, Σrev² per nation — the division happens
+    on nation-count-sized rows only."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    cust = _dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nk = nation.column("n_nationkey").to_numpy()
+    order = np.argsort(nk)
+    names = nation.column("n_name").take(pa.array(order))
+    pos = np.searchsorted(nk[order], cust.column("c_nationkey").to_numpy())
+    dim = pa.table(
+        {"o_custkey": cust["c_custkey"], "n_name": names.take(pa.array(pos, pa.int64()))}
+    )
+
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust_rev = (
+        ds.map_batches(
+            lambda b: _partial(b, ["o_custkey"], [("o_totalprice", "sum")]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice_sum", alias_name="rev"))
+    )
+    joined = broadcast_join(cust_rev, dim, "o_custkey", ["n_name"])
+
+    def f(b: pa.Table) -> pa.Table:
+        rev = b["rev"].to_numpy()
+        t = pa.table(
+            {
+                "n_name": b["n_name"],
+                "rev": b["rev"],
+                "rev_sq": pa.array(rev * rev, pa.float64()),
+                "one": pa.array(np.ones(len(rev), np.int64)),
+            }
+        )
+        return _partial(
+            t, ["n_name"], [("rev", "sum"), ("rev_sq", "sum"), ("one", "sum")]
+        )
+
+    out = (
+        joined.map_batches(f, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("rev_sum", alias_name="t"),
+            Sum("rev_sq_sum", alias_name="sq"),
+            Sum("one_sum", alias_name="n_customers"),
+        )
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    out["total_rev"] = out["t"].round(2)
+    out["hhi"] = (out["sq"] / (out["t"] * out["t"])).round(6)
+    return out[["n_name", "n_customers", "total_rev", "hhi"]]
+
+
 # ----------------------------------------------------------- registry --------
 
 QUERIES = {
@@ -3064,9 +3274,50 @@ QUERIES = {
     "doc_redacted": q_doc_redacted,
     "doc_chunks": q_doc_chunks,
     "decontaminate_docs": q_decontaminate_docs,
+    "skyline_orders": q_skyline_orders,
+    "user_top_event": q_user_top_event,
+    "events_entropy_by_day": q_events_entropy_by_day,
+    "argmax_events": q_argmax_events,
+    "revenue_hhi": q_revenue_hhi,
 }
 
 ORACLE_SQL = {
+    "skyline_orders": (
+        "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o"
+        " WHERE NOT EXISTS (SELECT 1 FROM orders q WHERE"
+        "  (q.o_totalprice > o.o_totalprice AND q.o_orderdate <= o.o_orderdate) OR"
+        "  (q.o_totalprice >= o.o_totalprice AND q.o_orderdate < o.o_orderdate))"
+        " ORDER BY o_totalprice DESC"
+    ),
+    "user_top_event": (
+        "SELECT user_id, event_type, n FROM ("
+        " SELECT user_id, event_type, COUNT(*) AS n,"
+        "  ROW_NUMBER() OVER (PARTITION BY user_id"
+        "   ORDER BY COUNT(*) DESC, event_type) AS rn"
+        " FROM events WHERE user_id < 100 GROUP BY user_id, event_type) t"
+        " WHERE rn = 1 ORDER BY user_id"
+    ),
+    "events_entropy_by_day": (
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, ROUND(entropy(event_type), 6) AS h,"
+        " COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "argmax_events": (
+        "SELECT e.event_type, m.max_value, MIN(e.event_id) AS argmax_event_id"
+        " FROM events e JOIN (SELECT event_type, MAX(value) AS max_value"
+        "   FROM events GROUP BY event_type) m"
+        " ON e.event_type = m.event_type AND e.value = m.max_value"
+        " GROUP BY e.event_type, m.max_value ORDER BY e.event_type"
+    ),
+    "revenue_hhi": (
+        "WITH cr AS (SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders"
+        "   GROUP BY o_custkey),"
+        " j AS (SELECT n.n_name, cr.rev FROM cr"
+        "   JOIN customer c ON cr.o_custkey = c.c_custkey"
+        "   JOIN nation n ON c.c_nationkey = n.n_nationkey)"
+        " SELECT n_name, COUNT(*) AS n_customers, ROUND(SUM(rev), 2) AS total_rev,"
+        " ROUND(SUM(rev * rev) / (SUM(rev) * SUM(rev)), 6) AS hhi"
+        " FROM j GROUP BY n_name ORDER BY n_name"
+    ),
     "doc_redacted": (
         "SELECT lang, COUNT(*) AS n_docs,"
         " SUM(CASE WHEN regexp_matches(text, '\\b(key|hash|value)\\b') THEN 1 ELSE 0 END)::BIGINT"
