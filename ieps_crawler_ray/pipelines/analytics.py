@@ -3204,6 +3204,206 @@ def q_revenue_hhi(sf_dir: str) -> pd.DataFrame:
     return out[["n_name", "n_customers", "total_rev", "hhi"]]
 
 
+# -------------------- batch-3: packing / global-rank ntile / tf-idf ----------
+
+
+def q_token_packing(sf_dir: str) -> "object":
+    """Concat-and-split sequence packing (the GPT-style training layout): all
+    docs' tokens concatenated in doc_id order, cut into fixed 512-token
+    windows → per-window doc count + first doc. Needs a GLOBAL prefix sum
+    over doc order — done as the standard distributed two-pass scan: (1) one
+    pass computes per-doc token counts and per-RANGE-BUCKET sums (doc_id//500
+    — contiguous in doc order), (2) the driver cumsums the bucket-count-sized
+    sums into bucket offsets, (3) a bucket-partitioned second pass sorts
+    within its bucket and emits each doc's window span vectorized. Window
+    partials merge through a tiny groupby. The counts table materializes once
+    (doc-level scalars, ~10⁻⁴ of corpus bytes); only bucket sums reach the
+    driver."""
+    from ray.data.aggregate import Min, Sum
+
+    W, D = 512, 500
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_f(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        n = pl.from_arrow(b["text"]).str.split(" ").list.len().cast(pl.Int64).to_numpy()
+        bk = b["doc_id"].to_numpy() // D
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n": pa.array(n, pa.int64()),
+                "bk": pa.array(bk, pa.int64()),
+            }
+        )
+
+    counts = ds.map_batches(count_f, batch_format="pyarrow").materialize()
+    bsums = (
+        counts.map_batches(
+            lambda b: _partial(b.select(["bk", "n"]), ["bk"], [("n", "sum")]),
+            batch_format="pyarrow",
+        )
+        .groupby("bk")
+        .aggregate(Sum("n_sum", alias_name="s"))
+        .to_pandas()
+        .sort_values("bk")
+    )
+    off = dict(
+        zip(
+            bsums["bk"].astype(int),
+            np.concatenate(([0], np.cumsum(bsums["s"].to_numpy())[:-1])),
+        )
+    )
+
+    def win_f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        n = g["n"].to_numpy()
+        start = off[int(g["bk"].iloc[0])] + np.concatenate(([0], np.cumsum(n)[:-1]))
+        first_w = start // W
+        last_w = (start + n - 1) // W
+        reps = (last_w - first_w + 1).astype(np.int64)
+        rep_off = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        win = np.repeat(first_w, reps) + (np.arange(reps.sum()) - np.repeat(rep_off, reps))
+        docv = np.repeat(g["doc_id"].to_numpy(), reps)
+        keep = win < 50
+        df = pd.DataFrame({"win_id": win[keep], "doc_id": docv[keep]})
+        return (
+            df.groupby("win_id")
+            .agg(n_docs=("doc_id", "size"), first_doc_id=("doc_id", "min"))
+            .reset_index()
+        )
+
+    return (
+        counts.groupby("bk")
+        .map_groups(win_f, batch_format="pandas")
+        .groupby("win_id")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("first_doc_id", alias_name="first_doc_id"),
+        )
+    )
+
+
+def q_ntile_orders(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) by (o_totalprice, o_orderkey) — an exact GLOBAL-RANK window
+    without a global sort: (1) a coarse value-range histogram (price//10000,
+    bounded bucket count) reduces to the driver, (2) the driver cumsums it
+    into per-bucket rank offsets, (3) a bucket-partitioned pass sorts within
+    each bucket (ranges are disjoint and ordered, so bucket offset + local
+    index IS the global rank) and maps ranks to NTILE's first-tiles-bigger
+    split. Only histogram-sized state ever leaves the workers."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    B = 10_000.0
+
+    def add_bk(b: pa.Table) -> pa.Table:
+        bk = np.floor(b["o_totalprice"].to_numpy() / B).astype(np.int64)
+        return b.append_column("bk", pa.array(bk, pa.int64()))
+
+    hist = (
+        ds.map_batches(add_bk, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _partial(
+                b.append_column("one", pa.array(np.ones(len(b), np.int64))).select(
+                    ["bk", "one"]
+                ),
+                ["bk"],
+                [("one", "sum")],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bk")
+        .aggregate(Sum("one_sum", alias_name="c"))
+        .to_pandas()
+        .sort_values("bk")
+    )
+    total = int(hist["c"].sum())
+    offs = dict(
+        zip(
+            hist["bk"].astype(int),
+            np.concatenate(([0], np.cumsum(hist["c"].to_numpy())[:-1])),
+        )
+    )
+    base, rem = divmod(total, 4)
+    sizes = np.array([base + (1 if i < rem else 0) for i in range(4)])
+    tile_start = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+
+    def tile_f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"])
+        rank = offs[int(g["bk"].iloc[0])] + np.arange(len(g))
+        tile = np.searchsorted(tile_start, rank, side="right")
+        return (
+            pd.DataFrame({"tile": tile, "price": g["o_totalprice"].to_numpy()})
+            .groupby("tile")
+            .agg(n=("price", "size"), total=("price", "sum"))
+            .reset_index()
+        )
+
+    out = (
+        ds.map_batches(add_bk, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(tile_f, batch_format="pandas")
+        .groupby("tile")
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="t"))
+        .to_pandas()
+        .sort_values("tile")
+        .reset_index(drop=True)
+    )
+    out["total"] = out["t"].round(2)
+    out["tile"] = out["tile"].astype(np.int64)
+    return out[["tile", "n", "total"]]
+
+
+def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """TF-IDF scores of one doc's terms against corpus document frequency:
+    tf(term, doc 0) × ln(N / df(term)). The query doc reads via parquet
+    filter pushdown (row-sized); its term set broadcasts in the closure so
+    the distributed DF pass counts ONLY those terms (per-batch per-doc
+    distinct inside map_batches, partial counts through a tiny groupby)."""
+    from ray.data.aggregate import Sum
+
+    doc0 = pq.read_table(
+        _pq(sf_dir, "documents"), columns=["text"], filters=[("doc_id", "=", 0)]
+    )["text"].to_pylist()[0]
+    tf = pd.Series(doc0.split(" ")).value_counts()
+    terms = frozenset(tf.index)
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_f(b: pa.Table, _terms=terms) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(b["text"]).str.split(" ")
+        ex = pl.DataFrame(
+            {"doc": np.repeat(np.arange(len(s)), s.list.len().to_numpy()), "tok": s.explode()}
+        ).unique()
+        ex = ex.filter(pl.col("tok").is_in(list(_terms)))
+        t = pa.table(
+            {
+                "token": pa.array(ex["tok"].to_numpy(), pa.string()),
+                "one": pa.array(np.ones(len(ex), np.int64)),
+            }
+        )
+        return _partial(t, ["token"], [("one", "sum")])
+
+    dfc = (
+        ds.map_batches(df_f, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("one_sum", alias_name="df"))
+        .to_pandas()
+    )
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    dfc["tf"] = dfc["token"].map(tf).astype(np.int64)
+    dfc["score"] = (dfc["tf"] * np.log(n_docs / dfc["df"])).round(6)
+    out = (
+        dfc.sort_values(["score", "token"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return out[["token", "tf", "df", "score"]]
+
+
 # ----------------------------------------------------------- registry --------
 
 QUERIES = {
@@ -3279,9 +3479,38 @@ QUERIES = {
     "events_entropy_by_day": q_events_entropy_by_day,
     "argmax_events": q_argmax_events,
     "revenue_hhi": q_revenue_hhi,
+    "token_packing": q_token_packing,
+    "ntile_orders": q_ntile_orders,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLE_SQL = {
+    "token_packing": (
+        "WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n"
+        "   FROM documents),"
+        " c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id)::BIGINT AS cum FROM t),"
+        " w AS (SELECT doc_id,"
+        "   unnest(generate_series((cum - n) // 512, (cum - 1) // 512)) AS win_id FROM c)"
+        " SELECT win_id, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id"
+        " FROM w WHERE win_id < 50 GROUP BY win_id ORDER BY win_id"
+    ),
+    "ntile_orders": (
+        "SELECT tile, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total FROM"
+        " (SELECT NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile,"
+        "   o_totalprice FROM orders) t"
+        " GROUP BY tile ORDER BY tile"
+    ),
+    "tfidf_top_terms": (
+        "WITH df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM"
+        "   (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)"
+        "   GROUP BY token),"
+        " nn AS (SELECT COUNT(*) AS n FROM documents),"
+        " tf AS (SELECT token, COUNT(*) AS tf FROM"
+        "   (SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+        "    WHERE doc_id = 0) GROUP BY token)"
+        " SELECT tf.token, tf.tf, df.df, ROUND(tf.tf * ln(nn.n / df.df), 6) AS score"
+        " FROM tf JOIN df USING (token), nn ORDER BY score DESC, tf.token LIMIT 10"
+    ),
     "skyline_orders": (
         "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o"
         " WHERE NOT EXISTS (SELECT 1 FROM orders q WHERE"
