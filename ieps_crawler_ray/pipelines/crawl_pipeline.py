@@ -464,8 +464,75 @@ def q_crawl_audit(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)[["check", "passed", "detail"]]
 
 
+class ThumbnailImages:
+    """Actor-pool resize stage (the brief's multimodal resize op): decode →
+    block-mean 32×32 thumbnail → luma + checksum per image. Decode/resize
+    dispatch state warms once per actor; batches stay small because the input
+    rows carry the full binary payload."""
+
+    def __init__(self):
+        from ..functions.hashing import _dct_matrix
+
+        _dct_matrix(32)  # shared warm-up path with the verify stage
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import hashlib
+
+        from ..functions.media import resize_block_mean
+
+        fmts = b["fmt"].to_pylist()
+        blobs = b["bytes"].to_pylist()
+        luma = np.zeros(len(blobs), dtype=np.int64)
+        check = np.zeros(len(blobs), dtype=np.int64)
+        for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
+            thumb = resize_block_mean(decode_image(blob, fmt), 32, 32)
+            luma[i] = int(thumb.mean())
+            check[i] = int(hashlib.md5(thumb.tobytes()).hexdigest()[:12], 16)
+        t = pa.table(
+            {
+                "fmt": b["fmt"],
+                "one": pa.array(np.ones(len(blobs), np.int64)),
+                "luma": pa.array(luma),
+                "check": pa.array(check),
+            }
+        )
+        return t.group_by(["fmt"]).aggregate(
+            [("one", "sum"), ("luma", "sum"), ("check", "sum")]
+        )
+
+
+def q_image_thumbnails(sf_dir: str) -> pd.DataFrame:
+    """corpus → actor-pool decode+resize → per-fmt thumbnail stats (n, mean
+    luma sum, order-independent checksum). Rows-only for the driver;
+    golden-pinned at sf0.001 in tests/test_golden_values.py."""
+    from ray.data.aggregate import Sum
+
+    spec = _spec_for_sf(sf_dir)
+    path = _corpus(spec)
+    ds = lt.read_dataset(path, columns=["image_id", "bytes", "fmt"])
+    out = (
+        ds.map_batches(
+            ThumbnailImages,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=_pool(),
+        )
+        .groupby("fmt")
+        .aggregate(
+            Sum("one_sum", alias_name="n"),
+            Sum("luma_sum", alias_name="luma_total"),
+            Sum("check_sum", alias_name="thumb_check"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    return out[["fmt", "n", "luma_total", "thumb_check"]]
+
+
 QUERIES = {
     "image_verify": q_image_verify,
+    "image_thumbnails": q_image_thumbnails,
     "crawl_audit": q_crawl_audit,
     "crawl_pages": q_crawl_pages,
     "crawl_order": q_crawl_order,

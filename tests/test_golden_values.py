@@ -33,6 +33,7 @@ GOLDEN = {
     "crawl_images_verify": (2, "cf4a0419e39ea28c9151f58aa9830a34"),
     "crawl_sitemap_stats": (1, "619f9eb4b85d0e1bb001105132ad6634"),
     "image_verify": (2, "00c87b6b75fab4c968b1a72a8f3dc7c8"),
+    "image_thumbnails": (2, "863a5a5e1bfd809635feb97d9d066731"),
     "crawl_audit": (9, "29b98f6a71a39653eb67f29e789b27d1"),
     # sketch estimate (deterministic seed; accuracy separately tolerance-gated
     # vs exact distinct in test_analytics_extra)
