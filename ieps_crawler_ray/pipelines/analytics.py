@@ -3404,6 +3404,229 @@ def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     return out[["token", "tf", "df", "score"]]
 
 
+# ------------- batch-4: simhash-LSH pairs / LEAD transitions / Q3 / corr -----
+
+
+def q_simhash_neardup_pairs(sf_dir: str) -> "object":
+    """SimHash near-duplicate PAIRS (hamming ≤ 3) via banded LSH: 4 bands of
+    16 bits — pigeonhole-exact for the threshold (≤3 differing bits leave ≥1
+    band equal), so candidate generation is a bucket groupby, never all-pairs.
+    In-bucket pair emission is capped (band_key_cap analogue) and the exact
+    hamming verify runs vectorized inside the group; cross-band duplicates
+    collapse through a fixed-count pair-hash bucket + drop_duplicates.
+    Rows-only for the driver; brute-force-equality unit test + golden pin."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    T = 3
+    # opt-in band-run flood guard (crawl band_key_cap analogue): 0 = exact.
+    # In-band emission is O(run²) by nature of LSH; the guard bounds a
+    # pathological band at the cost of recall, and stays off in the gates.
+    CAP = int(os.environ.get("IEPS_SIMHASH_BAND_CAP", "0") or 0)
+
+    def sig_f(b: pa.Table) -> pa.Table:
+        toks = [sorted(set(t.split())) for t in b["text"].to_pylist()]
+        sh = hashing.simhash64(toks).astype(np.int64)
+        ids = b["doc_id"].to_numpy()
+        n = len(ids)
+        h = sh.view(np.uint64)
+        keys = np.concatenate(
+            [
+                np.int64(k) * np.int64(1 << 16)
+                + ((h >> np.uint64(16 * k)) & np.uint64(0xFFFF)).astype(np.int64)
+                for k in range(4)
+            ]
+        )
+        return pa.table(
+            {
+                "bk_key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+                "simhash": pa.array(np.tile(sh, 4), pa.int64()),
+            }
+        )
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        if CAP:
+            g = g.head(CAP)
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy().view(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = hashing.hamming64(sh[ia], sh[ib]).astype(np.int64)
+        keep = ham <= T
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]}
+        )
+
+    N_PB = 64
+
+    def add_pb(b: pa.Table) -> pa.Table:
+        key = b["id_a"].to_numpy().astype(np.uint64) * np.uint64(1_000_003) + b[
+            "id_b"
+        ].to_numpy().astype(np.uint64)
+        return b.append_column("pb", pa.array((key % np.uint64(N_PB)).astype(np.int32)))
+
+    return (
+        ds.map_batches(sig_f, batch_format="pyarrow")
+        .groupby("bk_key")
+        .map_groups(emit, batch_format="pandas")
+        .map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", "hamming"]],
+            batch_format="pandas",
+        )
+    )
+
+
+def q_markov_transitions(sf_dir: str) -> "object":
+    """Per-user event-type transition counts (the LEAD/LAG window as a Markov
+    chain estimate): bucket-by-user-hash shuffle, sort within bucket, ONE
+    segmented shift — consecutive rows of the same user give (prev → next)
+    pairs — then partial counts through a 25-row groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def trans_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        df = pd.DataFrame({"prev_type": et[:-1][same], "next_type": et[1:][same]})
+        return df.groupby(["prev_type", "next_type"]).size().rename("n").reset_index()
+
+    return (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(trans_seg, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: top-10 orders by pending revenue for one market
+    segment. The segment's customer keys broadcast as a semi-join set (dim
+    sized); lineitem pre-aggregates per order AFTER the shipdate filter so
+    the hash join moves one row per order; top-k is per-batch partial + a
+    10-row driver merge."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    import datetime as _dt
+
+    cutoff = _dt.datetime(1997, 1, 1)
+    cust = pq.read_table(
+        _pq(sf_dir, "customer"),
+        columns=["c_custkey"],
+        filters=[("c_mktsegment", "=", "AUTOMOBILE")],
+    )["c_custkey"].to_numpy()
+    cust_ref = _ray.put(np.sort(cust))
+
+    li = _tbl(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") > pc.scalar(cutoff)),
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        return _partial(t, ["l_orderkey"], [("rev", "sum")])
+
+    li_agg = (
+        li.map_batches(li_prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_sum", alias_name="rev"))
+    )
+
+    orders = _tbl(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < pc.scalar(cutoff)),
+    )
+
+    def cust_filter(b: pa.Table, _ref=cust_ref) -> pa.Table:
+        keys = _ray.get(_ref)
+        v = b["o_custkey"].to_numpy()
+        pos = np.searchsorted(keys, v)
+        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == v)
+        return b.filter(pa.array(hit))
+
+    joined = li_agg.join(
+        orders.map_batches(cust_filter, batch_format="pyarrow"),
+        "inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def topk(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["revenue"] = df["rev"]
+        return df.sort_values(
+            ["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
+        ).head(10)[["l_orderkey", "revenue", "o_orderdate"]]
+
+    parts = joined.map_batches(topk, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(
+            ["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
+        )
+        .head(10)
+        .reset_index(drop=True)
+    )
+    out["revenue"] = out["revenue"].round(4)
+    return out[["l_orderkey", "revenue", "o_orderdate"]]
+
+
+def q_orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
+    """Correlated-subquery shape: orders priced above their own customer's
+    average, counted by status. Two-level plan: per-customer (sum, count)
+    partials → customer-keyed aggregate → hash join BACK onto the fact →
+    vectorized filter → tiny status groupby. The join ships one row per
+    customer, not a correlated rescan."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderstatus"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({"ck": b["o_custkey"], "p": b["o_totalprice"]})
+        return _partial(t, ["ck"], [("p", "sum"), ([], "count_all")])
+
+    ca = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("ck")
+        .aggregate(Sum("p_sum", alias_name="s"), Sum("count_all", alias_name="c"))
+    )
+    joined = ds.join(ca, "inner", num_partitions=8, on=("o_custkey",), right_on=("ck",))
+
+    def filt(b: pa.Table) -> pa.Table:
+        avg = b["s"].to_numpy() / b["c"].to_numpy()
+        keep = b["o_totalprice"].to_numpy() > avg
+        t = pa.table({"o_orderstatus": b["o_orderstatus"].filter(pa.array(keep))})
+        return _partial(
+            t.append_column("one", pa.array(np.ones(keep.sum(), np.int64))),
+            ["o_orderstatus"],
+            [("one", "sum")],
+        )
+
+    out = (
+        joined.map_batches(filt, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("one_sum", alias_name="n"))
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    return out[["o_orderstatus", "n"]]
+
+
 # ----------------------------------------------------------- registry --------
 
 QUERIES = {
@@ -3482,9 +3705,36 @@ QUERIES = {
     "token_packing": q_token_packing,
     "ntile_orders": q_ntile_orders,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "markov_transitions": q_markov_transitions,
+    "shipping_priority": q_shipping_priority,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
 }
 
 ORACLE_SQL = {
+    "markov_transitions": (
+        "SELECT prev_type, next_type, COUNT(*) AS n FROM ("
+        " SELECT event_type AS next_type, LAG(event_type) OVER"
+        "  (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events) t"
+        " WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "shipping_priority": (
+        "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,"
+        " o_orderdate"
+        " FROM customer c JOIN orders o ON c_custkey = o_custkey"
+        " JOIN lineitem l ON l_orderkey = o_orderkey"
+        " WHERE c_mktsegment = 'AUTOMOBILE' AND o_orderdate < TIMESTAMP '1997-01-01'"
+        " AND l_shipdate > TIMESTAMP '1997-01-01'"
+        " GROUP BY l_orderkey, o_orderdate"
+        " ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+    ),
+    "orders_above_cust_avg": (
+        "WITH ca AS (SELECT o_custkey, AVG(o_totalprice) AS avg_p FROM orders"
+        "   GROUP BY o_custkey)"
+        " SELECT o.o_orderstatus, COUNT(*) AS n FROM orders o"
+        " JOIN ca ON o.o_custkey = ca.o_custkey"
+        " WHERE o.o_totalprice > ca.avg_p GROUP BY 1 ORDER BY 1"
+    ),
     "token_packing": (
         "WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n"
         "   FROM documents),"

@@ -76,3 +76,28 @@ def test_hll_query_within_tolerance_of_exact(ray_session):
     for et, n in exact.items():
         rel = abs(approx[et] - n) / max(n, 1)
         assert rel < 0.06, (et, approx[et], n)
+
+
+def test_simhash_neardup_pairs_match_brute_force(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ieps_crawler_ray.functions import hashing
+    from ieps_crawler_ray.pipelines.analytics import q_simhash_neardup_pairs
+
+    df = q_simhash_neardup_pairs(SF).to_pandas()
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = [sorted(set(x.split())) for x in t["text"].to_pylist()]
+    sh = hashing.simhash64(toks)
+    ids = t["doc_id"].to_numpy()
+    ia, ib = np.triu_indices(len(ids), k=1)
+    ham = hashing.hamming64(sh[ia], sh[ib])
+    keep = ham <= 3
+    brute = sorted(
+        (int(a), int(b), int(h))
+        for a, b, h in zip(ids[ia[keep]], ids[ib[keep]], ham[keep])
+    )
+    engine = sorted(
+        (int(a), int(b), int(h)) for a, b, h in zip(df.id_a, df.id_b, df.hamming)
+    )
+    assert engine == brute

@@ -19,6 +19,7 @@ SF = "/root/testdata/sf0.001"
 
 GOLDEN = {
     "simhash_docs": (500, "12093212de99c15ef5c6cbbf86905e6d"),
+    "simhash_neardup_pairs": (3297, "2a978bfd2d8c80cff0b284bb1e36ddf4"),
     "doc_fingerprints": (500, "470e41888c3e9ef69cd9d4326d009ff2"),
     "lang_id_docs": (4, "2a9b76c5350bbe019d324476bb4c07cc"),
     "doc_embed_knn": (10, "c4898554b014779e3f112d64ad477365"),
