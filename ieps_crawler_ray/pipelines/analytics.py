@@ -3627,6 +3627,96 @@ def q_orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
     return out[["o_orderstatus", "n"]]
 
 
+# ------------------------ batch-5: JSON extraction / set operations ----------
+
+
+def q_props_k_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` column and
+    aggregate the extracted field per event type. The parse is a vectorized
+    polars ``json_path_match`` inside ``map_batches`` (no per-row Python
+    json.loads); stats reduce as partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "props"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        k = (
+            pl.from_arrow(b["props"])
+            .str.json_path_match("$.k")
+            .cast(pl.Int64)
+            .to_numpy()
+        )
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "one": pa.array(np.ones(len(k), np.int64)),
+                "k": pa.array(k, pa.int64()),
+            }
+        )
+        return _partial(t, ["event_type"], [("one", "sum"), ("k", "sum")])
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("one_sum", alias_name="n"), Sum("k_sum", alias_name="k_sum"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["k_avg"] = (out["k_sum"] / out["n"]).round(6)
+    return out[["event_type", "n", "k_sum", "k_avg"]]
+
+
+def q_user_set_ops(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT / EXCEPT over user sets (clickers vs purchasers) computed in
+    ONE pass: per-batch partial (user, clicked, purchased) flags → user-keyed
+    max-reduce → combination counts. No distinct-set materialization, no
+    second scan — the classic flag-aggregation form of set algebra."""
+    from ray.data.aggregate import Max
+
+    ds = _tbl(
+        sf_dir,
+        "events",
+        columns=["user_id", "event_type"],
+        filter=(pc.field("event_type").isin(["click", "purchase"])),
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "clicked": pa.array((et == "click").astype(np.int64)),
+                "purchased": pa.array((et == "purchase").astype(np.int64)),
+            }
+        )
+        return _partial(t, ["user_id"], [("clicked", "max"), ("purchased", "max")])
+
+    flags = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("clicked_max", alias_name="c"), Max("purchased_max", alias_name="p")
+        )
+    )
+
+    def combo(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy().astype(bool)
+        p = b["p"].to_numpy().astype(bool)
+        return pa.table(
+            {
+                "n_both": pa.array([int((c & p).sum())], pa.int64()),
+                "n_click_only": pa.array([int((c & ~p).sum())], pa.int64()),
+                "n_purchase_only": pa.array([int((~c & p).sum())], pa.int64()),
+            }
+        )
+
+    parts = flags.map_batches(combo, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([parts.sum().astype(np.int64)])
+
+
 # ----------------------------------------------------------- registry --------
 
 QUERIES = {
@@ -3709,9 +3799,29 @@ QUERIES = {
     "markov_transitions": q_markov_transitions,
     "shipping_priority": q_shipping_priority,
     "orders_above_cust_avg": q_orders_above_cust_avg,
+    "props_k_stats": q_props_k_stats,
+    "user_set_ops": q_user_set_ops,
 }
 
 ORACLE_SQL = {
+    "props_k_stats": (
+        "SELECT event_type, COUNT(*) AS n,"
+        " SUM(CAST(props->>'k' AS BIGINT))::BIGINT AS k_sum,"
+        " ROUND(AVG(CAST(props->>'k' AS BIGINT)), 6) AS k_avg"
+        " FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "user_set_ops": (
+        "SELECT"
+        " (SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'click'"
+        "   INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase') t)"
+        "   AS n_both,"
+        " (SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'click'"
+        "   EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase') t)"
+        "   AS n_click_only,"
+        " (SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'purchase'"
+        "   EXCEPT SELECT user_id FROM events WHERE event_type = 'click') t)"
+        "   AS n_purchase_only"
+    ),
     "markov_transitions": (
         "SELECT prev_type, next_type, COUNT(*) AS n FROM ("
         " SELECT event_type AS next_type, LAG(event_type) OVER"
