@@ -3717,6 +3717,245 @@ def q_user_set_ops(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([parts.sum().astype(np.int64)])
 
 
+# ------------------------------------- wave 3: funnel / cohort / IR shapes ---
+
+
+def q_event_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered conversion funnel view → click → purchase with a 24 h window
+    per hop (the sessionized product-analytics shape). One bucket-hash shuffle
+    co-locates each user's history; inside a bucket the three hops are plain
+    vectorized pandas merges on user-level MIN timestamps — no per-user
+    groups. Partials are four counters per bucket; users never span buckets,
+    so the driver-side sum over ≤ _N_UB partial rows is exact."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def funnel_seg(g: pd.DataFrame) -> pd.DataFrame:
+        win = pd.Timedelta(hours=24)
+        v = (
+            g[g["event_type"] == "view"]
+            .groupby("user_id")["ts"]
+            .min()
+            .rename("t_view")
+            .reset_index()
+        )
+        c = g[g["event_type"] == "click"].merge(v, on="user_id")
+        c = c[(c["ts"] > c["t_view"]) & (c["ts"] <= c["t_view"] + win)]
+        c = c.groupby("user_id")["ts"].min().rename("t_click").reset_index()
+        p = g[g["event_type"] == "purchase"].merge(c, on="user_id")
+        p = p[(p["ts"] > p["t_click"]) & (p["ts"] <= p["t_click"] + win)]
+        return pd.DataFrame(
+            [
+                {
+                    "n_users": g["user_id"].nunique(),
+                    "n_view": len(v),
+                    "n_view_click": len(c),
+                    "n_full_funnel": p["user_id"].nunique(),
+                }
+            ]
+        )
+
+    parts = (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(funnel_seg, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame([parts.sum().astype(np.int64)])
+
+
+def q_cohort_retention(sf_dir: str) -> "object":
+    """Cohort retention: users grouped by first-seen day, activity counted at
+    each day offset — COUNT(DISTINCT user) per (cohort_day, day_offset).
+    Scale shape: ONE bucket-hash shuffle on user (first-seen day and the
+    distinct-(user, day) set both resolve locally inside the bucket, so no
+    join-back and no second distinct shuffle); per-bucket partial counts are
+    disjoint in users by construction, so the final (cohort, offset) groupby
+    sums counters only — the classic count-distinct-via-key-partitioning."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cohort_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["day"] = g["ts"].dt.normalize()
+        first = g.groupby("user_id")["day"].min().rename("cohort").reset_index()
+        g = g.merge(first, on="user_id")
+        g["day_offset"] = (g["day"] - g["cohort"]).dt.days.astype("int64")
+        d = g[["user_id", "cohort", "day_offset"]].drop_duplicates()
+        out = d.groupby(["cohort", "day_offset"]).size().rename("n").reset_index()
+        out["cohort_day"] = out["cohort"].dt.strftime("%Y-%m-%d")
+        return out[["cohort_day", "day_offset", "n"]]
+
+    out = (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(cohort_seg, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n", alias_name="n_active"))
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"day_offset": "int64", "n_active": "int64"})
+
+
+def q_copurchase_pairs(sf_dir: str) -> pd.DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs appearing in the same
+    order (the self-join-on-orderkey shape). Scale plan: bucket-hash shuffle
+    on orderkey co-locates each order's items; pair emission is fully
+    vectorized segment arithmetic (repeat/cumsum index math — no per-order
+    loop) over the distinct (order, part) rows sorted within the bucket, with
+    in-bucket partial counts; only (part_a, part_b, n) partials cross the
+    second (pair-keyed) shuffle; top-k is per-batch partial + a 20-row driver
+    merge. O(k²) per order is inherent to the semantics — at 100 TB a cap on
+    basket size k would bound it (documented; exact here to match the SQL)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def with_ob(b: pa.Table) -> pa.Table:
+        ob = (b["l_orderkey"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)).astype(
+            np.int32
+        )
+        return b.append_column("ob", pa.array(ob))
+
+    def pairs_seg(g: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            g[["l_orderkey", "l_partkey"]]
+            .drop_duplicates()
+            .sort_values(["l_orderkey", "l_partkey"], kind="stable")
+        )
+        ok = d["l_orderkey"].to_numpy()
+        pk = d["l_partkey"].to_numpy()
+        n = len(ok)
+        if n == 0:
+            return pd.DataFrame({"part_a": [], "part_b": [], "n": []})
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens)
+        rem = np.repeat(lens, lens) - pos - 1  # pairs where this row is 'a'
+        total = int(rem.sum())
+        if total == 0:
+            return pd.DataFrame({"part_a": [], "part_b": [], "n": []})
+        a_idx = np.repeat(np.arange(n), rem)
+        off = np.arange(total) - np.repeat(np.cumsum(rem) - rem, rem) + 1
+        b_idx = a_idx + off
+        out = pd.DataFrame({"part_a": pk[a_idx], "part_b": pk[b_idx]})
+        return out.groupby(["part_a", "part_b"]).size().rename("n").reset_index()
+
+    pairs = (
+        ds.map_batches(with_ob, batch_format="pyarrow")
+        .groupby("ob")
+        .map_groups(pairs_seg, batch_format="pandas")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["n", "part_a", "part_b"], ascending=[False, True, True]
+        )
+        return pa.Table.from_pandas(df.head(20), preserve_index=False)
+
+    merged = pairs.map_batches(topk, batch_format="pyarrow").to_pandas()
+    merged = merged.sort_values(
+        ["n", "part_a", "part_b"], ascending=[False, True, True]
+    ).head(20)
+    return merged.reset_index(drop=True).astype(
+        {"part_a": "int64", "part_b": "int64", "n": "int64"}
+    )
+
+
+def q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean-embedding (centroid) norm — the vector AGGREGATE shape
+    (vs the per-row reductions of `embedding_norm_stats`): component-wise sums
+    accumulate per label inside each batch on the zero-copy Arrow matrix (one
+    np.add.at over the label-coded rows), so one (label, Σvec, n) partial row
+    per label per batch crosses the shuffle; the final combine touches
+    #labels × #batches tiny rows."""
+    ds = _tbl(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial_sums(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        arr = emb.combine_chunks() if hasattr(emb, "combine_chunks") else emb
+        flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(len(b), -1)
+        labels = b["label"].to_numpy()
+        uniq, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]))
+        np.add.at(sums, codes, mat)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "vsum": pa.array(list(sums)),
+                "n": pa.array(counts),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        vec = np.sum(np.stack(g["vsum"].to_numpy()), axis=0)
+        n = int(g["n"].sum())
+        norm = float(np.sqrt(np.sum((vec / n) ** 2)))
+        return pd.DataFrame(
+            [{"label": g["label"].iloc[0], "centroid_norm": round(norm, 6)}]
+        )
+
+    out = (
+        ds.map_batches(partial_sums, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    return out.astype({"label": "int32"})
+
+
+def q_term_postings(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index build: token → document frequency + posting list
+    (compared as the md5 of the ascending id list, so the gate checks every
+    posting exactly while the result stays result-sized). Per-batch distinct
+    (token, doc_id) bounds the shuffle to the batch vocabulary; the per-token
+    combine sorts its own postings only. At 100 TB postings would be written
+    as a token-partitioned table instead of md5-folded (same plan up to the
+    sink)."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_pairs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        texts = b["text"].to_pylist()
+        toks = [t.split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        flat_ids = np.repeat(ids, lens)
+        flat_tok = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        df = pd.DataFrame({"token": flat_tok, "doc_id": flat_ids}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def agg_tok(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        s = ",".join(str(i) for i in ids)
+        return pd.DataFrame(
+            [
+                {
+                    "token": g["token"].iloc[0],
+                    "df": np.int64(len(ids)),
+                    "postings_md5": hashing.md5_hex([s])[0],
+                }
+            ]
+        )
+
+    out = (
+        ds.map_batches(tok_pairs, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(agg_tok, batch_format="pandas")
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    return out.astype({"df": "int64"})
+
+
 # ----------------------------------------------------------- registry --------
 
 QUERIES = {
@@ -3801,9 +4040,59 @@ QUERIES = {
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "props_k_stats": q_props_k_stats,
     "user_set_ops": q_user_set_ops,
+    "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
+    "copurchase_pairs": q_copurchase_pairs,
+    "label_centroids": q_label_centroids,
+    "term_postings": q_term_postings,
 }
 
 ORACLE_SQL = {
+    "event_funnel": (
+        "WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events"
+        "  WHERE event_type='view' GROUP BY user_id),"
+        " c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e"
+        "  JOIN v ON e.user_id=v.user_id"
+        "  WHERE e.event_type='click' AND e.ts > v.t_view"
+        "   AND e.ts <= v.t_view + INTERVAL 24 HOUR GROUP BY e.user_id),"
+        " p AS (SELECT e.user_id FROM events e JOIN c ON e.user_id=c.user_id"
+        "  WHERE e.event_type='purchase' AND e.ts > c.t_click"
+        "   AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY e.user_id)"
+        " SELECT (SELECT COUNT(DISTINCT user_id) FROM events)::BIGINT AS n_users,"
+        " (SELECT COUNT(*) FROM v)::BIGINT AS n_view,"
+        " (SELECT COUNT(*) FROM c)::BIGINT AS n_view_click,"
+        " (SELECT COUNT(*) FROM p)::BIGINT AS n_full_funnel"
+    ),
+    "cohort_retention": (
+        "WITH f AS (SELECT user_id, MIN(ts::DATE) AS cohort_day FROM events"
+        "  GROUP BY user_id)"
+        " SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,"
+        " (e.ts::DATE - f.cohort_day)::BIGINT AS day_offset,"
+        " COUNT(DISTINCT e.user_id)::BIGINT AS n_active"
+        " FROM events e JOIN f ON e.user_id = f.user_id"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "copurchase_pairs": (
+        "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*)::BIGINT AS n"
+        " FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a"
+        " JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b"
+        "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        " GROUP BY 1, 2 ORDER BY n DESC, part_a, part_b LIMIT 20"
+    ),
+    "label_centroids": (
+        "WITH flat AS (SELECT label, unnest(embedding)::DOUBLE AS v,"
+        "  generate_subscripts(embedding, 1) AS i FROM embeddings),"
+        " cent AS (SELECT label, i, AVG(v) AS c FROM flat GROUP BY label, i)"
+        " SELECT label, ROUND(sqrt(SUM(c*c)), 6) AS centroid_norm"
+        " FROM cent GROUP BY label ORDER BY label"
+    ),
+    "term_postings": (
+        "WITH tok AS (SELECT DISTINCT doc_id,"
+        "  unnest(string_split(text, ' ')) AS token FROM documents)"
+        " SELECT token, COUNT(*)::BIGINT AS df,"
+        " md5(STRING_AGG(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS postings_md5"
+        " FROM tok GROUP BY token ORDER BY token"
+    ),
     "props_k_stats": (
         "SELECT event_type, COUNT(*) AS n,"
         " SUM(CAST(props->>'k' AS BIGINT))::BIGINT AS k_sum,"

@@ -530,8 +530,70 @@ def q_image_thumbnails(sf_dir: str) -> pd.DataFrame:
     return out[["fmt", "n", "luma_total", "thumb_check"]]
 
 
+def q_host_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the corpus link graph, aggregated to host level — the
+    iterative-graph-algorithm shape (no SQL oracle; deterministic, golden-
+    pinned in tests/test_golden_values.py, plus an independent dense-matrix
+    recomputation check in tests/test_wave3.py).
+
+    Scale plan: the page→page edge list (n_pages × ~7.5 links) never leaves
+    the cluster — edges are generated and folded to weighted host→host
+    partial counts INSIDE map_batches, so the shuffle moves at most
+    n_hosts² × n_batches partial rows. The rank vector is host-sized
+    (result-sized by construction, like a groupby result), so the power
+    iteration runs on the driver over the aggregated matrix; at web scale
+    (10⁸ hosts) the same plan swaps the driver loop for a per-iteration
+    broadcast-ranks + edges-map_batches + groupby(dst) sum, which this code
+    path is shaped to become (edges stay a Dataset until the final fold)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    spec = _spec_for_sf(sf_dir)
+    nh = spec.n_hosts
+
+    def edge_partials(b: pa.Table) -> pa.Table:
+        idxs = b["id"].to_numpy()
+        src, _jj, tgt, _anchors = C.out_links_batch(spec, idxs)
+        hs = C.host_of_index(spec, src).astype(np.int64)
+        hd = C.host_of_index(spec, tgt).astype(np.int64)
+        keys, w = np.unique(hs * nh + hd, return_counts=True)
+        return pa.table(
+            {
+                "h_src": pa.array(keys // nh),
+                "h_dst": pa.array(keys % nh),
+                "w": pa.array(w.astype(np.int64)),
+            }
+        )
+
+    edges = (
+        rd.range(spec.n_images)
+        .map_batches(edge_partials, batch_format="pyarrow")
+        .groupby(["h_src", "h_dst"])
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()
+    )
+    hs = edges["h_src"].to_numpy()
+    hd = edges["h_dst"].to_numpy()
+    w = edges["w"].to_numpy().astype(np.float64)
+    out_w = np.zeros(nh)
+    np.add.at(out_w, hs, w)
+    damping, rank = 0.85, np.full(nh, 1.0 / nh)
+    for _ in range(20):
+        contrib = np.zeros(nh)
+        np.add.at(contrib, hd, w * rank[hs] / out_w[hs])
+        dangling = rank[out_w == 0].sum()
+        rank = (1 - damping) / nh + damping * (contrib + dangling / nh)
+    out = pd.DataFrame({"host": np.arange(nh, dtype=np.int64), "rank": rank.round(8)})
+    return (
+        out.sort_values(["rank", "host"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
 QUERIES = {
     "image_verify": q_image_verify,
+    "host_pagerank": q_host_pagerank,
     "image_thumbnails": q_image_thumbnails,
     "crawl_audit": q_crawl_audit,
     "crawl_pages": q_crawl_pages,

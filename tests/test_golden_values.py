@@ -41,6 +41,9 @@ GOLDEN = {
     "approx_distinct_hll": (6, "85645e39b32710b60aa746c0565d94af"),
     # iterative spherical k-means (not SQL-expressible; hash-seeded centroids)
     "embedding_clusters": (16, "bae562247cd9f086c9d4dfe91a0c216b"),
+    # iterative PageRank (not SQL-expressible; independently recomputed from
+    # the per-page link oracle in test_wave3)
+    "host_pagerank": (10, "1388bd87863ab5a6dc275eb14056e433"),
 }
 
 
