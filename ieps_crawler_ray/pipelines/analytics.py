@@ -3956,6 +3956,35 @@ def q_term_postings(sf_dir: str) -> pd.DataFrame:
     return out.astype({"df": "int64"})
 
 
+def q_docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES): each
+    doc gets key u^(1/w) with weight w = n_chars and u a DETERMINISTIC
+    md5-derived uniform, so the top-20 keys are an exact weighted sample that
+    the SQL oracle reproduces bit-for-bit. Scale shape: embarrassingly
+    parallel key computation + per-batch partial top-k; only 20 rows per
+    batch reach the driver merge — no global sort, no shuffle."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def keyed_topk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        w = b["n_chars"].to_numpy().astype(np.float64)
+        hx = hashing.md5_hex([str(i) for i in ids])
+        u = np.array([int(h[:8], 16) for h in hx], dtype=np.float64) / float(16**8)
+        # round BEFORE ranking so batch top-k, driver merge and the SQL
+        # oracle all order by the same value (ties broken by doc_id)
+        key = np.round(u ** (1.0 / w), 10)
+        order = np.lexsort((ids, -key))[:20]
+        return pa.table(
+            {"doc_id": pa.array(ids[order]), "sample_key": pa.array(key[order])}
+        )
+
+    parts = ds.map_batches(keyed_topk, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(
+        ["sample_key", "doc_id"], ascending=[False, True], kind="stable"
+    ).head(20)
+    return out.reset_index(drop=True).astype({"doc_id": "int64"})
+
+
 # ----------------------------------------------------------- registry --------
 
 QUERIES = {
@@ -4045,6 +4074,7 @@ QUERIES = {
     "copurchase_pairs": q_copurchase_pairs,
     "label_centroids": q_label_centroids,
     "term_postings": q_term_postings,
+    "docs_weighted_sample": q_docs_weighted_sample,
 }
 
 ORACLE_SQL = {
@@ -4092,6 +4122,12 @@ ORACLE_SQL = {
         " SELECT token, COUNT(*)::BIGINT AS df,"
         " md5(STRING_AGG(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS postings_md5"
         " FROM tok GROUP BY token ORDER BY token"
+    ),
+    "docs_weighted_sample": (
+        "SELECT doc_id, ROUND(POW("
+        "  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0),"
+        "  1.0 / n_chars), 10) AS sample_key"
+        " FROM documents ORDER BY sample_key DESC, doc_id LIMIT 20"
     ),
     "props_k_stats": (
         "SELECT event_type, COUNT(*) AS n,"

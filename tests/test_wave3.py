@@ -18,6 +18,7 @@ WAVE3_ORACLE = [
     "copurchase_pairs",
     "label_centroids",
     "term_postings",
+    "docs_weighted_sample",
 ]
 
 
