@@ -911,20 +911,28 @@ def _pool_size(num_buckets: int) -> int:
     return max(1, min(num_buckets, budget, cap))
 
 
-def _verify_split(pool_n: int, n_buckets: int) -> int:
-    """Subtasks per bucket for the verify wave. A single hot band-key bucket
-    (caption flood — observed: one 2 040-row run ⇒ 2 M pairs in one bucket)
-    otherwise serializes the wave on a wide pool: with tasks == buckets the
-    wall is max(bucket), not sum/width. Striding the bucket's new rows
-    (``slice_mod`` in :func:`_verify_bucket`) partitions its pair list
-    EXACTLY across S subtasks, so widening the pool keeps helping. S scales
-    with pool width (≥2 tasks per actor for balance), 1 on narrow pools
-    (no overhead when the pool is the bottleneck anyway). Env override:
-    ``IEPS_VERIFY_SPLIT``."""
+def _verify_subtasks(counts: dict[int, int], pool_n: int) -> dict[int, int]:
+    """Per-bucket subtask counts for the verify wave — SKEW-AWARE. A single
+    hot band-key bucket (caption flood — observed: one 2 040-row run ⇒ 2 M
+    pairs) serializes the wave at max(bucket) on a wide pool, so oversized
+    buckets split: striding the bucket's new rows (``slice_mod`` in
+    :func:`_verify_bucket`) partitions its pair list EXACTLY across S
+    subtasks. But splitting is not free — every subtask re-pays the bucket's
+    full fixed preprocessing (old-band concat + lexsort + run scan), so a
+    bucket is split only when its new-row count exceeds one pool-slot's fair
+    share of the wave. The earlier BLANKET S for all buckets multiplied the
+    wave's total CPU by ~S for nothing on uniform buckets (measured at 16
+    cpus / 32 uniform buckets: S=2 ⇒ 2.4× verify CPU incl. the DRAM
+    contention it induces — the single worst scaling term of the crawl).
+    Env override ``IEPS_VERIFY_SPLIT`` forces a uniform S."""
     env = int(os.environ.get("IEPS_VERIFY_SPLIT", "0"))
     if env:
-        return env
-    return max(1, min(8, (4 * pool_n) // max(1, n_buckets)))
+        return {b: env for b in counts}
+    total = sum(counts.values())
+    if total <= 0 or pool_n <= 1:
+        return {b: 1 for b in counts}
+    share = max(1.0, total / pool_n)  # fair share of new rows per wave slot
+    return {b: max(1, min(8, int(-(-c // share)))) for b, c in counts.items()}
 
 
 _VERIFY_WAVE: dict = {}
@@ -1182,15 +1190,18 @@ def _generation_driver(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t: pa.T
         sigs_ref = _ray.put(new_sigs)
         mark("dedup_put")
         pool = _verify_pool(_pool_size(cfg.num_bk_buckets))
-        S = _verify_split(len(pool), len(buckets))
+        _ub, _uc = np.unique(bands_new_t["bk_bucket"].to_numpy(), return_counts=True)
+        Sb = _verify_subtasks(dict(zip(_ub.tolist(), _uc.tolist())), len(pool))
         futs = [
-            pool[(b * S + t) % len(pool)].verify.remote(
+            # t == 0 stays on b % n (fragment-cache affinity); extra subtasks
+            # of a hot bucket spread across the pool
+            pool[(b + t * 17) % len(pool)].verify.remote(
                 lean_ref, ranks_ref, sigs_ref, b, paths_by_bucket[b],
                 sig_refs_by_sb, cfg.num_bk_buckets, cfg.band_key_cap,
-                (t, S) if S > 1 else None,
+                (t, Sb[b]) if Sb[b] > 1 else None,
             )
             for b in buckets
-            for t in range(S)
+            for t in range(Sb.get(b, 1))
         ]
         edges = _collect_verify(_ray.get(futs)).to_pandas().drop_duplicates()
         mark("dedup_verify")
@@ -1314,15 +1325,18 @@ def _generation_distributed(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t:
         old_sig_refs = _sig_refs(old_sigs_by_sb)
         mark("dedup_paths")
         pool = _verify_pool(_pool_size(nbk))
-        S = _verify_split(len(pool), len(buckets))
+        _bcounts = (
+            band_meta.groupby("partition")["num_rows"].sum().astype(int).to_dict()
+        )
+        Sb = _verify_subtasks({int(k): v for k, v in _bcounts.items()}, len(pool))
         futs = [
-            pool[(b * S + t) % len(pool)].verify_staged.remote(
+            pool[(b + t * 17) % len(pool)].verify_staged.remote(
                 b, new_paths_by_bucket[b], old_by_bucket[b],
                 new_sig_paths_by_sb, old_sig_refs, nbk, cfg.band_key_cap,
-                (t, S) if S > 1 else None,
+                (t, Sb[b]) if Sb[b] > 1 else None,
             )
             for b in buckets
-            for t in range(S)
+            for t in range(Sb.get(b, 1))
         ]
         edges = _collect_verify(_ray.get(futs)).to_pandas().drop_duplicates()
         mark("dedup_verify")
