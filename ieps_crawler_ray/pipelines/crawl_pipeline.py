@@ -229,47 +229,89 @@ def q_crawl_link_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_EXTRACT_REMOTE: dict = {}
+
+
+def _extract_remote():
+    """Module-level remote fns for the M3 ref-extract fan-out, created once
+    per Ray session (re-decorating per call would re-export the closure each
+    generation). Raw tasks, not a Dataset: the fan-out is a bounded set of
+    driver-sliced row ranges — a `from_arrow → repartition → map_batches`
+    pipeline paid an all-to-all plus launch (~1.5-2 s/call measured) to move
+    the same ≤64 slices."""
+    import ray
+
+    key = ray.get_runtime_context().get_job_id()
+    hit = _EXTRACT_REMOTE.get(key)
+    if hit is None:
+
+        @ray.remote
+        def extract_block(ranks, idxs, spec_dict):
+            from ieps_crawler_ray.functions.html_clean import extract_image_urls
+
+            sp = C.CorpusSpec(**spec_dict)
+            ranks_out, idx_out = [], []
+            for r, i in zip(ranks, idxs):
+                for u in extract_image_urls(C.page_html_of_index(sp, int(i))):
+                    t = C.index_of_img_url(u)
+                    if t >= 0:
+                        ranks_out.append(int(r))
+                        idx_out.append(t)
+            return (
+                np.asarray(ranks_out, dtype=np.int64),
+                np.asarray(idx_out, dtype=np.int64),
+            )
+
+        @ray.remote
+        def agg_ref_counts(*parts):
+            idx = (
+                np.concatenate([p[1] for p in parts])
+                if parts
+                else np.empty(0, np.int64)
+            )
+            return np.unique(idx, return_counts=True)
+
+        _EXTRACT_REMOTE.clear()  # drop stale-session handles
+        hit = _EXTRACT_REMOTE[key] = (extract_block, agg_ref_counts)
+    return hit
+
+
+def _extract_futs(pages_t: pa.Table, spec: C.CorpusSpec) -> list:
+    """Dispatch the per-slice extract tasks for the crawled HTML pages."""
+    html = pages_t.filter(pa.compute.equal(pages_t["status"], "html")).select(
+        ["rank", "idx"]
+    )
+    if html.num_rows == 0:
+        return []
+    extract_block, _ = _extract_remote()
+    ranks = html["rank"].to_numpy()
+    idxs = html["idx"].to_numpy()
+    n_blocks = max(1, min(64, html.num_rows // 64))
+    bounds = np.linspace(0, html.num_rows, n_blocks + 1).astype(np.int64)
+    sd = spec.__dict__.copy()
+    return [
+        extract_block.remote(ranks[a:b], idxs[a:b], sd)
+        for a, b in zip(bounds[:-1], bounds[1:])
+        if b > a
+    ]
+
+
 def extract_page_image_refs(pages_t: pa.Table, spec: C.CorpusSpec):
     """M3: image-URL extraction over crawled HTML pages, distributed —
     each page's served HTML is parsed for <img src> tags and CSS url(...)
     refs (crawler.py:447-538; the reference stored 12 600 images for 1 455
     pages). → (rank, img_idx) reference rows."""
-    import ray.data as rd
+    import ray
 
-    from ..functions.html_clean import extract_image_urls
-
-    html = pages_t.filter(pa.compute.equal(pages_t["status"], "html")).select(
-        ["rank", "idx"]
-    )
-    spec_dict = spec.__dict__.copy()
-
-    def extract(b: pa.Table) -> pa.Table:
-        sp = C.CorpusSpec(**spec_dict)
-        ranks_out, idx_out = [], []
-        for r, i in zip(b["rank"].to_numpy(), b["idx"].to_numpy()):
-            for u in extract_image_urls(C.page_html_of_index(sp, int(i))):
-                t = C.index_of_img_url(u)
-                if t >= 0:
-                    ranks_out.append(int(r))
-                    idx_out.append(t)
-        return pa.table(
-            {
-                "rank": pa.array(ranks_out, pa.int64()),
-                "img_idx": pa.array(idx_out, pa.int64()),
-            }
-        )
-
-    if html.num_rows == 0:
+    futs = _extract_futs(pages_t, spec)
+    if not futs:
         return pa.table({"rank": pa.array([], pa.int64()), "img_idx": pa.array([], pa.int64())})
-    # from_arrow yields ONE block; repartition so the HTML-parse stage
-    # actually fans out across the pool (measured: single-task extract made
-    # this stage the worst scaling term of the image pipeline)
-    n_blocks = max(1, min(64, html.num_rows // 64))
-    return pa.concat_tables(
-        rd.from_arrow(html)
-        .repartition(n_blocks)
-        .map_batches(extract, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
+    parts = ray.get(futs)
+    return pa.table(
+        {
+            "rank": pa.array(np.concatenate([p[0] for p in parts]), pa.int64()),
+            "img_idx": pa.array(np.concatenate([p[1] for p in parts]), pa.int64()),
+        }
     )
 
 
@@ -284,9 +326,17 @@ def crawl_images_ds(pages_t: pa.Table, spec: C.CorpusSpec, corpus_path: str):
     replacement for a point-lookup join against a big binary table."""
     import ray
 
-    refs = extract_page_image_refs(pages_t, spec)
-    uniq, counts = np.unique(refs["img_idx"].to_numpy(), return_counts=True)
-    ref = ray.put((uniq, counts))
+    # the ref-id set is built by raw extract tasks whose AGGREGATE is itself
+    # a task: `ref` resolves when extraction finishes, the decode actors
+    # block on it in __init__, and the corpus READ tasks stream concurrently
+    # — the HTML-parse prefix overlaps the scan instead of serializing
+    # ahead of it (measured ~3.5 s serial at 16 cpus before)
+    futs = _extract_futs(pages_t, spec)
+    if futs:
+        _, agg_ref_counts = _extract_remote()
+        ref = agg_ref_counts.remote(*futs)
+    else:
+        ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
     spec_dict = spec.__dict__.copy()
 
     class DecodeCrawled:
