@@ -129,3 +129,25 @@ def test_hll_small_range_linear_counting():
     vals = np.arange(100, dtype=np.uint64)
     est = sketches.estimate(sketches.registers(vals))
     assert abs(est - 100) <= 5, est
+
+
+def test_verify_subtasks_skew_aware():
+    """Uniform buckets never split (a blanket split multiplies wave CPU);
+    a flood bucket splits in proportion to its share; env override forces
+    a uniform S for every bucket."""
+    import os
+
+    from ieps_crawler_ray.pipelines.crawl import _verify_subtasks
+
+    assert set(_verify_subtasks({b: 100 for b in range(32)}, 16).values()) == {1}
+    counts = {b: 10 for b in range(31)}
+    counts[31] = 10_000
+    sb = _verify_subtasks(counts, 16)
+    assert 1 < sb[31] <= 8
+    assert all(v == 1 for b, v in sb.items() if b != 31)
+    assert set(_verify_subtasks(counts, 1).values()) == {1}  # narrow pool: no split
+    os.environ["IEPS_VERIFY_SPLIT"] = "3"
+    try:
+        assert set(_verify_subtasks(counts, 16).values()) == {3}
+    finally:
+        del os.environ["IEPS_VERIFY_SPLIT"]
