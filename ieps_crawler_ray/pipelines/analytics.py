@@ -3956,6 +3956,90 @@ def q_term_postings(sf_dir: str) -> pd.DataFrame:
     return out.astype({"df": "int64"})
 
 
+def q_docs_shared_span_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact substring-overlap dedup: document pairs sharing ≥8 distinct
+    16-token windows (the exact-span counterpart of the MinHash/SimHash
+    near-dup family — the 'dedup by shared long n-gram' recipe used for
+    training-corpus cleaning). Scale shape: one shuffle on a HASH BUCKET of
+    the gram (same gram ⇒ same bucket, fixed group count), vectorized
+    segment-arithmetic pair emission within the bucket (no per-gram pandas
+    groups), per-bucket partial counts, then a pair-keyed groupby of
+    (id_a, id_b, n) partials with the ≥8 filter applied distributed before
+    anything reaches the driver. At 100 TB the gram STRING would be replaced
+    by a rolling 64-bit hash with an exact span verify on colliding pairs
+    (the winnowing kernel in functions/text.py is that path's fingerprint
+    stage); strings here keep the op byte-exact against the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    K = 16
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        texts = b["text"].to_pylist()
+        gs: list = []
+        dids: list = []
+        for d, t in zip(ids, texts):
+            toks = t.split(" ")
+            wins = {" ".join(toks[i : i + K]) for i in range(len(toks) - K + 1)}
+            gs.extend(wins)
+            dids.extend([int(d)] * len(wins))
+        if not gs:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "gb": pa.array([], pa.int32()),
+                }
+            )
+        gb = (hashing.hash64(gs) % np.uint64(_N_UB)).astype(np.int32)
+        return pa.table(
+            {
+                "gram": pa.array(gs, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "gb": pa.array(gb),
+            }
+        )
+
+    def span_pairs_seg(g: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            g[["gram", "doc_id"]]
+            .drop_duplicates()
+            .sort_values(["gram", "doc_id"], kind="stable")
+        )
+        gr = d["gram"].to_numpy()
+        ids = d["doc_id"].to_numpy()
+        n = len(gr)
+        if n == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "n": []})
+        starts = np.flatnonzero(np.r_[True, gr[1:] != gr[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens)
+        rem = np.repeat(lens, lens) - pos - 1
+        total = int(rem.sum())
+        if total == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "n": []})
+        a_idx = np.repeat(np.arange(n), rem)
+        off = np.arange(total) - np.repeat(np.cumsum(rem) - rem, rem) + 1
+        b_idx = a_idx + off
+        out = pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
+        return out.groupby(["id_a", "id_b"]).size().rename("n").reset_index()
+
+    agg = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(span_pairs_seg, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Sum("n", alias_name="n_shared"))
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n_shared"], 8)),
+            batch_format="pyarrow",
+        )
+    )
+    out = agg.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out.astype({"id_a": "int64", "id_b": "int64", "n_shared": "int64"})
+
+
 def q_docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis A-ES): each
     doc gets key u^(1/w) with weight w = n_chars and u a DETERMINISTIC
@@ -4075,6 +4159,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "term_postings": q_term_postings,
     "docs_weighted_sample": q_docs_weighted_sample,
+    "docs_shared_span_pairs": q_docs_shared_span_pairs,
 }
 
 ORACLE_SQL = {
@@ -4122,6 +4207,14 @@ ORACLE_SQL = {
         " SELECT token, COUNT(*)::BIGINT AS df,"
         " md5(STRING_AGG(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS postings_md5"
         " FROM tok GROUP BY token ORDER BY token"
+    ),
+    "docs_shared_span_pairs": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),"
+        " g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+15], ' ') AS gram"
+        "  FROM toks, unnest(generate_series(1, len(t) - 15)) AS u(i))"
+        " SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared"
+        " FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id"
+        " GROUP BY 1, 2 HAVING COUNT(*) >= 8 ORDER BY 1, 2"
     ),
     "docs_weighted_sample": (
         "SELECT doc_id, ROUND(POW("

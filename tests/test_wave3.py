@@ -19,6 +19,7 @@ WAVE3_ORACLE = [
     "label_centroids",
     "term_postings",
     "docs_weighted_sample",
+    "docs_shared_span_pairs",
 ]
 
 
