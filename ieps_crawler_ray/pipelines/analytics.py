@@ -4071,6 +4071,106 @@ def q_docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
 
 # ----------------------------------------------------------- registry --------
 
+def q_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
+    """BPE vocabulary induction, step 1: top-20 adjacent character pairs
+    WITHIN tokens across the corpus (the merge-candidate ranking a BPE
+    trainer computes each round). Fully vectorized: each batch's texts are
+    joined with a token-breaking space, viewed as a uint8 array, and pair
+    keys (256·a + b) are bincounted with both space-adjacent positions
+    masked out — no Python loop over tokens. The shuffle moves ≤ 256²
+    (pair, n) partials per batch; the top-20 merge is driver-side on the
+    ≤ 65 536-row result. At 100 TB: one streaming scan, one tiny groupby —
+    the exact shape of a distributed BPE merge round."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        buf = " ".join(b["text"].to_pylist()).encode("ascii")
+        a = np.frombuffer(buf, dtype=np.uint8)
+        if len(a) < 2:
+            return pa.table({"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        lead, trail = a[:-1], a[1:]
+        ok = (lead != 32) & (trail != 32)  # pairs never span a token boundary
+        key = lead[ok].astype(np.int64) * 256 + trail[ok]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uk), "n": pa.array(cnt.astype(np.int64))})
+
+    out = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["pair"] = [chr(int(k) >> 8) + chr(int(k) & 0xFF) for k in out["k"]]
+    out = out.sort_values(["n", "pair"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)[["pair", "n"]]
+
+
+def q_curated_corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """Composite curation chain — the one-shot "build the training mix" query
+    a 100 TB pipeline runs after scoring: exact-dedup first-wins winners
+    (min doc_id per md5(text)) gated by a token-count quality window
+    (30 ≤ n_tokens ≤ 80, the C4/Gopher length rule), rolled up to per-lang
+    (n_docs, total_tokens). ONE shuffle end to end: each batch packs
+    (doc_id, lang_idx, n_tokens) into a single int64 whose HIGH bits are
+    doc_id — so the groupby's Min over the packed code IS the first-wins
+    winner selection AND carries the winner's attributes through the
+    shuffle, with no join-back and no per-key groups. The pack budget
+    (34-bit doc_id, 8-bit lang, 20-bit tokens) is asserted per batch; wider
+    corpora would widen to a two-column lexicographic min."""
+    from ray.data.aggregate import Min, Sum
+
+    lang_parts = _tbl(sf_dir, "documents", columns=["lang"]).map_batches(
+        lambda b: pa.table({"lang": pc.unique(b["lang"])}), batch_format="pyarrow"
+    )
+    langs = sorted(lang_parts.unique("lang"))
+    lidx = {x: i for i, x in enumerate(langs)}
+    TOK_LO, TOK_HI = 30, 80
+
+    def pack(b: pa.Table, _lidx=dict(lidx)) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        nt = textfn.token_counts(texts).astype(np.int64)
+        li = np.array([_lidx[x] for x in b["lang"].to_pylist()], dtype=np.int64)
+        if (nt >= 1 << 20).any() or (ids >= 1 << 34).any() or len(_lidx) > 256:
+            raise ValueError("pack budget exceeded — widen to two-column min")
+        code = (ids << 29) | (li << 21) | (nt << 1)
+        t = pa.table(
+            {"content_hash": pa.array(hashing.md5_hex(texts)), "code": pa.array(code)}
+        )
+        return _partial(t, ["content_hash"], [("code", "min")])
+
+    winners = (
+        _tbl(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+        .map_batches(pack, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min("code_min", alias_name="code"))
+    )
+
+    def decode(b: pa.Table) -> pa.Table:
+        code = b["code"].to_numpy()
+        li = (code >> 21) & 0xFF
+        nt = (code >> 1) & ((1 << 20) - 1)
+        keep = (nt >= TOK_LO) & (nt <= TOK_HI)
+        t = pa.table(
+            {"li": pa.array(li[keep]), "n_tokens": pa.array(nt[keep].astype(np.int64))}
+        )
+        return _partial(t, ["li"], [("n_tokens", "sum"), ([], "count_all")])
+
+    stats = (
+        winners.map_batches(decode, batch_format="pyarrow")
+        .groupby("li")
+        .aggregate(Sum("count_all", alias_name="n_docs"), Sum("n_tokens_sum", alias_name="total_tokens"))
+        .to_pandas()
+    )
+    stats["lang"] = [langs[int(i)] for i in stats["li"]]
+    stats = stats.sort_values("lang").reset_index(drop=True)
+    return stats[["lang", "n_docs", "total_tokens"]].astype(
+        {"n_docs": "int64", "total_tokens": "int64"}
+    )
+
+
 QUERIES = {
     "global_counts": q_global_counts,
     "events_by_type": q_events_by_type,
@@ -4160,9 +4260,28 @@ QUERIES = {
     "term_postings": q_term_postings,
     "docs_weighted_sample": q_docs_weighted_sample,
     "docs_shared_span_pairs": q_docs_shared_span_pairs,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "curated_corpus_stats": q_curated_corpus_stats,
 }
 
 ORACLE_SQL = {
+    "bpe_pair_counts": (
+        "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),"
+        " big AS (SELECT substring(t, i, 2) AS pair FROM tok,"
+        "  unnest(generate_series(1, length(t) - 1)) AS u(i) WHERE length(t) >= 2)"
+        " SELECT pair, COUNT(*)::BIGINT AS n FROM big GROUP BY pair"
+        " ORDER BY n DESC, pair LIMIT 20"
+    ),
+    "curated_corpus_stats": (
+        "WITH q AS (SELECT doc_id, lang,"
+        "  len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,"
+        "  md5(text) AS h FROM documents),"
+        " w AS (SELECT lang, n_tokens,"
+        "  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM q)"
+        " SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS total_tokens"
+        " FROM w WHERE rn = 1 AND n_tokens BETWEEN 30 AND 80"
+        " GROUP BY lang ORDER BY lang"
+    ),
     "event_funnel": (
         "WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events"
         "  WHERE event_type='view' GROUP BY user_id),"

@@ -133,6 +133,36 @@ def q_doc_paragraph_rows(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
 
 
+def q_shared_paragraphs(sf_dir: str) -> pd.DataFrame:
+    """Cross-DOCUMENT paragraph dedup (the CCNet-style boilerplate detector,
+    complementing D6's within-doc dedup): top-20 cleaned segments by the
+    number of distinct documents containing them (≥ 2) — ALL cleaned
+    segments, chrome included: on this corpus the detector correctly
+    surfaces the per-lang breadcrumb trails as the only cross-document
+    boilerplate (document bodies are unique below the near-dup threshold).
+    Within one doc a segment appears once (D6), so a per-batch count partial
+    per segment already counts distinct docs — the shuffle moves one
+    (segment, n) partial per batch and the top-20 merge is driver-side on
+    the result. At 100 TB this is the exact shape of a boilerplate-paragraph
+    sweep: no joins, one groupby over segment-hash space."""
+    from ray.data.aggregate import Sum
+
+    def seg_counts(b: pa.Table) -> pa.Table:
+        rows = _paragraph_rows_batch(b)
+        return rows.group_by(["segment"]).aggregate([("doc_id", "count")])
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(seg_counts, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(Sum("doc_id_count", alias_name="n_docs"))
+        .to_pandas()
+    )
+    out = out[out["n_docs"] >= 2]
+    out = out.sort_values(["n_docs", "segment"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)[["segment", "n_docs"]]
+
+
 _BLACKLIST_SQL = (
     "(lower(text) LIKE '%page does not exist%'"
     " OR lower(text) LIKE '%zavrnjen dostop%'"
@@ -196,9 +226,27 @@ ORACLE_SQL = {
         f"  AND NOT {_BLACKLIST_SQL}"
         " ORDER BY doc_id, seg_idx"
     ),
+    # cross-document duplicated paragraphs (boilerplate sweep): distinct
+    # (doc, segment) from the same sentence CTE plus the breadcrumb rows
+    "shared_paragraphs": (
+        "WITH exploded AS ("
+        "  SELECT doc_id, unnest(string_split(text, '.')) AS part"
+        "  FROM documents WHERE doc_id % 7 != 3"
+        f"   AND NOT {_BLACKLIST_SQL}"
+        "), sent AS ("
+        "  SELECT DISTINCT doc_id, trim(part, ' ') || '.' AS segment"
+        "  FROM exploded WHERE trim(part, ' ') != ''"
+        "  UNION"
+        "  SELECT doc_id, 'home > ' || lang AS segment"
+        "  FROM documents WHERE doc_id % 7 != 3"
+        f"   AND NOT {_BLACKLIST_SQL})"
+        " SELECT segment, COUNT(*)::BIGINT AS n_docs FROM sent GROUP BY segment"
+        " HAVING COUNT(*) >= 2 ORDER BY n_docs DESC, segment LIMIT 20"
+    ),
 }
 
 QUERIES = {
     "html_clean_docs": q_html_clean_docs,
     "doc_paragraph_rows": q_doc_paragraph_rows,
+    "shared_paragraphs": q_shared_paragraphs,
 }
