@@ -637,9 +637,11 @@ _EMPTY_EDGES = pa.table({"rank_a": pa.array([], pa.int64()), "rank_b": pa.array(
 
 _VERIFY_SIG_PREFIX = 50     # prefix dims for the exact pigeonhole pre-filter
 # pair-compare chunk — sized so chunk×prefix×3 buffers stay cache-resident
-# even with a full-width actor wave sharing one L3 (env-tunable for A/B:
-# 2^14 × 50 B × 3 bufs ≈ 2.4 MB/actor; ×16 actors ≈ 38 MB aggregate)
-_VERIFY_PAIR_CHUNK = 1 << int(os.environ.get("IEPS_VERIFY_CHUNK_LOG2", "14"))
+# even with a full-width actor wave sharing one L3: 2^12 × 50 B × 3 bufs
+# ≈ 600 KB/actor (×16 actors ≈ 9.6 MB aggregate, L3-resident) measured
+# 5-17 % faster than 2^14 (≈ 2.4 MB/actor, 38 MB aggregate — thrashes the
+# shared L3) at BOTH pool widths on the 40 k-page bench. Env-tunable.
+_VERIFY_PAIR_CHUNK = 1 << int(os.environ.get("IEPS_VERIFY_CHUNK_LOG2", "12"))
 _VERIFY_BUFS: dict = {}     # P → persistent per-actor compare buffers
 
 
