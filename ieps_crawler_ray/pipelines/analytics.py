@@ -4171,6 +4171,131 @@ def q_curated_corpus_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_dedup_clusters_labelprop(sf_dir: str) -> pd.DataFrame:
+    """Near-dup clustering WITHOUT the driver union-find: distributed
+    hash-min LABEL PROPAGATION over the verified LSH edge set — the 100 TB
+    path for when even the dup-rate-bounded edge set outgrows one process
+    (q_dedup_clusters documents the driver-sized variant; both share the
+    recursive-CTE oracle). Labels live in a Dataset keyed by edge node;
+    each round joins labels onto both endpoints, sends min(label_a,
+    label_b) to each, and reduces per node with Min. Every edge node
+    receives ≥ 1 message that already includes its own label in the min,
+    so labels are monotone nonincreasing and an unchanged global label SUM
+    certifies the fixpoint (≤ component-diameter rounds; near-dup
+    components are shallow). Docs outside the edge set are singletons by
+    construction and label themselves."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    edges = q_docs_jaccard_pairs(sf_dir)
+    if not hasattr(edges, "join"):
+        edges = rd.from_pandas(edges)
+    edges = edges.select_columns(["id_a", "id_b"]).materialize()
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([b["id_a"].to_numpy(), b["id_b"].to_numpy()]))
+        return pa.table({"node": pa.array(u.astype(np.int64))})
+
+    labels = (
+        edges.map_batches(nodes_of, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("node", alias_name="label"))
+        .materialize()
+    )
+
+    def keep_a(b: pa.Table) -> pa.Table:
+        return pa.table({"id_a": b["id_a"], "id_b": b["id_b"], "la": b["label"]})
+
+    def emit(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy().astype(np.int64)
+        bb = b["id_b"].to_numpy().astype(np.int64)
+        m = np.minimum(b["la"].to_numpy(), b["label"].to_numpy()).astype(np.int64)
+        t = pa.table(
+            {
+                "node": pa.array(np.concatenate([a, bb])),
+                "label": pa.array(np.concatenate([m, m])),
+            }
+        )
+        return _partial(t, ["node"], [("label", "min")])
+
+    prev_sum = None
+    for _ in range(32):
+        t = edges.join(
+            labels, join_type="inner", num_partitions=8, on=("id_a",), right_on=("node",)
+        ).map_batches(keep_a, batch_format="pyarrow")
+        t = t.join(
+            labels, join_type="inner", num_partitions=8, on=("id_b",), right_on=("node",)
+        )
+        labels = (
+            t.map_batches(emit, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label_min", alias_name="label"))
+            .materialize()
+        )
+        s = labels.aggregate(Sum("label"))["sum(label)"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:  # pragma: no cover - synthetic components are shallow
+        raise RuntimeError("label propagation did not converge in 32 rounds")
+
+    lab = labels.to_pandas()  # edge nodes only: dup-rate bounded
+    m = dict(zip(lab["node"].astype(int), lab["label"].astype(int)))
+    ids = np.sort(_dim(sf_dir, "documents", columns=["doc_id"])["doc_id"].to_numpy())
+    return pd.DataFrame(
+        {
+            "doc_id": ids.astype("int64"),
+            "cluster_id": np.array([m.get(int(i), int(i)) for i in ids], dtype="int64"),
+        }
+    )
+
+
+def q_embedding_topk_int8(sf_dir: str) -> pd.DataFrame:
+    """Quantized ANN — the memory-bandwidth scale path: int8 scalar
+    quantization of the L2-NORMALIZED vectors (fixed scale 127, since every
+    component is in [-1, 1]) gives a 4× smaller scan + integer dot products;
+    each batch takes a generous top-64 candidate pool by int8 score, then
+    exactly reranks ONLY the pool in float (so the global merge orders by
+    EXACT cosine and the result matches the float brute force / SQL oracle
+    bit-for-bit — int8 rounding error ≈ 0.008 on a cosine, far below the
+    top-of-tail gaps; widen the pool for adversarial distributions). At
+    100 TB the int8 matrix is the resident index and floats stream only
+    for ~64 rows per block."""
+    q = _query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+    q8 = np.clip(np.rint(qn * 127.0), -127, 127).astype(np.int32)
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def topk(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        mask = ids != 0
+        e = np.array(b["embedding"].to_pylist(), dtype=np.float64)[mask]
+        ids = ids[mask]
+        if len(ids) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
+        en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        e8 = np.clip(np.rint(en * 127.0), -127, 127).astype(np.int8)
+        scores8 = e8.astype(np.int32) @ q8  # integer dot product scan
+        c = min(64, len(ids))
+        pool = np.argpartition(-scores8, c - 1)[:c]
+        sims = en[pool] @ qn  # exact float rerank of the pool only
+        k = min(10, len(pool))
+        top = pool[np.argpartition(-sims, k - 1)[:k]]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[top], pa.int64()),
+                "sim": pa.array(en[top] @ qn, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["sim", "vec_id"], ascending=[False, True]).head(10)
+    return parts[["vec_id"]].reset_index(drop=True)
+
+
 QUERIES = {
     "global_counts": q_global_counts,
     "events_by_type": q_events_by_type,
@@ -4262,6 +4387,8 @@ QUERIES = {
     "docs_shared_span_pairs": q_docs_shared_span_pairs,
     "bpe_pair_counts": q_bpe_pair_counts,
     "curated_corpus_stats": q_curated_corpus_stats,
+    "dedup_clusters_labelprop": q_dedup_clusters_labelprop,
+    "embedding_topk_int8": q_embedding_topk_int8,
 }
 
 ORACLE_SQL = {
@@ -4831,3 +4958,7 @@ ORACLE_SQL = {
     # approx_distinct_hll (sketch estimate; tolerance + golden gates in tests),
     # embedding_clusters (iterative k-means — not SQL-expressible; golden)
 }
+
+# same semantics, different distributed algorithm — share the exact oracles
+ORACLE_SQL["dedup_clusters_labelprop"] = ORACLE_SQL["dedup_clusters"]
+ORACLE_SQL["embedding_topk_int8"] = ORACLE_SQL["embedding_topk"]

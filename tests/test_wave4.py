@@ -14,6 +14,8 @@ WAVE4_ORACLE = [
     "bpe_pair_counts",
     "curated_corpus_stats",
     "shared_paragraphs",
+    "dedup_clusters_labelprop",
+    "embedding_topk_int8",
 ]
 
 
