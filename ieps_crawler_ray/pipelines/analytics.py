@@ -4171,6 +4171,105 @@ def q_curated_corpus_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_fuzzy_name_pairs(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy entity matching (record linkage): customer-name pairs within
+    Levenshtein distance ≤ 1, via FastSS deletion-neighborhood hashing —
+    each name emits itself plus its single-deletion variants as join keys
+    (len+1 keys per record), so candidate generation is ONE equi-shuffle on
+    a key-hash bucket instead of the quadratic cross join. Recall is exact:
+    ED(a,b) ≤ 1 ⇒ D1(a) ∩ D1(b) ≠ ∅. Precision comes from an exact
+    edit-distance verify over the candidate pairs (result-sized, not
+    corpus-sized): equal-length pairs vectorize to a byte-matrix mismatch
+    count, off-by-one lengths take the two-pointer scan. Oracle: the
+    quadratic levenshtein self-join."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "customer", columns=["c_name"])
+
+    def variant_rows(b: pa.Table) -> pa.Table:
+        names = b["c_name"].to_pylist()
+        vs: list = []
+        ns: list = []
+        for nm in names:
+            vs.append(nm)
+            ns.append(nm)
+            for i in range(len(nm)):
+                vs.append(nm[:i] + nm[i + 1 :])
+                ns.append(nm)
+        vb = (hashing.hash64(vs) % np.uint64(_N_UB)).astype(np.int32)
+        return pa.table(
+            {
+                "variant": pa.array(vs, pa.string()),
+                "name": pa.array(ns, pa.string()),
+                "vb": pa.array(vb),
+            }
+        )
+
+    def cand_pairs_seg(g: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            g[["variant", "name"]]
+            .drop_duplicates()
+            .sort_values(["variant", "name"], kind="stable")
+        )
+        vr = d["variant"].to_numpy()
+        nm = d["name"].to_numpy()
+        empty = pd.DataFrame(
+            {"name_a": pd.Series([], dtype="string"), "name_b": pd.Series([], dtype="string")}
+        )
+        n = len(vr)
+        if n == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, vr[1:] != vr[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens)
+        rem = np.repeat(lens, lens) - pos - 1
+        total = int(rem.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), rem)
+        off = np.arange(total) - np.repeat(np.cumsum(rem) - rem, rem) + 1
+        out = pd.DataFrame({"name_a": nm[a_idx], "name_b": nm[a_idx + off]})
+        return out.drop_duplicates().astype("string")
+
+    def verify(b: pa.Table) -> pa.Table:
+        a = b["name_a"].to_pylist()
+        bb = b["name_b"].to_pylist()
+        la = np.array([len(x) for x in a])
+        lb = np.array([len(x) for x in bb])
+        keep = np.zeros(len(a), dtype=bool)
+        same = np.flatnonzero(la == lb)
+        for L in np.unique(la[same]):
+            idx = same[la[same] == L]
+            if L == 0:
+                keep[idx] = True
+                continue
+            A = np.frombuffer("".join(a[i] for i in idx).encode(), np.uint8).reshape(-1, L)
+            B = np.frombuffer("".join(bb[i] for i in idx).encode(), np.uint8).reshape(-1, L)
+            keep[idx] = (A != B).sum(axis=1) <= 1
+        for i in np.flatnonzero(np.abs(la - lb) == 1):
+            s, t = (a[i], bb[i]) if la[i] < lb[i] else (bb[i], a[i])
+            j = 0
+            while j < len(s) and s[j] == t[j]:
+                j += 1
+            keep[i] = s[j:] == t[j + 1 :]
+        return b.filter(pa.array(keep))
+
+    pairs = (
+        ds.map_batches(variant_rows, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(cand_pairs_seg, batch_format="pandas")
+        .map_batches(
+            lambda b: _partial(b, ["name_a", "name_b"], [([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .groupby(["name_a", "name_b"])
+        .aggregate(Sum("count_all", alias_name="_n"))
+        .map_batches(verify, batch_format="pyarrow")
+    )
+    out = pairs.to_pandas().sort_values(["name_a", "name_b"]).reset_index(drop=True)
+    return out[["name_a", "name_b"]]
+
+
 def q_dedup_clusters_labelprop(sf_dir: str) -> pd.DataFrame:
     """Near-dup clustering WITHOUT the driver union-find: distributed
     hash-min LABEL PROPAGATION over the verified LSH edge set — the 100 TB
@@ -4389,6 +4488,7 @@ QUERIES = {
     "curated_corpus_stats": q_curated_corpus_stats,
     "dedup_clusters_labelprop": q_dedup_clusters_labelprop,
     "embedding_topk_int8": q_embedding_topk_int8,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
 }
 
 ORACLE_SQL = {
@@ -4398,6 +4498,13 @@ ORACLE_SQL = {
         "  unnest(generate_series(1, length(t) - 1)) AS u(i) WHERE length(t) >= 2)"
         " SELECT pair, COUNT(*)::BIGINT AS n FROM big GROUP BY pair"
         " ORDER BY n DESC, pair LIMIT 20"
+    ),
+    "fuzzy_name_pairs": (
+        "SELECT a.c_name AS name_a, b.c_name AS name_b"
+        " FROM customer a JOIN customer b ON a.c_name < b.c_name"
+        "  AND abs(length(a.c_name) - length(b.c_name)) <= 1"
+        "  AND levenshtein(a.c_name, b.c_name) <= 1"
+        " ORDER BY 1, 2"
     ),
     "curated_corpus_stats": (
         "WITH q AS (SELECT doc_id, lang,"

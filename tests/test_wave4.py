@@ -16,6 +16,7 @@ WAVE4_ORACLE = [
     "shared_paragraphs",
     "dedup_clusters_labelprop",
     "embedding_topk_int8",
+    "fuzzy_name_pairs",
 ]
 
 
