@@ -848,7 +848,9 @@ def _verify_one_bucket(
     )
     t0 = time.perf_counter()
     out = _verify_bucket(sub, sigs_of, band_key_cap, slice_mod)
-    return out.replace_schema_metadata({b"secs": b"%.4f" % (time.perf_counter() - t0)})
+    return out.replace_schema_metadata(
+        {b"secs": b"%.4f" % (time.perf_counter() - t0), b"bucket": b"%d" % bucket}
+    )
 
 
 _VERIFY_POOL: dict = {}
@@ -916,7 +918,9 @@ def _pool_size(num_buckets: int) -> int:
     return max(1, min(num_buckets, budget, cap))
 
 
-def _verify_subtasks(counts: dict[int, int], pool_n: int) -> dict[int, int]:
+def _verify_subtasks(
+    counts: dict[int, int], pool_n: int, secs: dict[int, float] | None = None
+) -> dict[int, int]:
     """Per-bucket subtask counts for the verify wave — SKEW-AWARE. A single
     hot band-key bucket (caption flood — observed: one 2 040-row run ⇒ 2 M
     pairs) serializes the wave at max(bucket) on a wide pool, so oversized
@@ -924,12 +928,20 @@ def _verify_subtasks(counts: dict[int, int], pool_n: int) -> dict[int, int]:
     :func:`_verify_bucket`) partitions its pair list EXACTLY across S
     subtasks. But splitting is not free — every subtask re-pays the bucket's
     full fixed preprocessing (old-band concat + lexsort + run scan), so a
-    bucket is split only when its new-row count exceeds one pool-slot's fair
-    share of the wave. The earlier BLANKET S for all buckets multiplied the
-    wave's total CPU by ~S for nothing on uniform buckets (measured at 16
-    cpus / 32 uniform buckets: S=2 ⇒ 2.4× verify CPU incl. the DRAM
-    contention it induces — the single worst scaling term of the crawl).
-    Env override ``IEPS_VERIFY_SPLIT`` forces a uniform S."""
+    bucket is split only when its share of the wave exceeds one pool slot.
+    The earlier BLANKET S for all buckets multiplied the wave's total CPU by
+    ~S for nothing on uniform buckets (measured at 16 cpus / 32 uniform
+    buckets: S=2 ⇒ 2.4× verify CPU incl. the DRAM contention it induces —
+    the single worst scaling term of the crawl).
+
+    Two signals, max-combined: the NEW-ROW count (available before the wave;
+    catches this-generation floods) and the MEASURED per-bucket seconds of
+    the previous generation's wave (``secs`` — bucket cost is dominated by
+    its band-key run structure, which is stable across generations, and the
+    count proxy misses it: observed a 2.7×-mean straggler bucket at uniform
+    counts). Seconds enter as relative shares (cost_b / total_cost · pool),
+    so the signal is invariant to generation size. Env override
+    ``IEPS_VERIFY_SPLIT`` forces a uniform S."""
     env = int(os.environ.get("IEPS_VERIFY_SPLIT", "0"))
     if env:
         return {b: env for b in counts}
@@ -937,24 +949,45 @@ def _verify_subtasks(counts: dict[int, int], pool_n: int) -> dict[int, int]:
     if total <= 0 or pool_n <= 1:
         return {b: 1 for b in counts}
     share = max(1.0, total / pool_n)  # fair share of new rows per wave slot
-    return {b: max(1, min(8, int(-(-c // share)))) for b, c in counts.items()}
+    out = {b: max(1, min(8, int(-(-c // share)))) for b, c in counts.items()}
+    if secs:
+        tw = sum(secs.get(b, 0.0) for b in counts)
+        if tw > 0:
+            share_w = tw / pool_n
+            for b in counts:
+                sw = secs.get(b)
+                if sw and sw > share_w:
+                    out[b] = max(out[b], min(8, int(-(-sw // share_w))))
+    return out
 
 
 _VERIFY_WAVE: dict = {}
+# measured per-bucket seconds of the LAST verify wave — feeds the next
+# generation's _verify_subtasks as the cost signal (reset per crawl)
+_LAST_BUCKET_SECS: dict[int, float] = {}
 
 
 def _collect_verify(parts: list) -> pa.Table:
     """Concat verify-task results, recording the wave's per-task timing
-    skew (max vs sum) into the generation's stage_secs for auditability."""
-    secs = [
-        float(p.schema.metadata[b"secs"])
-        for p in parts
-        if p.schema.metadata and b"secs" in p.schema.metadata
-    ]
+    skew (max vs sum) into the generation's stage_secs for auditability
+    and the per-bucket cost totals for the next wave's split decision."""
+    secs = []
+    by_bucket: dict[int, float] = {}
+    for p in parts:
+        md = p.schema.metadata
+        if md and b"secs" in md:
+            s = float(md[b"secs"])
+            secs.append(s)
+            if b"bucket" in md:
+                bk = int(md[b"bucket"])
+                by_bucket[bk] = by_bucket.get(bk, 0.0) + s
     if secs:
         _VERIFY_WAVE["verify_task_max"] = round(max(secs), 3)
         _VERIFY_WAVE["verify_task_sum"] = round(sum(secs), 3)
         _VERIFY_WAVE["verify_n_tasks"] = len(secs)
+    if by_bucket:
+        _LAST_BUCKET_SECS.clear()
+        _LAST_BUCKET_SECS.update(by_bucket)
     return pa.concat_tables(parts)
 
 
@@ -1012,7 +1045,9 @@ def _verify_one_bucket_staged(
     )
     t0 = time.perf_counter()
     out = _verify_bucket(sub, sigs_of, band_key_cap, slice_mod)
-    return out.replace_schema_metadata({b"secs": b"%.4f" % (time.perf_counter() - t0)})
+    return out.replace_schema_metadata(
+        {b"secs": b"%.4f" % (time.perf_counter() - t0), b"bucket": b"%d" % bucket}
+    )
 
 
 def _filter_ranks_task(
@@ -1196,7 +1231,9 @@ def _generation_driver(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t: pa.T
         mark("dedup_put")
         pool = _verify_pool(_pool_size(cfg.num_bk_buckets))
         _ub, _uc = np.unique(bands_new_t["bk_bucket"].to_numpy(), return_counts=True)
-        Sb = _verify_subtasks(dict(zip(_ub.tolist(), _uc.tolist())), len(pool))
+        Sb = _verify_subtasks(
+            dict(zip(_ub.tolist(), _uc.tolist())), len(pool), secs=dict(_LAST_BUCKET_SECS)
+        )
         futs = [
             # t == 0 stays on b % n (fragment-cache affinity); extra subtasks
             # of a hot bucket spread across the pool
@@ -1333,7 +1370,9 @@ def _generation_distributed(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t:
         _bcounts = (
             band_meta.groupby("partition")["num_rows"].sum().astype(int).to_dict()
         )
-        Sb = _verify_subtasks({int(k): v for k, v in _bcounts.items()}, len(pool))
+        Sb = _verify_subtasks(
+            {int(k): v for k, v in _bcounts.items()}, len(pool), secs=dict(_LAST_BUCKET_SECS)
+        )
         futs = [
             pool[(b + t * 17) % len(pool)].verify_staged.remote(
                 b, new_paths_by_bucket[b], old_by_bucket[b],
@@ -1929,6 +1968,7 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             # is authoritative after rollback
             st["bloom_gen"] = _bloom_gens_fallback(cfg, st["gen"])
     result = CrawlResult(root=cfg.root)
+    _LAST_BUCKET_SECS.clear()  # cost signal must not leak across crawls
     gens_this_run = 0
     frontier_mem = None    # previous generation's frontier (Dataset, big-crawl path)
     frontier_mem_t = None  # previous generation's frontier (pa.Table, driver path)

@@ -146,6 +146,16 @@ def test_verify_subtasks_skew_aware():
     assert 1 < sb[31] <= 8
     assert all(v == 1 for b, v in sb.items() if b != 31)
     assert set(_verify_subtasks(counts, 1).values()) == {1}  # narrow pool: no split
+    # measured-seconds feedback: a bucket whose LAST-wave cost exceeded the
+    # fair share splits even at uniform counts (and cheap buckets never do)
+    secs = {b: 0.5 for b in range(32)}
+    secs[7] = 4.0  # 4.0 / (19.5 / 16) ≈ 3.3 → S = 4
+    sb = _verify_subtasks({b: 100 for b in range(32)}, 16, secs=secs)
+    assert sb[7] == 4
+    assert all(v == 1 for b, v in sb.items() if b != 7)
+    # seconds for buckets absent this generation are ignored
+    sb = _verify_subtasks({b: 100 for b in range(32)}, 16, secs={99: 100.0})
+    assert set(sb.values()) == {1}
     os.environ["IEPS_VERIFY_SPLIT"] = "3"
     try:
         assert set(_verify_subtasks(counts, 16).values()) == {3}
