@@ -4171,6 +4171,37 @@ def q_curated_corpus_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_price_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """Approximate p50/p95/p99 of o_totalprice via a mergeable DDSketch —
+    the QUANTILE counterpart of q_approx_distinct_hll's scale story: ONE
+    streaming pass folds each batch into (log-bucket, count) partials whose
+    groupby-Sum merge IS the sketch merge (associative + retry-safe), with
+    a ±1 % RELATIVE error guarantee and no prior min/max scan — vs the
+    exact path (q_group_quantiles) which needs a stats pass, a histogram
+    pass and a member pull. Deterministic pure math (golden-pinned;
+    tolerance-gated vs the exact quantiles in test_analytics_extra)."""
+    from ray.data.aggregate import Sum
+
+    from ..state import sketches
+
+    ds = _tbl(sf_dir, "orders", columns=["o_totalprice"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        uk, cnt = sketches.dd_buckets(b["o_totalprice"].to_numpy())
+        return pa.table({"bucket": pa.array(uk), "cnt": pa.array(cnt)})
+
+    merged = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    qs = (0.5, 0.95, 0.99)
+    est = sketches.dd_quantiles(merged["bucket"].to_numpy(), merged["n"].to_numpy(), qs)
+    return pd.DataFrame({"q": list(qs), "price_est": np.round(est, 4)})
+
+
 def q_fuzzy_name_pairs(sf_dir: str) -> pd.DataFrame:
     """Fuzzy entity matching (record linkage): customer-name pairs within
     Levenshtein distance ≤ 1, via FastSS deletion-neighborhood hashing —
@@ -4489,6 +4520,7 @@ QUERIES = {
     "dedup_clusters_labelprop": q_dedup_clusters_labelprop,
     "embedding_topk_int8": q_embedding_topk_int8,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "price_quantile_sketch": q_price_quantile_sketch,
 }
 
 ORACLE_SQL = {
@@ -5063,6 +5095,7 @@ ORACLE_SQL = {
     # rows-only (no SQL oracle): lang_id_docs, doc_fingerprints, simhash_docs,
     # embedding_topk_lsh (approximate; recall gate in tests),
     # approx_distinct_hll (sketch estimate; tolerance + golden gates in tests),
+    # price_quantile_sketch (DDSketch estimate; relative-tolerance + golden),
     # embedding_clusters (iterative k-means — not SQL-expressible; golden)
 }
 

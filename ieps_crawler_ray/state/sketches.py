@@ -68,3 +68,47 @@ def estimate(regs: np.ndarray) -> int:
     if e <= 2.5 * M and zeros > 0:
         e = M * np.log(M / zeros)
     return int(round(e))
+
+
+# ---------------------------------------------------------------- DDSketch ---
+# Mergeable RELATIVE-error quantile sketch (Masson, Rim & Lee, VLDB 2019):
+# positive values map to log-domain buckets ceil(log_gamma(x)) with
+# gamma = (1+alpha)/(1-alpha), so every bucket's midpoint estimate
+# 2*gamma^i/(gamma+1) is within alpha relative error of any value it holds.
+# The sketch IS the (bucket, count) multiset — merge is a counts-sum, which
+# a groupby Sum provides, making it associative/commutative/retry-safe like
+# the HLL blob. One streaming pass, no prior min/max scan (unlike the exact
+# histogram-refinement quantile), bucket count grows only logarithmically
+# with the value range. Pure deterministic math — golden-pinnable.
+
+DD_ALPHA = 0.01
+
+
+def dd_buckets(values: np.ndarray, alpha: float = DD_ALPHA) -> tuple[np.ndarray, np.ndarray]:
+    """Fold positive values into (bucket_index, count) pairs."""
+    v = np.asarray(values, dtype=np.float64)
+    if (v <= 0).any():
+        raise ValueError("DDSketch handles positive values only")
+    g = np.log((1 + alpha) / (1 - alpha))
+    idx = np.ceil(np.log(v) / g).astype(np.int64)
+    uk, cnt = np.unique(idx, return_counts=True)
+    return uk, cnt.astype(np.int64)
+
+
+def dd_quantiles(
+    idx: np.ndarray, cnt: np.ndarray, qs, alpha: float = DD_ALPHA
+) -> np.ndarray:
+    """Quantile estimates from a merged (bucket, count) sketch. ``idx`` must
+    be sorted ascending; uses the lower nearest-rank definition
+    (rank = floor((n-1)·q), 0-based) to match quantile_disc."""
+    idx = np.asarray(idx, dtype=np.int64)
+    cnt = np.asarray(cnt, dtype=np.int64)
+    gamma = (1 + alpha) / (1 - alpha)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        rank = int((n - 1) * q)
+        b = int(idx[np.searchsorted(cum, rank + 1)])
+        out.append(2.0 * gamma**b / (gamma + 1))
+    return np.array(out, dtype=np.float64)

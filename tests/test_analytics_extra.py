@@ -78,6 +78,26 @@ def test_hll_query_within_tolerance_of_exact(ray_session):
         assert rel < 0.06, (et, approx[et], n)
 
 
+def test_quantile_sketch_within_relative_tolerance(ray_session):
+    """DDSketch guarantees ±alpha RELATIVE error vs the nearest-rank exact
+    quantile it targets (alpha = 0.01)."""
+    import duckdb
+
+    from ieps_crawler_ray.pipelines.analytics import q_price_quantile_sketch
+    from ieps_crawler_ray.state.sketches import DD_ALPHA
+
+    got = q_price_quantile_sketch(SF).set_index("q")["price_est"]
+    con = duckdb.connect()
+    for q in (0.5, 0.95, 0.99):
+        exact = con.execute(
+            f"SELECT quantile_disc(o_totalprice, {q}) FROM"
+            f" read_parquet('{SF}/orders.parquet')"
+        ).fetchone()[0]
+        rel = abs(got[q] - exact) / exact
+        assert rel <= DD_ALPHA + 1e-9, (q, got[q], exact, rel)
+    con.close()
+
+
 def test_simhash_neardup_pairs_match_brute_force(ray_session):
     import numpy as np
     import pyarrow.parquet as pq

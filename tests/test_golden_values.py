@@ -39,6 +39,9 @@ GOLDEN = {
     # sketch estimate (deterministic seed; accuracy separately tolerance-gated
     # vs exact distinct in test_analytics_extra)
     "approx_distinct_hll": (6, "85645e39b32710b60aa746c0565d94af"),
+    # DDSketch quantile estimate (deterministic; relative-tolerance-gated vs
+    # exact quantile_disc in test_analytics_extra)
+    "price_quantile_sketch": (3, "18260dcd661c5ba201017b3cf2e26f7f"),
     # iterative spherical k-means (not SQL-expressible; hash-seeded centroids)
     "embedding_clusters": (16, "bae562247cd9f086c9d4dfe91a0c216b"),
     # iterative PageRank (not SQL-expressible; independently recomputed from
