@@ -75,7 +75,7 @@ from ..semantics import (
 )
 from ..sources import corpus as C
 from ..sources import lance_table as lt
-from ..state.seen_filter import BloomFilter
+from ..state.seen_filter import make_seen_filter, seen_filter_from_bytes
 
 FRONTIER_COLS = ["url", "url_hash", "idx", "host_id", "priority", "seq", "uh_bucket"]
 
@@ -207,7 +207,7 @@ def _bootstrap(cfg: CrawlConfig) -> dict:
     os.makedirs(os.path.join(cfg.root, "blooms", "gen0"), exist_ok=True)
     for b in range(cfg.num_uh_buckets):
         with open(os.path.join(cfg.root, "blooms", "gen0", f"bloom-{b}.bin"), "wb") as f:
-            f.write(BloomFilter(cfg.bloom_capacity).to_bytes())
+            f.write(make_seen_filter(cfg.bloom_capacity).to_bytes())
     st = {"gen": 0, "rank": 0, "finished": False, "bloom_gen": [0] * cfg.num_uh_buckets}
     _save_state(cfg.root, st)
     return st
@@ -234,7 +234,7 @@ def _bloom_gens_fallback(cfg: CrawlConfig, upto_gen: int) -> list[int]:
         seen_gens = [g for g in _gens_of(cfg.root, "seen") if g <= upto_gen]
         os.makedirs(os.path.join(base, f"gen{upto_gen}"), exist_ok=True)
         for b in missing:
-            bloom = BloomFilter(cfg.bloom_capacity)
+            bloom = make_seen_filter(cfg.bloom_capacity)
             for g in seen_gens:
                 try:
                     t = lt.read_pyarrow(
@@ -1564,7 +1564,7 @@ def _merge_bucket(
     with open(
         os.path.join(root, "blooms", f"gen{bloom_gens[bucket]}", f"bloom-{bucket}.bin"), "rb"
     ) as f:
-        bloom = BloomFilter.from_bytes(f.read())
+        bloom = seen_filter_from_bytes(f.read())
     maybe = bloom.contains_many(uh)
     if maybe.any():
         seen_hashes = []
@@ -1788,7 +1788,7 @@ def _seen_bloom_bucket_task(
     # fallback rebuilds lost files) — a silently-fresh bloom would violate
     # the superset-of-seen invariant and re-admit previously-seen URLs
     with open(bloom_src, "rb") as f:
-        bloom = BloomFilter.from_bytes(f.read())
+        bloom = seen_filter_from_bytes(f.read())
     bloom.add_many(sub["url_hash"].to_numpy().astype(np.uint64))
     tmp_bloom = bloom_dst + f".tmp-{_uuid.uuid4().hex[:8]}"
     with open(tmp_bloom, "wb") as f:

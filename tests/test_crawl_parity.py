@@ -289,3 +289,18 @@ def test_engine_matches_oracle_with_binary_pages(ray_session):
     res = _run_engine(params, path, f"{SCRATCH}/ckpt-binary")
     assert _engine_tuples(res) == _page_tuples(oracle.pages)
     assert res.seen_urls() == oracle.seen
+
+
+def test_engine_matches_oracle_with_cuckoo_seen_filter(corpus_path, fetch, monkeypatch):
+    """IEPS_SEEN_FILTER=cuckoo swaps the seen pre-filter backend (north_rule:
+    "bloom/cuckoo URL-seen filters"); the exact per-bucket anti-join stays
+    authoritative, so the crawl must be byte-identical to the oracle AND to
+    the bloom-backed run, including across a resume that reloads the cuckoo
+    blobs from the generation-stamped checkpoint files."""
+    monkeypatch.setenv("IEPS_SEEN_FILTER", "cuckoo")
+    params = CrawlParams(spec=SPEC, max_pages=200, politeness=True, politeness_factor=3)
+    oracle = oracle_crawl(params, fetch)
+    res = _run_engine(params, corpus_path, f"{SCRATCH}/ckpt-cuckoo")
+    assert res.finished and res.n_pages == len(oracle.pages)
+    assert _engine_tuples(res) == _page_tuples(oracle.pages)
+    assert res.seen_urls() == oracle.seen

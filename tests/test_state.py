@@ -40,6 +40,58 @@ def test_bloom_roundtrip_and_merge():
     assert c.contains_many(np.concatenate([ka, kb])).all()
 
 
+def test_cuckoo_no_false_negatives_and_delete():
+    from ieps_crawler_ray.state.seen_filter import CuckooFilter
+
+    cf = CuckooFilter(capacity=10_000)
+    keys = np.arange(5_000, dtype=np.uint64) * np.uint64(2654435761)
+    cf.add_many(keys)
+    assert cf.contains_many(keys).all(), "inserted keys must never read absent"
+    # delete the first half (keys KNOWN inserted) — they drop out, rest stay
+    cf.delete_many(keys[:2_500])
+    assert cf.contains_many(keys[2_500:]).all()
+    fp = cf.contains_many(keys[:2_500]).mean()
+    assert fp < 0.05, f"deleted keys still matching at {fp:.3f}"
+
+
+def test_cuckoo_fp_rate_and_roundtrip():
+    from ieps_crawler_ray.state.seen_filter import CuckooFilter, seen_filter_from_bytes
+
+    cf = CuckooFilter(capacity=10_000)
+    rng = np.random.default_rng(7)
+    cf.add_many(rng.integers(0, 2**63, 10_000, dtype=np.uint64))
+    probe = rng.integers(2**63, 2**64 - 1, 20_000, dtype=np.uint64)
+    fp = cf.contains_many(probe).mean()
+    assert fp < 0.01, f"16-bit-fingerprint fp rate {fp:.4f} above target"
+    back = seen_filter_from_bytes(cf.to_bytes())
+    assert isinstance(back, CuckooFilter)
+    assert (back.table == cf.table).all()
+
+
+def test_seen_filter_factory_and_blob_dispatch():
+    import os
+
+    from ieps_crawler_ray.state.seen_filter import (
+        BloomFilter,
+        CuckooFilter,
+        make_seen_filter,
+        seen_filter_from_bytes,
+    )
+
+    assert isinstance(make_seen_filter(1000), BloomFilter)
+    os.environ["IEPS_SEEN_FILTER"] = "cuckoo"
+    try:
+        assert isinstance(make_seen_filter(1000), CuckooFilter)
+    finally:
+        del os.environ["IEPS_SEEN_FILTER"]
+    # legacy bloom blobs stay loadable through the dispatching loader
+    bf = BloomFilter(capacity=1000)
+    bf.add_many(np.array([5, 6], dtype=np.uint64))
+    back = seen_filter_from_bytes(bf.to_bytes())
+    assert isinstance(back, BloomFilter)
+    assert back.contains_many(np.array([5, 6], dtype=np.uint64)).all()
+
+
 def test_priority_keyword_match_scores_lower():
     """Reference semantics (Estrella.py:398-428): priority = 1 - max cosine;
     keyword anchors must sort before non-keyword anchors."""
