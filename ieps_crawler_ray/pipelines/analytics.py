@@ -4171,6 +4171,65 @@ def q_curated_corpus_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_doc_lm_scores(sf_dir: str) -> pd.DataFrame:
+    """KenLM-style language-model quality filter: score every document by
+    the average log-probability of its character trigrams under an add-1
+    smoothed trigram model TRAINED ON THE CORPUS ITSELF (two streaming
+    scans), returning the 20 most in-distribution docs. Scan 1 folds each
+    batch into (trigram-code, count) partials — codes pack the [a-z ]
+    alphabet as base-32 ints, so counting is a bincount, not string ops;
+    the merged model (≤ 32³ rows) plus its context marginals broadcast in
+    the task closure as one dense float array. Scan 2 scores each doc with
+    two vectorized gathers. p(c₃|c₁c₂) = (n₃+1)/(n₂+27): 27 = |alphabet|,
+    kept in lockstep with the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    V = 27.0
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _codes(text: str) -> np.ndarray:
+        b = np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(np.int64)
+        c = np.where(b == 32, 0, b - 96)  # ' '→0, 'a'-'z'→1..26
+        if ((c < 0) | (c > 26)).any():
+            raise ValueError("doc_lm_scores expects the [a-z ] corpus alphabet")
+        if len(c) < 3:
+            return np.empty(0, dtype=np.int64)
+        return c[:-2] * 1024 + c[1:-1] * 32 + c[2:]
+
+    def count3(b: pa.Table) -> pa.Table:
+        all_codes = [_codes(t) for t in b["text"].to_pylist()]
+        flat = np.concatenate(all_codes) if all_codes else np.empty(0, np.int64)
+        uk, cnt = np.unique(flat, return_counts=True)
+        return pa.table({"g": pa.array(uk), "n3": pa.array(cnt.astype(np.int64))})
+
+    model = (
+        ds.map_batches(count3, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("n3", alias_name="n3"))
+        .to_pandas()
+    )
+    n3 = np.zeros(32**3, dtype=np.float64)
+    n3[model["g"].to_numpy()] = model["n3"].to_numpy()
+    n2 = n3.reshape(32 * 32, 32).sum(axis=1)  # context marginals
+    logp = np.log((n3 + 1.0) / (np.repeat(n2, 32) + V))
+
+    def score(b: pa.Table, _lp=logp) -> pa.Table:
+        ids, lps = [], []
+        for d, t in zip(b["doc_id"].to_numpy(), b["text"].to_pylist()):
+            codes = _codes(t)
+            if len(codes):
+                ids.append(int(d))
+                lps.append(float(_lp[codes].mean()))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "lp": pa.array(lps, pa.float64())}
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out["lp"] = out["lp"].round(6)
+    out = out.sort_values(["lp", "doc_id"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
 def q_price_quantile_sketch(sf_dir: str) -> pd.DataFrame:
     """Approximate p50/p95/p99 of o_totalprice via a mergeable DDSketch —
     the QUANTILE counterpart of q_approx_distinct_hll's scale story: ONE
@@ -4521,6 +4580,7 @@ QUERIES = {
     "embedding_topk_int8": q_embedding_topk_int8,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "price_quantile_sketch": q_price_quantile_sketch,
+    "doc_lm_scores": q_doc_lm_scores,
 }
 
 ORACLE_SQL = {
@@ -4530,6 +4590,17 @@ ORACLE_SQL = {
         "  unnest(generate_series(1, length(t) - 1)) AS u(i) WHERE length(t) >= 2)"
         " SELECT pair, COUNT(*)::BIGINT AS n FROM big GROUP BY pair"
         " ORDER BY n DESC, pair LIMIT 20"
+    ),
+    "doc_lm_scores": (
+        "WITH tg AS (SELECT doc_id, substring(text, i, 3) AS g FROM documents,"
+        "  unnest(generate_series(1, length(text) - 2)) AS u(i)),"
+        " cnt3 AS (SELECT g, COUNT(*) AS n3 FROM tg GROUP BY g),"
+        " cnt2 AS (SELECT substring(g, 1, 2) AS g2, SUM(n3) AS n2 FROM cnt3 GROUP BY 1),"
+        " scored AS (SELECT t.doc_id, AVG(ln((c3.n3 + 1.0) / (c2.n2 + 27.0))) AS lp"
+        "  FROM tg t JOIN cnt3 c3 ON t.g = c3.g"
+        "  JOIN cnt2 c2 ON substring(t.g, 1, 2) = c2.g2 GROUP BY t.doc_id)"
+        " SELECT doc_id, ROUND(lp, 6) AS lp FROM scored"
+        " ORDER BY lp DESC, doc_id LIMIT 20"
     ),
     "fuzzy_name_pairs": (
         "SELECT a.c_name AS name_a, b.c_name AS name_b"

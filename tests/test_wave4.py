@@ -17,6 +17,7 @@ WAVE4_ORACLE = [
     "dedup_clusters_labelprop",
     "embedding_topk_int8",
     "fuzzy_name_pairs",
+    "doc_lm_scores",
 ]
 
 
