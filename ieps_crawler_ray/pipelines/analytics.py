@@ -4171,6 +4171,110 @@ def q_curated_corpus_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
+    """Triangle count over the co-purchase graph — the third graph shape
+    (after PageRank and connected components): oriented node-iterator.
+    Distinct edges (part_a < part_b) come from the same orderkey-bucket
+    segment pair emission as q_copurchase_pairs; every triangle {x<y<z} is
+    counted exactly once at its LOWEST vertex x by enumerating x's
+    higher-neighbor pairs (y, z) — vectorized segment arithmetic per
+    x-bucket — and testing (y, z) membership against the BROADCAST sorted
+    edge-key array (``ray.put`` once; 8 B/edge), so wedges never cross the
+    wire: each bucket returns one count. Partitioning assumptions: the edge
+    set is broadcast-sized (dedup graphs are sparse); the wedge blow-up on
+    hub nodes is bounded by the low-vertex orientation (a hub's wedges
+    split across its lower neighbors) — the standard degree-ordering
+    argument; past broadcast scale the membership test becomes the
+    pair-keyed shuffle used by q_docs_shared_span_pairs."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        df = (
+            b.to_pandas()
+            .drop_duplicates()
+            .rename(columns={"l_orderkey": "ok", "l_partkey": "pk"})
+        )
+        df["ob"] = (df["ok"].to_numpy() % _N_UB).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def edge_seg(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["ok", "pk"]].drop_duplicates().sort_values(["ok", "pk"], kind="stable")
+        ok = d["ok"].to_numpy()
+        pk = d["pk"].to_numpy().astype(np.int64)
+        n = len(ok)
+        if n == 0:
+            return pd.DataFrame({"k": pd.Series([], dtype="int64")})
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens)
+        rem = np.repeat(lens, lens) - pos - 1
+        total = int(rem.sum())
+        if total == 0:
+            return pd.DataFrame({"k": pd.Series([], dtype="int64")})
+        a_idx = np.repeat(np.arange(n), rem)
+        off = np.arange(total) - np.repeat(np.cumsum(rem) - rem, rem) + 1
+        k = pk[a_idx] * (1 << 32) + pk[a_idx + off]  # pk sorted within order ⇒ a < b
+        return pd.DataFrame({"k": np.unique(k)})
+
+    edges = (
+        ds.map_batches(order_rows, batch_format="pyarrow")
+        .groupby("ob")
+        .map_groups(edge_seg, batch_format="pandas")
+        .groupby("k")
+        .count()
+        .to_pandas()["k"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    edges.sort()
+    edges_ref = ray.put(edges)  # broadcast once — 8 B per distinct edge
+
+    import ray.data as rd
+
+    edge_ds = rd.from_arrow(
+        pa.table({"x": pa.array((edges >> 32).astype(np.int64)),
+                  "y": pa.array((edges & ((1 << 32) - 1)).astype(np.int64))})
+    )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["x", "y"], kind="stable")
+        x = d["x"].to_numpy()
+        y = d["y"].to_numpy()
+        n = len(x)
+        sorted_edges = ray.get(edges_ref)
+        if n == 0:
+            return pd.DataFrame({"n_tri": [0]})
+        starts = np.flatnonzero(np.r_[True, x[1:] != x[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens)
+        rem = np.repeat(lens, lens) - pos - 1
+        total = int(rem.sum())
+        if total == 0:
+            return pd.DataFrame({"n_tri": [0]})
+        a_idx = np.repeat(np.arange(n), rem)
+        off = np.arange(total) - np.repeat(np.cumsum(rem) - rem, rem) + 1
+        wk = y[a_idx] * (1 << 32) + y[a_idx + off]  # y sorted within x ⇒ y < z
+        p = np.searchsorted(sorted_edges, wk)
+        p = np.minimum(p, len(sorted_edges) - 1)
+        return pd.DataFrame({"n_tri": [int((sorted_edges[p] == wk).sum())]})
+
+    counts = (
+        edge_ds.map_batches(
+            lambda b: b.append_column(
+                "xb", pa.array((b["x"].to_numpy() % _N_UB).astype(np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("xb")
+        .map_groups(wedges, batch_format="pandas")
+        .aggregate(Sum("n_tri"))
+    )
+    return pd.DataFrame({"n_triangles": [int(counts["sum(n_tri)"])]})
+
+
 def q_doc_lm_scores(sf_dir: str) -> pd.DataFrame:
     """KenLM-style language-model quality filter: score every document by
     the average log-probability of its character trigrams under an add-1
@@ -4581,6 +4685,7 @@ QUERIES = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "price_quantile_sketch": q_price_quantile_sketch,
     "doc_lm_scores": q_doc_lm_scores,
+    "copurchase_triangles": q_copurchase_triangles,
 }
 
 ORACLE_SQL = {
@@ -4590,6 +4695,14 @@ ORACLE_SQL = {
         "  unnest(generate_series(1, length(t) - 1)) AS u(i) WHERE length(t) >= 2)"
         " SELECT pair, COUNT(*)::BIGINT AS n FROM big GROUP BY pair"
         " ORDER BY n DESC, pair LIMIT 20"
+    ),
+    "copurchase_triangles": (
+        "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+        " pp AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb FROM d a"
+        "  JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"
+        " SELECT COUNT(*)::BIGINT AS n_triangles FROM pp e1"
+        " JOIN pp e2 ON e1.pb = e2.pa"
+        " JOIN pp e3 ON e3.pa = e1.pa AND e3.pb = e2.pb"
     ),
     "doc_lm_scores": (
         "WITH tg AS (SELECT doc_id, substring(text, i, 3) AS g FROM documents,"

@@ -18,6 +18,7 @@ WAVE4_ORACLE = [
     "embedding_topk_int8",
     "fuzzy_name_pairs",
     "doc_lm_scores",
+    "copurchase_triangles",
 ]
 
 
