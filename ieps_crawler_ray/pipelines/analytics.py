@@ -4171,6 +4171,33 @@ def q_curated_corpus_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_docs_shuffle_head(sf_dir: str) -> pd.DataFrame:
+    """Deterministic training-epoch SHUFFLE: the corpus order for an epoch
+    is the permutation induced by md5(doc_id) (seedable by salting), which
+    is reproducible across runs/workers — the standard deterministic-shuffle
+    recipe for training-data loaders. Verified here on the first 20
+    positions via per-batch partial min-k (no global sort for a head);
+    materializing the FULL epoch order at 100 TB is the same key + a
+    range-partitioned ``ds.sort`` — the one case where a global sort is the
+    operator's actual semantics."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id"])
+
+    def mink(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        ks = np.array(hashing.md5_hex([str(int(i)) for i in ids]))
+        order = np.lexsort((ids, ks))[:20]
+        return pa.table(
+            {"k": pa.array(ks[order]), "doc_id": pa.array(ids[order].astype(np.int64))}
+        )
+
+    parts = ds.map_batches(mink, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["k", "doc_id"], kind="stable").head(20)
+    out = pd.DataFrame(
+        {"pos": np.arange(1, len(parts) + 1, dtype="int64"), "doc_id": parts["doc_id"].to_numpy()}
+    )
+    return out
+
+
 def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     """Triangle count over the co-purchase graph — the third graph shape
     (after PageRank and connected components): oriented node-iterator.
@@ -4686,6 +4713,7 @@ QUERIES = {
     "price_quantile_sketch": q_price_quantile_sketch,
     "doc_lm_scores": q_doc_lm_scores,
     "copurchase_triangles": q_copurchase_triangles,
+    "docs_shuffle_head": q_docs_shuffle_head,
 }
 
 ORACLE_SQL = {
@@ -4695,6 +4723,11 @@ ORACLE_SQL = {
         "  unnest(generate_series(1, length(t) - 1)) AS u(i) WHERE length(t) >= 2)"
         " SELECT pair, COUNT(*)::BIGINT AS n FROM big GROUP BY pair"
         " ORDER BY n DESC, pair LIMIT 20"
+    ),
+    "docs_shuffle_head": (
+        "SELECT pos, doc_id FROM (SELECT doc_id,"
+        " ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT AS pos"
+        " FROM documents) t WHERE pos <= 20 ORDER BY pos"
     ),
     "copurchase_triangles": (
         "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"

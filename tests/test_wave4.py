@@ -19,6 +19,7 @@ WAVE4_ORACLE = [
     "fuzzy_name_pairs",
     "doc_lm_scores",
     "copurchase_triangles",
+    "docs_shuffle_head",
 ]
 
 
