@@ -1064,6 +1064,42 @@ def q_user_sessions(sf_dir: str) -> "object":
     )
 
 
+def q_session_durations(sf_dir: str) -> pd.DataFrame:
+    """Session DURATION stats (count / avg / max seconds) over the same
+    1 h-gap sessionization as q_user_sessions — same bucket-shuffle +
+    segmented-scan shape, but the per-bucket emission is a 3-number partial
+    (count, Σduration, max), so the driver merge is bucket-count-sized."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def dur_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap = np.concatenate(([False], (ts[1:] - ts[:-1]) > 3600 * 1_000_000_000))
+        starts = np.flatnonzero(new_user | gap)
+        ends = np.concatenate((starts[1:], [len(ts)])) - 1
+        dur = (ts[ends] - ts[starts]) / 1e9
+        return pd.DataFrame(
+            {"n": [len(starts)], "s": [float(dur.sum())], "m": [float(dur.max())]}
+        )
+
+    parts = (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(dur_seg, batch_format="pandas")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    return pd.DataFrame(
+        {
+            "n_sessions": [n],
+            "avg_duration_sec": [round(float(parts["s"].sum()) / n, 6)],
+            "max_duration_sec": [round(float(parts["m"].max()), 6)],
+        }
+    )
+
+
 def q_event_rank_in_user(sf_dir: str) -> "object":
     """row_number per key (first 3) — windowed rank via the same
     bucket-shuffle + sort-within-bucket + segmented vectorized scan."""
@@ -4714,6 +4750,7 @@ QUERIES = {
     "doc_lm_scores": q_doc_lm_scores,
     "copurchase_triangles": q_copurchase_triangles,
     "docs_shuffle_head": q_docs_shuffle_head,
+    "session_durations": q_session_durations,
 }
 
 ORACLE_SQL = {
@@ -4723,6 +4760,17 @@ ORACLE_SQL = {
         "  unnest(generate_series(1, length(t) - 1)) AS u(i) WHERE length(t) >= 2)"
         " SELECT pair, COUNT(*)::BIGINT AS n FROM big GROUP BY pair"
         " ORDER BY n DESC, pair LIMIT 20"
+    ),
+    "session_durations": (
+        "WITH x AS (SELECT user_id, ts, event_id,"
+        "  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL"
+        "   OR EPOCH(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+        "      > 3600 THEN 1 ELSE 0 END AS ns FROM events),"
+        " y AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id"
+        "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x),"
+        " d AS (SELECT EPOCH(MAX(ts) - MIN(ts)) AS dur FROM y GROUP BY user_id, sid)"
+        " SELECT COUNT(*)::BIGINT AS n_sessions, ROUND(AVG(dur), 6) AS avg_duration_sec,"
+        " ROUND(MAX(dur), 6) AS max_duration_sec FROM d"
     ),
     "docs_shuffle_head": (
         "SELECT pos, doc_id FROM (SELECT doc_id,"

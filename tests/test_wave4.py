@@ -20,6 +20,7 @@ WAVE4_ORACLE = [
     "doc_lm_scores",
     "copurchase_triangles",
     "docs_shuffle_head",
+    "session_durations",
 ]
 
 
