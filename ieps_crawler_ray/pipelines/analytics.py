@@ -4652,6 +4652,234 @@ def q_embedding_topk_int8(sf_dir: str) -> pd.DataFrame:
     return parts[["vec_id"]].reset_index(drop=True)
 
 
+# ------------------------------------------------- wave 5: classic join/agg
+# shapes still missing from the inventory: multi-dimension star join with a
+# cross-dimension equality (TPC-H Q5), conditional-ratio global aggregate
+# over a broadcast flag (Q14), HAVING on a fact-side aggregate (Q18), a
+# log-bucketed corpus length histogram, and distributed PCA over the
+# embedding column (covariance partials + driver eigendecomposition).
+
+
+def q_local_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: revenue per nation from lineitems where the CUSTOMER's
+    nation equals the SUPPLIER's nation, within one region. Scale plan: the
+    three dimension tables resolve driver-side (region→nation set) and the
+    two fact tables each get their nationkey via a broadcast lookup (null =
+    out-of-region, filtered immediately so the join exchange only moves
+    in-region rows); lineitem pre-aggregates revenue per (orderkey, supp
+    nation) so the orders⋈lineitem hash join ships one row per order-nation;
+    the cross-dimension equality (c_nationkey = s_nationkey) is a vectorized
+    post-join filter; the final groupby moves ≤ |nation| partials."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    region = _dim(sf_dir, "region")
+    rkeys = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    nation = _dim(sf_dir, "nation")
+    nation = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkeys.combine_chunks()))
+    nset = nation["n_nationkey"].combine_chunks()
+
+    supp = _dim(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp["s_nationkey"], value_set=nset))
+    sdim = pa.table({"l_suppkey": supp["s_suppkey"], "supp_nk": supp["s_nationkey"]})
+    cust = _dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=nset))
+    cdim = pa.table({"o_custkey": cust["c_custkey"], "cust_nk": cust["c_nationkey"]})
+
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    o_side = broadcast_join(orders, cdim, "o_custkey", ["cust_nk"]).map_batches(
+        lambda b: b.filter(pc.is_valid(b["cust_nk"])).select(["o_orderkey", "cust_nk"]),
+        batch_format="pyarrow",
+    )
+
+    li = _tbl(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    li = broadcast_join(li, sdim, "l_suppkey", ["supp_nk"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["supp_nk"]))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "supp_nk": b["supp_nk"], "rev": rev})
+        return _partial(t, ["l_orderkey", "supp_nk"], [("rev", "sum")])
+
+    li_agg = (
+        li.map_batches(li_prep, batch_format="pyarrow")
+        .groupby(["l_orderkey", "supp_nk"])
+        .aggregate(Sum("rev_sum", alias_name="rev_sum"))
+    )
+    joined = li_agg.join(
+        o_side, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    # ≤ 25-entry nation map, closure-borne; lookup is a vectorized searchsorted
+    nk_sorted = np.sort(nation["n_nationkey"].to_numpy())
+    nm_sorted = nation["n_name"].take(
+        pc.sort_indices(nation["n_nationkey"])
+    ).combine_chunks()
+
+    def post(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["supp_nk"], b["cust_nk"]))
+        pos = np.searchsorted(nk_sorted, b["supp_nk"].to_numpy())
+        t = pa.table(
+            {"n_name": nm_sorted.take(pa.array(pos, pa.int64())), "rev": b["rev_sum"]}
+        )
+        return _partial(t, ["n_name"], [("rev", "sum")])
+
+    out = (
+        joined.map_batches(post, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev_sum", alias_name="r"))
+        .to_pandas()
+    )
+    out["revenue"] = out["r"].round(4)
+    return out[["n_name", "revenue"]]
+
+
+def q_promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: share of revenue from PROMO parts — a conditional
+    ratio over a broadcast dimension flag. The part dim ships once via
+    ray.put; each batch emits ONE partial row (promo_rev, rev); the global
+    reduce is two scalars."""
+    from .joins import broadcast_join
+
+    part = _dim(sf_dir, "part", columns=["p_partkey", "p_type"])
+    flag = pc.match_like(part["p_type"], "PROMO%")
+    pdim = pa.table({"l_partkey": part["p_partkey"], "is_promo": flag})
+
+    li = _tbl(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+    li = broadcast_join(li, pdim, "l_partkey", ["is_promo"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        promo = pc.if_else(pc.fill_null(b["is_promo"], False), rev, pa.scalar(0.0))
+        return pa.table(
+            {
+                "promo_rev": [pc.sum(promo).as_py() or 0.0],
+                "rev": [pc.sum(rev).as_py() or 0.0],
+            }
+        )
+
+    sums = li.map_batches(partial, batch_format="pyarrow").sum(["promo_rev", "rev"])
+    share = 100.0 * sums["sum(promo_rev)"] / sums["sum(rev)"]
+    return pd.DataFrame({"promo_share": [round(share, 4)]})
+
+
+def q_large_volume_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact-side aggregate. Lineitem quantity
+    pre-aggregates per orderkey (map-side partials → one keyed groupby), the
+    HAVING filter drops ~99 % of orders BEFORE the orders join, customer
+    names resolve via broadcast lookup, and the top-20 is per-batch partial
+    top-k + a 20-row driver merge (deterministic o_totalprice DESC,
+    o_orderkey tiebreak)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    li = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    big = (
+        li.map_batches(
+            lambda b: _partial(b, ["l_orderkey"], [("l_quantity", "sum")]),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("l_quantity_sum", alias_name="sum_qty"))
+        .filter(lambda r: r["sum_qty"] > 200.0)
+    )
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = big.join(
+        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    cust = _dim(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    cdim = pa.table({"o_custkey": cust["c_custkey"], "c_name": cust["c_name"]})
+    joined = broadcast_join(joined, cdim, "o_custkey", ["c_name"])
+
+    def topk(b: pa.Table) -> pa.Table:
+        # the hash join coalesces the right key into l_orderkey
+        b = b.select(["c_name", "l_orderkey", "o_totalprice", "sum_qty"])
+        df = b.rename_columns(["c_name", "o_orderkey", "o_totalprice", "sum_qty"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(20),
+            preserve_index=False,
+        )
+
+    parts = joined.map_batches(topk, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    return out[["c_name", "o_orderkey", "o_totalprice", "sum_qty"]]
+
+
+def q_doc_length_histogram(sf_dir: str) -> pd.DataFrame:
+    """Log2-bucketed document-length histogram (the corpus length-
+    distribution report every curation pipeline starts from). Per-batch
+    bucket+combine partials; the groupby moves ≤ 64 rows per batch."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["n_chars"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        n = b["n_chars"].to_numpy()
+        bucket = np.floor(np.log2(n)).astype(np.int64)
+        t = pa.table({"bucket": bucket, "n_chars": b["n_chars"]})
+        return _partial(t, ["bucket"], [("n_chars", "sum"), ([], "count_all")])
+
+    out = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_chars_sum", alias_name="total_chars"), Sum("count_all", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out["bucket"] = out["bucket"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["bucket", "n", "total_chars"]]
+
+
+def q_embedding_pca(sf_dir: str) -> pd.DataFrame:
+    """Distributed PCA over the embedding column — the whitening /
+    dimensionality-reduction preprocessing step of embedding-dedup pipelines.
+    Each batch emits ONE partial row (n, Σx as list<d>, Σxxᵀ as list<d²>);
+    the driver reduce is O(batches · d²) — result-sized, independent of row
+    count — then a d×d eigendecomposition. Output: explained-variance ratio
+    of the top 4 components, rounded to 6 decimals (summation-order jitter is
+    ~1e-12 relative, so the rounding is stable across block orders)."""
+    ds = _tbl(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "s": pa.array([x.sum(axis=0).tolist()], pa.list_(pa.float64())),
+                "g": pa.array([(x.T @ x).ravel().tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()  # one row/batch
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    evr = evals / evals.sum()
+    return pd.DataFrame(
+        {
+            "component": np.arange(4, dtype="int64"),
+            "explained_variance_ratio": np.round(evr[:4], 6),
+        }
+    )
+
+
 QUERIES = {
     "global_counts": q_global_counts,
     "events_by_type": q_events_by_type,
@@ -4751,6 +4979,11 @@ QUERIES = {
     "copurchase_triangles": q_copurchase_triangles,
     "docs_shuffle_head": q_docs_shuffle_head,
     "session_durations": q_session_durations,
+    "local_supplier_revenue": q_local_supplier_revenue,
+    "promo_revenue_share": q_promo_revenue_share,
+    "large_volume_customers": q_large_volume_customers,
+    "doc_length_histogram": q_doc_length_histogram,
+    "embedding_pca": q_embedding_pca,
 }
 
 ORACLE_SQL = {
@@ -5367,3 +5600,32 @@ ORACLE_SQL = {
 # same semantics, different distributed algorithm — share the exact oracles
 ORACLE_SQL["dedup_clusters_labelprop"] = ORACLE_SQL["dedup_clusters"]
 ORACLE_SQL["embedding_topk_int8"] = ORACLE_SQL["embedding_topk"]
+ORACLE_SQL["local_supplier_revenue"] = (
+    "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN supplier ON l_suppkey = s_suppkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'"
+    " GROUP BY n_name"
+)
+ORACLE_SQL["promo_revenue_share"] = (
+    "SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'"
+    "  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)"
+    " / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share"
+    " FROM lineitem JOIN part ON l_partkey = p_partkey"
+)
+ORACLE_SQL["large_volume_customers"] = (
+    "WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty"
+    "  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 200)"
+    " SELECT c_name, o_orderkey, o_totalprice, sum_qty"
+    " FROM big JOIN orders ON o_orderkey = l_orderkey"
+    " JOIN customer ON c_custkey = o_custkey"
+    " ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
+)
+ORACLE_SQL["doc_length_histogram"] = (
+    "SELECT CAST(FLOOR(LOG2(n_chars)) AS BIGINT) AS bucket,"
+    " COUNT(*)::BIGINT AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars"
+    " FROM documents GROUP BY bucket"
+)

@@ -47,6 +47,10 @@ GOLDEN = {
     # iterative PageRank (not SQL-expressible; independently recomputed from
     # the per-page link oracle in test_wave3)
     "host_pagerank": (10, "1388bd87863ab5a6dc275eb14056e433"),
+    # distributed PCA (not SQL-expressible; independently recomputed with
+    # full-matrix numpy in test_wave5; evr rounded to 6 decimals so
+    # block-order summation jitter ~1e-12 cannot move the pin)
+    "embedding_pca": (4, "9bb9785f973fecb086ab2534cd01d1de"),
 }
 
 
