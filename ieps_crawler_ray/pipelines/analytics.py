@@ -4880,6 +4880,173 @@ def q_embedding_pca(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# ------------------------------------------------- wave 6: robust stats,
+# grouped vocabulary top-k, and windows over pre-aggregated series.
+
+
+def _histogram_select(ds, col: str, rank: int, lo: float, hi: float, transform=None):
+    """Exact 0-based rank selection (quantile_disc semantics) over
+    ``transform(col)`` by iterative 4096-bin histogram refinement — the same
+    no-global-sort shape as ``q_price_quantiles``, factored for reuse with a
+    value transform (MAD needs |x − median|). Each round is one streaming
+    scan emitting ≤4096-row bincount partials; the candidate interval shrinks
+    4096× per round, so 100 TB resolves in ceil(log_4096(N/cap)) scans plus
+    one ≤cap-row pull."""
+    from ray.data.aggregate import Sum
+
+    NBINS, CAP = 4096, 100_000
+    inc = True  # hi-inclusive (top of the global range / last bin of a round)
+    while True:
+        if lo == hi:
+            return lo
+        edges = np.linspace(lo, hi, NBINS + 1)
+
+        def hist(b: pa.Table, _lo=lo, _hi=hi, _inc=inc, _edges=edges) -> pa.Table:
+            v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            if transform is not None:
+                v = transform(v)
+            vv = v[(v >= _lo) & ((v < _hi) | (_inc & (v == _hi)))]
+            idx = np.minimum(np.searchsorted(_edges, vv, side="right") - 1, NBINS - 1)
+            c = np.bincount(idx, minlength=NBINS)
+            nz = np.nonzero(c)[0]
+            return pa.table(
+                {"bin": pa.array(nz, pa.int64()), "cnt": pa.array(c[nz], pa.int64())}
+            )
+
+        rows = (
+            ds.map_batches(hist, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("cnt", alias_name="c"))
+            .take_all()
+        )
+        counts = np.zeros(NBINS, dtype=np.int64)
+        for r in rows:
+            counts[r["bin"]] = r["c"]
+        cum = np.cumsum(counts)
+        b = int(np.searchsorted(cum, rank + 1))
+        rank -= int(cum[b - 1]) if b > 0 else 0
+        bin_lo, bin_hi, bin_inc = float(edges[b]), float(edges[b + 1]), b == NBINS - 1 and inc
+        if counts[b] <= CAP:
+            def pull(bt: pa.Table, _bl=bin_lo, _bh=bin_hi, _bi=bin_inc) -> pa.Table:
+                v = bt[col].to_numpy(zero_copy_only=False).astype(np.float64)
+                if transform is not None:
+                    v = transform(v)
+                vv = v[(v >= _bl) & ((v < _bh) | (_bi & (v == _bh)))]
+                return pa.table({"v": pa.array(vv, pa.float64())})
+
+            vals = np.sort(
+                np.concatenate(
+                    [r["v"].to_numpy() for r in ds.map_batches(pull, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+                    or [np.array([])]
+                )
+            )
+            return float(vals[rank])
+        lo, hi, inc = bin_lo, bin_hi, bin_inc
+
+
+def q_price_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust outlier statistics: exact median and MAD (median absolute
+    deviation) of o_totalprice — the winsorization/clipping preamble of a
+    data-cleaning pipeline. Two exact rank selections, NO global sort: the
+    median via histogram refinement on the raw column, the MAD via the same
+    machinery on the |x − median| transform (its range [0, max(hi−m, m−lo)]
+    derives from the first pass's min/max — no extra scan)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    col = "o_totalprice"
+    ds = _tbl(sf_dir, "orders", columns=[col])
+    agg = ds.aggregate(Count(), Min(col), Max(col))
+    n, vmin, vmax = int(agg["count()"]), float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    rank = (n - 1) // 2  # floor((n-1)/2): quantile_disc(0.5)
+    med = _histogram_select(ds, col, rank, vmin, vmax)
+    dev_hi = max(vmax - med, med - vmin)
+    mad = _histogram_select(ds, col, rank, 0.0, dev_hi, transform=lambda v: np.abs(v - med))
+    return pd.DataFrame(
+        {"median_price": [round(med, 4)], "mad_price": [round(mad, 4)]}
+    )
+
+
+def q_top_terms_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Grouped vocabulary top-k: the 5 highest-document-frequency tokens PER
+    LANGUAGE (the per-shard stopword report of a curation pipeline). Same
+    exact-partial trick as ``q_top_terms`` — each doc lives in one batch, so
+    per-batch (lang, token, distinct-doc) counts are exact COUNT(DISTINCT)
+    partials; the shuffle moves vocabulary-sized rows. The per-lang top-5 is
+    a map_groups over the aggregated vocabulary (5 fixed groups; at 100 TB
+    add a per-block partial top-k before the merge)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.DataFrame(
+                {
+                    "doc_id": pl.from_arrow(b["doc_id"]),
+                    "lang": pl.from_arrow(b["lang"]),
+                    "token": pl.from_arrow(b["text"]).str.split(" "),
+                }
+            )
+            .explode("token")
+            .unique(subset=["doc_id", "token"])
+            .group_by(["lang", "token"])
+            .len("df")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"].to_list(), pa.string()),
+                "token": pa.array(df["token"].to_list(), pa.string()),
+                "df": pa.array(df["df"].to_list(), pa.int64()),
+            }
+        )
+
+    def top5(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["df", "token"], ascending=[False, True]).head(5)
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("df", alias_name="df"))
+        .groupby("lang")
+        .map_groups(top5, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["lang", "df", "token"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    return out[["lang", "token", "df"]]
+
+
+def q_revenue_daily_growth(sf_dir: str) -> pd.DataFrame:
+    """Window over a pre-aggregated series: day-over-day revenue growth.
+    The fact table reduces to one row per day (per-batch partials → keyed
+    groupby), then LAG/growth runs on the driver over the RESULT-sized daily
+    series — the scale-correct place for a window whose partition count is
+    the calendar, not the data."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def f(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["o_orderdate"], format="%Y-%m-%d")
+        t = pa.table({"day": day, "rev": b["o_totalprice"]})
+        return _partial(t, ["day"], [("rev", "sum")])
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("rev_sum", alias_name="r"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    prev = out["r"].shift(1)
+    out["growth_pct"] = (100.0 * (out["r"] - prev) / prev).round(6)
+    out["revenue"] = out["r"].round(4)
+    return out[["day", "revenue", "growth_pct"]]
+
+
 QUERIES = {
     "global_counts": q_global_counts,
     "events_by_type": q_events_by_type,
@@ -4984,6 +5151,9 @@ QUERIES = {
     "large_volume_customers": q_large_volume_customers,
     "doc_length_histogram": q_doc_length_histogram,
     "embedding_pca": q_embedding_pca,
+    "price_mad": q_price_mad,
+    "top_terms_by_lang": q_top_terms_by_lang,
+    "revenue_daily_growth": q_revenue_daily_growth,
 }
 
 ORACLE_SQL = {
@@ -5628,4 +5798,25 @@ ORACLE_SQL["doc_length_histogram"] = (
     "SELECT CAST(FLOOR(LOG2(n_chars)) AS BIGINT) AS bucket,"
     " COUNT(*)::BIGINT AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars"
     " FROM documents GROUP BY bucket"
+)
+ORACLE_SQL["price_mad"] = (
+    "WITH m AS (SELECT quantile_disc(o_totalprice, 0.5) AS med FROM orders)"
+    " SELECT ROUND((SELECT med FROM m), 4) AS median_price,"
+    " ROUND(quantile_disc(ABS(o_totalprice - (SELECT med FROM m)), 0.5), 4) AS mad_price"
+    " FROM orders"
+)
+ORACLE_SQL["top_terms_by_lang"] = (
+    "WITH tf AS (SELECT lang, token, COUNT(DISTINCT doc_id) AS df FROM"
+    "  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents)"
+    "  GROUP BY lang, token),"
+    " r AS (SELECT lang, token, df,"
+    "  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, token) AS rn FROM tf)"
+    " SELECT lang, token, df FROM r WHERE rn <= 5 ORDER BY lang, df DESC, token"
+)
+ORACLE_SQL["revenue_daily_growth"] = (
+    "WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,"
+    "  SUM(o_totalprice) AS r FROM orders GROUP BY 1)"
+    " SELECT day, ROUND(r, 4) AS revenue,"
+    " ROUND(100.0 * (r - LAG(r) OVER (ORDER BY day)) / LAG(r) OVER (ORDER BY day), 6)"
+    "  AS growth_pct FROM d ORDER BY day"
 )

@@ -20,6 +20,9 @@ WAVE5_ORACLE = [
     "promo_revenue_share",
     "large_volume_customers",
     "doc_length_histogram",
+    "price_mad",
+    "top_terms_by_lang",
+    "revenue_daily_growth",
 ]
 
 
@@ -61,6 +64,26 @@ def test_large_volume_customers_is_top20_deterministic(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 20
     assert a["o_totalprice"].is_monotonic_decreasing
+
+
+def test_price_mad_matches_numpy_selection(ray_session):
+    """The two histogram selections must pick the exact quantile_disc ranks
+    a driver-side sort would: median = sorted[ (n-1)//2 ], MAD likewise over
+    |x − median|."""
+    import pyarrow.parquet as pq
+
+    from ieps_crawler_ray.pipelines.analytics import q_price_mad
+
+    got = q_price_mad(SF)
+    x = np.sort(
+        pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"])[
+            "o_totalprice"
+        ].to_numpy()
+    )
+    med = x[(len(x) - 1) // 2]
+    mad = np.sort(np.abs(x - med))[(len(x) - 1) // 2]
+    assert got["median_price"][0] == round(float(med), 4)
+    assert got["mad_price"][0] == round(float(mad), 4)
 
 
 def test_embedding_pca_matches_full_matrix_numpy(ray_session):
