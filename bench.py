@@ -96,9 +96,20 @@ def run_bench() -> dict:
     spec, max_pages = bench_spec(SF_DIR)
     queries: dict[str, float] = {}
 
-    # corpus build is cached on disk keyed by spec (untimed warm-up; also
-    # warms the OS page cache so both scaling runs measure compute+shuffle)
+    # corpus build is cached on disk keyed by spec (untimed warm-up)
     corpus = C.build_corpus(spec, C.corpus_path(SCRATCH, spec))
+    # explicitly warm the OS page cache over the corpus fragments: the build
+    # only warms it when it actually ran, and a COLD corpus turns the timed
+    # image stages into a measurement of this VM's single-disk cold-read
+    # path (measured swing: crawl_images 15 s warm vs 109 s cold on the same
+    # code) rather than the compute+shuffle the bench exists to track.
+    # Sequential file reads, untimed, no-op cost when already cached.
+    from ieps_crawler_ray.sources.lance_table import fragment_paths
+
+    for _p in fragment_paths(corpus, None):
+        with open(_p, "rb") as _f:
+            while _f.read(1 << 24):
+                pass
 
     # warm the worker pool (library imports happen once per worker process)
     import ray.data as rd
@@ -194,6 +205,10 @@ def run_bench() -> dict:
         "fetch_dedup_decode_sec": round(crawl_s + crawl_img_s + img_s, 3),
     }
     ray.shutdown()
+    # machine-health stamp AFTER shutdown (nothing of ours competing): the
+    # image stages are DRAM-bandwidth-bound, so this attributes their 2-4×
+    # run-to-run swings to the shared host, not the code
+    out["dram_gbps"] = dram_rate()
     return out
 
 
@@ -220,6 +235,38 @@ def hardware_ceiling(n_lo: int = 4, n_hi: int = 16, secs: float = 3.0) -> float:
         [p.join() for p in ps]
         rates[n] = sum(q.get() for _ in range(n)) / (time.perf_counter() - t0)
     return (rates[n_hi] / rates[n_lo]) / (n_hi / n_lo)
+
+
+def dram_rate(n: int = 8, mb: int = 512) -> float:
+    """Aggregate DRAM copy bandwidth (GB/s) across n concurrent processes —
+    the health probe the image stages need: decode/PSNR/compare kernels are
+    memory-bandwidth-bound, so a noisy neighbor eating DRAM bandwidth slows
+    THEM 2-4× while pure-python burn loops (cache-resident) still read
+    'healthy' (observed: crawl_images 15 s vs 55-109 s same code, same page
+    cache, burn ceiling 1.05). Reported in the bench JSON so swings in the
+    image numbers are attributable to the machine, not the code."""
+    import multiprocessing as mp
+
+    import numpy as _np
+
+    def cp(q):
+        src = _np.ones(mb * 1024 * 1024 // 8, dtype=_np.float64)
+        dst = _np.empty_like(src)
+        dst[:] = 0.0  # fault-in both buffers BEFORE timing (first-touch
+        # faults on this VM cost more than the copy itself and would be
+        # conflated into the bandwidth number)
+        t0 = time.perf_counter()
+        reps = 0
+        while time.perf_counter() - t0 < 1.5:
+            _np.copyto(dst, src)
+            reps += 1
+        q.put(2 * reps * src.nbytes / (time.perf_counter() - t0))  # read+write
+
+    q = mp.Queue()
+    ps = [mp.Process(target=cp, args=(q,)) for _ in range(n)]
+    [p.start() for p in ps]
+    [p.join() for p in ps]
+    return round(sum(q.get() for _ in range(n)) / 1e9, 1)
 
 
 def burn_rate(n: int = 16, secs: float = 2.0) -> float:

@@ -5047,6 +5047,105 @@ def q_revenue_daily_growth(sf_dir: str) -> pd.DataFrame:
     return out[["day", "revenue", "growth_pct"]]
 
 
+# ------------------------------------------------- wave 7: grouped distinct
+# count with an exclusion list (TPC-H Q16 shape) and relational division.
+
+
+def q_part_supplier_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, size), excluding a
+    supplier blacklist (negative account balance — the "complaints" list).
+    Scale plan: the blacklist and part attributes are dim-sized (blacklist
+    in the closure, attrs via broadcast lookup); lineitem maps straight to
+    (brand, size, suppkey) with a per-batch dedupe, ONE 3-key distinct
+    groupby deduplicates globally, and the per-(brand, size) count is
+    partial-combined — COUNT(DISTINCT) never ships raw occurrences."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    supp = _dim(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+    bad = supp.filter(pc.less(supp["s_acctbal"], 0.0))["s_suppkey"].combine_chunks()
+    part = _dim(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    pdim = pa.table(
+        {"l_partkey": part["p_partkey"], "p_brand": part["p_brand"], "p_size": part["p_size"]}
+    )
+
+    li = _tbl(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    li = broadcast_join(li, pdim, "l_partkey", ["p_brand", "p_size"])
+
+    def triple(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.invert(pc.is_in(b["l_suppkey"], value_set=bad)))
+        t = b.select(["p_brand", "p_size", "l_suppkey"])
+        return t.group_by(["p_brand", "p_size", "l_suppkey"]).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    distinct = (
+        li.map_batches(triple, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    out = (
+        distinct.map_batches(
+            lambda b: _partial(b, ["p_brand", "p_size"], [([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .groupby(["p_brand", "p_size"])
+        .aggregate(Sum("count_all", alias_name="supplier_cnt"))
+        .to_pandas()
+        .sort_values(["p_brand", "p_size"])
+        .reset_index(drop=True)
+    )
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out[["p_brand", "p_size", "supplier_cnt"]]
+
+
+def q_customers_only_f_orders(sf_dir: str) -> pd.DataFrame:
+    """Relational division (FOR ALL): customers whose EVERY order is in
+    status 'F', counted per market segment. One pass over orders emits
+    per-customer (n_orders, n_f) partials; division is the vectorized
+    equality filter after the keyed reduce; the segment attaches via a
+    broadcast lookup and the final groupby moves segment-sized partials."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        f = pc.cast(pc.equal(b["o_orderstatus"], "F"), pa.int64())
+        t = pa.table({"o_custkey": b["o_custkey"], "n_f": f})
+        return _partial(t, ["o_custkey"], [("n_f", "sum"), ([], "count_all")])
+
+    per_cust = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_f_sum", alias_name="n_f"), Sum("count_all", alias_name="n"))
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["n_f"], b["n"])).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    cust = _dim(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cdim = pa.table({"o_custkey": cust["c_custkey"], "c_mktsegment": cust["c_mktsegment"]})
+    out = (
+        broadcast_join(per_cust, cdim, "o_custkey", ["c_mktsegment"])
+        .map_batches(
+            lambda b: _partial(b, ["c_mktsegment"], [([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .groupby("c_mktsegment")
+        .aggregate(Sum("count_all", alias_name="n_customers"))
+        .to_pandas()
+    )
+    if out.empty:  # no customer qualifies at tiny scale — keep the schema
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=object),
+                             "n_customers": pd.Series([], dtype="int64")})
+    out = out.sort_values("c_mktsegment").reset_index(drop=True)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out[["c_mktsegment", "n_customers"]]
+
+
 QUERIES = {
     "global_counts": q_global_counts,
     "events_by_type": q_events_by_type,
@@ -5154,6 +5253,8 @@ QUERIES = {
     "price_mad": q_price_mad,
     "top_terms_by_lang": q_top_terms_by_lang,
     "revenue_daily_growth": q_revenue_daily_growth,
+    "part_supplier_counts": q_part_supplier_counts,
+    "customers_only_f_orders": q_customers_only_f_orders,
 }
 
 ORACLE_SQL = {
@@ -5812,6 +5913,19 @@ ORACLE_SQL["top_terms_by_lang"] = (
     " r AS (SELECT lang, token, df,"
     "  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, token) AS rn FROM tf)"
     " SELECT lang, token, df FROM r WHERE rn <= 5 ORDER BY lang, df DESC, token"
+)
+ORACLE_SQL["part_supplier_counts"] = (
+    "SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt"
+    " FROM lineitem JOIN part ON l_partkey = p_partkey"
+    " WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)"
+    " GROUP BY p_brand, p_size ORDER BY p_brand, p_size"
+)
+ORACLE_SQL["customers_only_f_orders"] = (
+    "WITH x AS (SELECT o_custkey FROM orders GROUP BY o_custkey"
+    "  HAVING COUNT(*) = SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END))"
+    " SELECT c_mktsegment, COUNT(*)::BIGINT AS n_customers"
+    " FROM x JOIN customer ON c_custkey = o_custkey"
+    " GROUP BY c_mktsegment ORDER BY c_mktsegment"
 )
 ORACLE_SQL["revenue_daily_growth"] = (
     "WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,"

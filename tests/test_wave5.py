@@ -23,6 +23,8 @@ WAVE5_ORACLE = [
     "price_mad",
     "top_terms_by_lang",
     "revenue_daily_growth",
+    "part_supplier_counts",
+    "customers_only_f_orders",
 ]
 
 
