@@ -5047,6 +5047,105 @@ def q_revenue_daily_growth(sf_dir: str) -> pd.DataFrame:
     return out[["day", "revenue", "growth_pct"]]
 
 
+# -------------------------------------------- wave 8: ratio-to-total window
+# and grouped z-score outliers (the feature-scaling / outlier-triage shape).
+
+
+def q_docs_source_share(sf_dir: str) -> pd.DataFrame:
+    """Ratio-to-report window (n / SUM(n) OVER ()): each source's share of
+    the corpus. Per-batch count partials → tiny keyed groupby; the global
+    total is the SUM of the result-sized counts, so the 'window over the
+    whole table' costs nothing extra."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["source"])
+    out = (
+        ds.map_batches(
+            lambda b: _partial(b, ["source"], [([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .groupby("source")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    out["share"] = (out["n"] / out["n"].sum()).round(6)
+    return out[["source", "n", "share"]]
+
+
+def q_events_zscore_outliers(sf_dir: str) -> pd.DataFrame:
+    """Grouped z-score outlier triage: top-20 events by |z| of value within
+    their event_type — the per-feature standardization + outlier cut of a
+    data-cleaning pipeline. Two passes, both streaming: pass 1 per-type
+    (n, Σv) then CENTERED second moments with the means broadcast in the
+    closure (numerically stable at 100 TB counts, same plan as
+    ``q_price_quantity_stats``); pass 2 scores batches vectorized against
+    the result-sized (mean, std) map and keeps a per-batch partial top-20,
+    merged on the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def p1(b: pa.Table) -> pa.Table:
+        return _partial(b, ["event_type"], [("value", "sum"), ([], "count_all")])
+
+    first = (
+        ds.map_batches(p1, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("value_sum", alias_name="s"), Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    mu = dict(zip(first["event_type"], first["s"] / first["n"]))
+    nmap = dict(zip(first["event_type"], first["n"]))
+
+    def p2(b: pa.Table, _mu=mu) -> pa.Table:
+        v = b["value"].to_numpy()
+        m = np.array([_mu[t] for t in b["event_type"].to_pylist()])
+        d = v - m
+        t = pa.table({"event_type": b["event_type"], "d2": pa.array(d * d, pa.float64())})
+        return _partial(t, ["event_type"], [("d2", "sum")])
+
+    second = (
+        ds.map_batches(p2, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("d2_sum", alias_name="ss"))
+        .to_pandas()
+    )
+    sd = {
+        t: float(np.sqrt(ss / (nmap[t] - 1)))
+        for t, ss in zip(second["event_type"], second["ss"])
+    }
+
+    def score(b: pa.Table, _mu=mu, _sd=sd) -> pa.Table:
+        v = b["value"].to_numpy()
+        types = b["event_type"].to_pylist()
+        m = np.array([_mu[t] for t in types])
+        s = np.array([_sd[t] for t in types])
+        z = (v - m) / s
+        az = np.abs(z)
+        k = min(20, len(az))
+        sel = np.argpartition(-az, k - 1)[:k]
+        return pa.table(
+            {
+                "event_id": b["event_id"].take(pa.array(sel)),
+                "event_type": b["event_type"].take(pa.array(sel)),
+                "z": pa.array(z[sel], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    parts["az"] = parts["z"].abs()
+    out = (
+        parts.sort_values(["az", "event_id"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    out["z"] = out["z"].round(6)
+    return out[["event_id", "event_type", "z"]]
+
+
 # ------------------------------------------------- wave 7: grouped distinct
 # count with an exclusion list (TPC-H Q16 shape) and relational division.
 
@@ -5255,6 +5354,8 @@ QUERIES = {
     "revenue_daily_growth": q_revenue_daily_growth,
     "part_supplier_counts": q_part_supplier_counts,
     "customers_only_f_orders": q_customers_only_f_orders,
+    "docs_source_share": q_docs_source_share,
+    "events_zscore_outliers": q_events_zscore_outliers,
 }
 
 ORACLE_SQL = {
@@ -5913,6 +6014,18 @@ ORACLE_SQL["top_terms_by_lang"] = (
     " r AS (SELECT lang, token, df,"
     "  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, token) AS rn FROM tf)"
     " SELECT lang, token, df FROM r WHERE rn <= 5 ORDER BY lang, df DESC, token"
+)
+ORACLE_SQL["docs_source_share"] = (
+    "SELECT source, COUNT(*)::BIGINT AS n,"
+    " ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS share"
+    " FROM documents GROUP BY source ORDER BY source"
+)
+ORACLE_SQL["events_zscore_outliers"] = (
+    "WITH z AS (SELECT event_id, event_type,"
+    "  (value - AVG(value) OVER (PARTITION BY event_type))"
+    "   / STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS zr FROM events)"
+    " SELECT event_id, event_type, ROUND(zr, 6) AS z FROM z"
+    " ORDER BY ABS(zr) DESC, event_id LIMIT 20"
 )
 ORACLE_SQL["part_supplier_counts"] = (
     "SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt"

@@ -25,6 +25,8 @@ WAVE5_ORACLE = [
     "revenue_daily_growth",
     "part_supplier_counts",
     "customers_only_f_orders",
+    "docs_source_share",
+    "events_zscore_outliers",
 ]
 
 
