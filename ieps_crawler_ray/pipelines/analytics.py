@@ -5047,6 +5047,84 @@ def q_revenue_daily_growth(sf_dir: str) -> pd.DataFrame:
     return out[["day", "revenue", "growth_pct"]]
 
 
+# --------------------------------------- wave 9: the last two classic TPC-H
+# shapes — Q6 (pure predicate-pushdown scan agg) and Q17 (fact filtered by a
+# per-key aggregate of itself).
+
+
+def q_discount_revenue_effect(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: revenue the discounts gave away in a (discount,
+    quantity) band — the pure scan-aggregate whose predicates ALL push into
+    the parquet read (row-group pruning; only matching pages leave storage).
+    One streaming pass, one-row partials, two-scalar reduce."""
+    ds = _tbl(
+        sf_dir,
+        "lineitem",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=(
+            (pc.field("l_discount") >= 0.05)
+            & (pc.field("l_discount") <= 0.07)
+            & (pc.field("l_quantity") < 24.0)
+        ),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(b["l_extendedprice"], b["l_discount"])).as_py() or 0.0
+        return pa.table({"r": [rev], "n": [b.num_rows]})
+
+    sums = ds.map_batches(partial, batch_format="pyarrow").sum(["r", "n"])
+    return pd.DataFrame(
+        {"revenue_effect": [round(sums["sum(r)"], 4)], "n_items": [int(sums["sum(n)"])]}
+    )
+
+
+def q_small_quantity_part_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost to small orders — the
+    fact table filtered by a PER-KEY AGGREGATE OF ITSELF (l_quantity <
+    0.2 × that part's average quantity), for one brand. Scale plan: the
+    brand's part keys broadcast as a semi-join set (dim-sized); per-part
+    (Σqty, n) partials → keyed reduce → the 0.2·avg threshold map is
+    result-sized and rides the closure of the second vectorized pass — the
+    correlated rescan becomes two streaming scans of the brand's slice."""
+    from .joins import broadcast_join
+
+    part = _dim(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    keys = part.filter(pc.equal(part["p_brand"], "Brand#1"))["p_partkey"].combine_chunks()
+
+    li = _tbl(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def slice_brand(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["l_partkey"], value_set=keys))
+
+    branded = li.map_batches(slice_brand, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    per_part = (
+        branded.map_batches(
+            lambda b: _partial(b, ["l_partkey"], [("l_quantity", "sum"), ([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .groupby("l_partkey")
+        .aggregate(Sum("l_quantity_sum", alias_name="s"), Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    thr = dict(zip(per_part["l_partkey"], 0.2 * per_part["s"] / per_part["n"]))
+
+    def small(b: pa.Table, _thr=thr) -> pa.Table:
+        t = np.array([_thr[k] for k in b["l_partkey"].to_pylist()])
+        mask = b["l_quantity"].to_numpy() < t
+        rev = float(b["l_extendedprice"].to_numpy()[mask].sum())
+        return pa.table({"r": [rev], "n": [int(mask.sum())]})
+
+    sums = branded.map_batches(small, batch_format="pyarrow").sum(["r", "n"])
+    return pd.DataFrame(
+        {
+            "avg_yearly": [round((sums["sum(r)"] or 0.0) / 7.0, 4)],
+            "n_items": [int(sums["sum(n)"] or 0)],
+        }
+    )
+
+
 # -------------------------------------------- wave 8: ratio-to-total window
 # and grouped z-score outliers (the feature-scaling / outlier-triage shape).
 
@@ -5356,6 +5434,8 @@ QUERIES = {
     "customers_only_f_orders": q_customers_only_f_orders,
     "docs_source_share": q_docs_source_share,
     "events_zscore_outliers": q_events_zscore_outliers,
+    "discount_revenue_effect": q_discount_revenue_effect,
+    "small_quantity_part_revenue": q_small_quantity_part_revenue,
 }
 
 ORACLE_SQL = {
@@ -6014,6 +6094,19 @@ ORACLE_SQL["top_terms_by_lang"] = (
     " r AS (SELECT lang, token, df,"
     "  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, token) AS rn FROM tf)"
     " SELECT lang, token, df FROM r WHERE rn <= 5 ORDER BY lang, df DESC, token"
+)
+ORACLE_SQL["discount_revenue_effect"] = (
+    "SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_effect,"
+    " COUNT(*)::BIGINT AS n_items FROM lineitem"
+    " WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+)
+ORACLE_SQL["small_quantity_part_revenue"] = (
+    "SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly,"
+    " COUNT(*)::BIGINT AS n_items"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " WHERE p_brand = 'Brand#1' AND l_quantity <"
+    "  (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2"
+    "   WHERE l2.l_partkey = lineitem.l_partkey)"
 )
 ORACLE_SQL["docs_source_share"] = (
     "SELECT source, COUNT(*)::BIGINT AS n,"

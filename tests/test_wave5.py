@@ -27,6 +27,8 @@ WAVE5_ORACLE = [
     "customers_only_f_orders",
     "docs_source_share",
     "events_zscore_outliers",
+    "discount_revenue_effect",
+    "small_quantity_part_revenue",
 ]
 
 
