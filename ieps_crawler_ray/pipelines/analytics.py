@@ -5047,6 +5047,253 @@ def q_revenue_daily_growth(sf_dir: str) -> pd.DataFrame:
     return out[["day", "revenue", "growth_pct"]]
 
 
+# ----------------------------------- wave 10: the remaining TPC-H queries
+# expressible over the driver's schema — Q8 (market share per year), Q10
+# (returned-item revenue ranking), Q15 (argmax over an aggregated view),
+# Q19 (OR-of-conjunctive-bands scan).
+
+
+def q_nation_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of the revenue delivered
+    to a region's customers, per order year. Both fact tables get their
+    dimension attributes via broadcast lookups (customer-region flag on
+    orders, supplier-nation flag on lineitem); lineitem pre-aggregates
+    (total, nation) revenue per orderkey so the hash join ships one row per
+    order; the per-year share is a CASE ratio over year-sized partials."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    region = _dim(sf_dir, "region")
+    rkeys = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    nation = _dim(sf_dir, "nation")
+    asia = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkeys.combine_chunks()))
+    nset = asia["n_nationkey"].combine_chunks()
+
+    cust = _dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=nset))
+    cdim = pa.table({"o_custkey": cust["c_custkey"], "in_region": pa.array([True] * cust.num_rows)})
+
+    supp = _dim(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    sdim = pa.table(
+        {
+            "l_suppkey": supp["s_suppkey"],
+            "is_nation": pc.equal(supp["s_nationkey"], pa.scalar(7, pa.int32())),
+        }
+    )
+
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    o_side = broadcast_join(orders, cdim, "o_custkey", ["in_region"]).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.filter(pc.is_valid(b["in_region"]))["o_orderkey"],
+                "o_year": pc.cast(
+                    pc.year(b.filter(pc.is_valid(b["in_region"]))["o_orderdate"]), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = _tbl(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    li = broadcast_join(li, sdim, "l_suppkey", ["is_nation"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        nat = pc.if_else(pc.fill_null(b["is_nation"], False), rev, pa.scalar(0.0))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev, "nrev": nat})
+        return _partial(t, ["l_orderkey"], [("rev", "sum"), ("nrev", "sum")])
+
+    li_agg = (
+        li.map_batches(li_prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_sum", alias_name="rev"), Sum("nrev_sum", alias_name="nrev"))
+    )
+    joined = li_agg.join(
+        o_side, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    out = (
+        joined.map_batches(
+            lambda b: _partial(b, ["o_year"], [("rev", "sum"), ("nrev", "sum")]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_year")
+        .aggregate(Sum("rev_sum", alias_name="r"), Sum("nrev_sum", alias_name="nr"))
+        .to_pandas()
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+    out["o_year"] = out["o_year"].astype("int64")
+    out["share"] = (out["nr"] / out["r"]).round(6)
+    return out[["o_year", "share"]]
+
+
+def q_returned_revenue_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue of RETURNED ('R')
+    lineitems on 1996 orders. The returnflag predicate and the order-date
+    range both push into the parquet reads; lineitem pre-aggregates per
+    orderkey before the hash join; customer name + nation attach via
+    broadcast; top-20 is a partial top-k + 20-row driver merge."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    li = _tbl(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        return _partial(t, ["l_orderkey"], [("rev", "sum")])
+
+    li_agg = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_sum", alias_name="rev"))
+    )
+    import datetime as _dt
+
+    orders = _tbl(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pc.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
+            & (pc.field("o_orderdate") < _dt.datetime(1997, 1, 1))
+        ),
+    )
+    joined = li_agg.join(
+        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    per_cust = (
+        joined.map_batches(
+            lambda b: _partial(b, ["o_custkey"], [("rev", "sum")]), batch_format="pyarrow"
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
+    )
+    cust = _dim(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = _dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nk = nation["n_nationkey"].to_numpy()
+    order_ = np.argsort(nk)
+    names = nation["n_name"].take(pa.array(order_))
+    pos = np.searchsorted(nk[order_], cust["c_nationkey"].to_numpy())
+    cdim = pa.table(
+        {
+            "o_custkey": cust["c_custkey"],
+            "c_name": cust["c_name"],
+            "n_name": names.take(pa.array(pos, pa.int64())),
+        }
+    )
+    per_cust = broadcast_join(per_cust, cdim, "o_custkey", ["c_name", "n_name"])
+
+    def topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["revenue", "o_custkey"], ascending=[False, True]).head(20),
+            preserve_index=False,
+        )
+
+    parts = per_cust.map_batches(topk, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["revenue", "o_custkey"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+        .rename(columns={"o_custkey": "c_custkey"})
+    )
+    out["revenue"] = out["revenue"].round(4)
+    return out[["c_custkey", "c_name", "n_name", "revenue"]]
+
+
+def q_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the MAXIMUM revenue in one
+    quarter — argmax over an aggregated view (the reference's CREATE VIEW +
+    WHERE total = (SELECT MAX(...)) pattern). Per-suppkey partials → keyed
+    reduce (supplier-dim-sized result) → driver max + equality filter →
+    broadcast name lookup."""
+    from ray.data.aggregate import Sum
+
+    import datetime as _dt
+
+    li = _tbl(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= _dt.datetime(1996, 1, 1))
+            & (pc.field("l_shipdate") < _dt.datetime(1996, 4, 1))
+        ),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"l_suppkey": b["l_suppkey"], "rev": rev})
+        return _partial(t, ["l_suppkey"], [("rev", "sum")])
+
+    per_supp = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_sum", alias_name="total_revenue"))
+        .to_pandas()  # supplier-dim-sized
+    )
+    best = per_supp[per_supp["total_revenue"] == per_supp["total_revenue"].max()]
+    supp = _dim(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    nm = dict(zip(supp["s_suppkey"].to_pylist(), supp["s_name"].to_pylist()))
+    out = best.rename(columns={"l_suppkey": "s_suppkey"}).copy()
+    out["s_name"] = [nm[k] for k in out["s_suppkey"]]
+    out["total_revenue"] = out["total_revenue"].round(4)
+    return out[["s_suppkey", "s_name", "total_revenue"]].sort_values("s_suppkey").reset_index(
+        drop=True
+    )
+
+
+def q_banded_brand_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three conjunctive
+    (brand, part-size, quantity) bands. The part side reduces to a
+    per-partkey band id broadcast once; each lineitem batch evaluates the
+    band's quantity range vectorized — the multi-branch predicate costs one
+    gather + two compares per row."""
+    from .joins import broadcast_join
+
+    BANDS = [  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+        ("Brand#1", 1, 5, 1.0, 11.0),
+        ("Brand#2", 1, 10, 10.0, 20.0),
+        ("Brand#3", 1, 15, 20.0, 30.0),
+    ]
+    part = _dim(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    band_id = np.full(part.num_rows, -1, dtype=np.int8)
+    brands = part["p_brand"].to_numpy(zero_copy_only=False)
+    sizes = part["p_size"].to_numpy()
+    for bi, (br, slo, shi, _, _) in enumerate(BANDS):
+        band_id[(brands == br) & (sizes >= slo) & (sizes <= shi)] = bi
+    pdim = pa.table({"l_partkey": part["p_partkey"], "band": pa.array(band_id, pa.int8())})
+
+    li = _tbl(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    li = broadcast_join(li, pdim, "l_partkey", ["band"])
+    qlo = np.array([b[3] for b in BANDS] + [np.inf])
+    qhi = np.array([b[4] for b in BANDS] + [-np.inf])
+
+    def partial(b: pa.Table) -> pa.Table:
+        band = pc.fill_null(b["band"], -1).to_numpy(zero_copy_only=False).astype(np.int8)
+        q = b["l_quantity"].to_numpy()
+        idx = np.where(band < 0, len(BANDS), band)
+        mask = (q >= qlo[idx]) & (q <= qhi[idx])
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        r = float(rev.to_numpy()[mask].sum())
+        return pa.table({"r": [r], "n": [int(mask.sum())]})
+
+    sums = li.map_batches(partial, batch_format="pyarrow").sum(["r", "n"])
+    return pd.DataFrame(
+        {"revenue": [round(sums["sum(r)"] or 0.0, 4)], "n_items": [int(sums["sum(n)"] or 0)]}
+    )
+
+
 # --------------------------------------- wave 9: the last two classic TPC-H
 # shapes — Q6 (pure predicate-pushdown scan agg) and Q17 (fact filtered by a
 # per-key aggregate of itself).
@@ -5436,6 +5683,10 @@ QUERIES = {
     "events_zscore_outliers": q_events_zscore_outliers,
     "discount_revenue_effect": q_discount_revenue_effect,
     "small_quantity_part_revenue": q_small_quantity_part_revenue,
+    "nation_market_share": q_nation_market_share,
+    "returned_revenue_customers": q_returned_revenue_customers,
+    "top_supplier": q_top_supplier,
+    "banded_brand_revenue": q_banded_brand_revenue,
 }
 
 ORACLE_SQL = {
@@ -6094,6 +6345,48 @@ ORACLE_SQL["top_terms_by_lang"] = (
     " r AS (SELECT lang, token, df,"
     "  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, token) AS rn FROM tf)"
     " SELECT lang, token, df FROM r WHERE rn <= 5 ORDER BY lang, df DESC, token"
+)
+ORACLE_SQL["nation_market_share"] = (
+    "SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,"
+    " ROUND(SUM(CASE WHEN s_nationkey = 7 THEN l_extendedprice * (1 - l_discount)"
+    "  ELSE 0 END) / SUM(l_extendedprice * (1 - l_discount)), 6) AS share"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN supplier ON l_suppkey = s_suppkey"
+    " JOIN nation ON c_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE r_name = 'ASIA'"
+    " GROUP BY o_year ORDER BY o_year"
+)
+ORACLE_SQL["returned_revenue_customers"] = (
+    "SELECT c_custkey, c_name, n_name,"
+    " ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN nation ON c_nationkey = n_nationkey"
+    " WHERE l_returnflag = 'R' AND o_orderdate >= '1996-01-01'"
+    "  AND o_orderdate < '1997-01-01'"
+    " GROUP BY c_custkey, c_name, n_name"
+    " ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c_custkey LIMIT 20"
+)
+ORACLE_SQL["top_supplier"] = (
+    "WITH rev AS (SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS t"
+    "  FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'"
+    "  GROUP BY l_suppkey)"
+    " SELECT s_suppkey, s_name, ROUND(t, 4) AS total_revenue"
+    " FROM rev JOIN supplier ON s_suppkey = l_suppkey"
+    " WHERE t = (SELECT MAX(t) FROM rev) ORDER BY s_suppkey"
+)
+ORACLE_SQL["banded_brand_revenue"] = (
+    "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,"
+    " COUNT(*)::BIGINT AS n_items"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5"
+    "        AND l_quantity BETWEEN 1 AND 11)"
+    "    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10"
+    "        AND l_quantity BETWEEN 10 AND 20)"
+    "    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15"
+    "        AND l_quantity BETWEEN 20 AND 30)"
 )
 ORACLE_SQL["discount_revenue_effect"] = (
     "SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_effect,"

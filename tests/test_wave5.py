@@ -29,6 +29,10 @@ WAVE5_ORACLE = [
     "events_zscore_outliers",
     "discount_revenue_effect",
     "small_quantity_part_revenue",
+    "nation_market_share",
+    "returned_revenue_customers",
+    "top_supplier",
+    "banded_brand_revenue",
 ]
 
 
