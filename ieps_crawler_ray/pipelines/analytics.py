@@ -5047,6 +5047,41 @@ def q_revenue_daily_growth(sf_dir: str) -> pd.DataFrame:
     return out[["day", "revenue", "growth_pct"]]
 
 
+def q_revenue_ewma(sf_dir: str) -> pd.DataFrame:
+    """Exponentially weighted moving average (α = 0.2) of daily revenue —
+    the stateful-sequential-over-a-series shape (trend smoothing /
+    anomaly-baseline). The fact reduces to one row per day distributed;
+    the EWMA recurrence runs driver-side over the RESULT-sized calendar
+    series (the only place a sequential dependency of that length belongs);
+    the oracle reproduces it with a recursive CTE."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def f(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["o_orderdate"], format="%Y-%m-%d")
+        t = pa.table({"day": day, "rev": b["o_totalprice"]})
+        return _partial(t, ["day"], [("rev", "sum")])
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("rev_sum", alias_name="r"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    r = out["r"].to_numpy()
+    ew = np.empty_like(r)
+    if len(r):
+        ew[0] = r[0]
+        for i in range(1, len(r)):  # result-sized sequential recurrence
+            ew[i] = 0.2 * r[i] + 0.8 * ew[i - 1]
+    out["revenue"] = out["r"].round(4)
+    out["ewma"] = np.round(ew, 4)
+    return out[["day", "revenue", "ewma"]]
+
+
 # ----------------------------------- wave 10: the remaining TPC-H queries
 # expressible over the driver's schema — Q8 (market share per year), Q10
 # (returned-item revenue ranking), Q15 (argmax over an aggregated view),
@@ -5687,6 +5722,7 @@ QUERIES = {
     "returned_revenue_customers": q_returned_revenue_customers,
     "top_supplier": q_top_supplier,
     "banded_brand_revenue": q_banded_brand_revenue,
+    "revenue_ewma": q_revenue_ewma,
 }
 
 ORACLE_SQL = {
@@ -6345,6 +6381,16 @@ ORACLE_SQL["top_terms_by_lang"] = (
     " r AS (SELECT lang, token, df,"
     "  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, token) AS rn FROM tf)"
     " SELECT lang, token, df FROM r WHERE rn <= 5 ORDER BY lang, df DESC, token"
+)
+ORACLE_SQL["revenue_ewma"] = (
+    "WITH RECURSIVE d AS ("
+    " SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, SUM(o_totalprice) AS r,"
+    "  ROW_NUMBER() OVER (ORDER BY strftime(o_orderdate, '%Y-%m-%d')) AS rn"
+    " FROM orders GROUP BY 1),"
+    " e AS (SELECT day, rn, r, r AS ew FROM d WHERE rn = 1"
+    "  UNION ALL SELECT d.day, d.rn, d.r, 0.2 * d.r + 0.8 * e.ew"
+    "  FROM d JOIN e ON d.rn = e.rn + 1)"
+    " SELECT day, ROUND(r, 4) AS revenue, ROUND(ew, 4) AS ewma FROM e ORDER BY day"
 )
 ORACLE_SQL["nation_market_share"] = (
     "SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,"

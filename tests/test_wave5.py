@@ -33,6 +33,7 @@ WAVE5_ORACLE = [
     "returned_revenue_customers",
     "top_supplier",
     "banded_brand_revenue",
+    "revenue_ewma",
 ]
 
 
@@ -94,6 +95,31 @@ def test_price_mad_matches_numpy_selection(ray_session):
     mad = np.sort(np.abs(x - med))[(len(x) - 1) // 2]
     assert got["median_price"][0] == round(float(med), 4)
     assert got["mad_price"][0] == round(float(mad), 4)
+
+
+def test_histogram_select_property(ray_session):
+    """The iterative histogram rank selection must equal a plain sort-index
+    for adversarial value distributions: duplicates, near-boundary clusters,
+    extreme ranks."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from ieps_crawler_ray.pipelines.analytics import _histogram_select
+
+    rng = np.random.RandomState(11)
+    cases = [
+        rng.uniform(-1e6, 1e6, size=5000),                      # smooth
+        np.repeat(rng.uniform(0, 100, size=7), 700),            # heavy ties
+        np.concatenate([np.full(3000, 42.0), rng.normal(42.0, 1e-9, 2000)]),
+        rng.exponential(1.0, size=4001) ** 4,                   # extreme skew
+    ]
+    for vals in cases:
+        ds = rd.from_arrow(pa.table({"v": vals})).repartition(7)
+        srt = np.sort(vals)
+        n = len(vals)
+        for rank in (0, 1, n // 2, n - 2, n - 1):
+            got = _histogram_select(ds, "v", rank, float(vals.min()), float(vals.max()))
+            assert got == srt[rank], (rank, got, srt[rank])
 
 
 def test_embedding_pca_matches_full_matrix_numpy(ray_session):
