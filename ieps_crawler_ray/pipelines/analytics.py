@@ -5047,6 +5047,47 @@ def q_revenue_daily_growth(sf_dir: str) -> pd.DataFrame:
     return out[["day", "revenue", "growth_pct"]]
 
 
+def q_revenue_streaks(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands: the 5 longest streaks of consecutive above-average
+    revenue days (consecutive in the day sequence). The fact reduces to one
+    row per day distributed; island detection is a vectorized rank-difference
+    scan over the RESULT-sized series on the driver — the same placement
+    argument as the EWMA recurrence."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def f(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["o_orderdate"], format="%Y-%m-%d")
+        t = pa.table({"day": day, "rev": b["o_totalprice"]})
+        return _partial(t, ["day"], [("rev", "sum")])
+
+    daily = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("rev_sum", alias_name="r"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    r = daily["r"].to_numpy()
+    keep = r > r.mean()
+    rn = np.arange(len(r))[keep]  # day rank of each qualifying day
+    days = daily["day"].to_numpy()[keep]
+    grp = rn - np.arange(len(rn))  # islands: constant within a run
+    out = (
+        pd.DataFrame({"day": days, "grp": grp})
+        .groupby("grp")
+        .agg(start_day=("day", "min"), end_day=("day", "max"), len=("day", "size"))
+        .reset_index(drop=True)
+        .sort_values(["len", "start_day"], ascending=[False, True])
+        .head(5)
+        .reset_index(drop=True)
+    )
+    out["len"] = out["len"].astype("int64")
+    return out[["start_day", "end_day", "len"]]
+
+
 def q_revenue_ewma(sf_dir: str) -> pd.DataFrame:
     """Exponentially weighted moving average (α = 0.2) of daily revenue —
     the stateful-sequential-over-a-series shape (trend smoothing /
@@ -5723,6 +5764,7 @@ QUERIES = {
     "top_supplier": q_top_supplier,
     "banded_brand_revenue": q_banded_brand_revenue,
     "revenue_ewma": q_revenue_ewma,
+    "revenue_streaks": q_revenue_streaks,
 }
 
 ORACLE_SQL = {
@@ -6381,6 +6423,17 @@ ORACLE_SQL["top_terms_by_lang"] = (
     " r AS (SELECT lang, token, df,"
     "  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, token) AS rn FROM tf)"
     " SELECT lang, token, df FROM r WHERE rn <= 5 ORDER BY lang, df DESC, token"
+)
+ORACLE_SQL["revenue_streaks"] = (
+    "WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,"
+    "  SUM(o_totalprice) AS r FROM orders GROUP BY 1),"
+    " m AS (SELECT AVG(r) AS mu FROM d),"
+    " a AS (SELECT day, r, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),"
+    " f AS (SELECT day, rn FROM a WHERE r > (SELECT mu FROM m)),"
+    " g AS (SELECT day, rn, rn - ROW_NUMBER() OVER (ORDER BY rn) AS grp FROM f),"
+    " s AS (SELECT MIN(day) AS start_day, MAX(day) AS end_day,"
+    "  COUNT(*)::BIGINT AS len FROM g GROUP BY grp)"
+    " SELECT start_day, end_day, len FROM s ORDER BY len DESC, start_day LIMIT 5"
 )
 ORACLE_SQL["revenue_ewma"] = (
     "WITH RECURSIVE d AS ("

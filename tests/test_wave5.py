@@ -34,6 +34,7 @@ WAVE5_ORACLE = [
     "top_supplier",
     "banded_brand_revenue",
     "revenue_ewma",
+    "revenue_streaks",
 ]
 
 
