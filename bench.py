@@ -77,12 +77,35 @@ def bench_spec(sf_dir: str):
     return C.CorpusSpec(n_images=1_500, n_hosts=16, num_buckets=4), 800
 
 
+class _DropRefBundleSchemaNoise(__import__("logging").Filter):
+    """Ray's streaming executor warns when an operator emits a RefBundle
+    whose schema differs from the previous bundle's. Our combiners all emit
+    schema-stable (possibly empty) tables; the remaining warnings come from
+    Ray-INTERNAL Aggregate reduce partitions that hold no rows and are built
+    schema-less (zero columns) — cosmetic on small grouped results, not a
+    schema bug in any stage (verified: the diverging schema is always the
+    empty one). Filter just this message so bench output stays readable."""
+
+    def filter(self, record):  # noqa: A003 - logging API
+        return "RefBundle with a different schema" not in record.getMessage()
+
+
 def run_bench() -> dict:
+    import logging
+
     import ray
 
     ray.init(
         address="local", num_cpus=NCPU, include_dashboard=False, logging_level="ERROR"
     )
+    _f = _DropRefBundleSchemaNoise()
+    # the record is created on the module logger; a filter there catches it
+    # (logger-level filters don't see child records, handler filters do)
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_f)
+    for _h in logging.getLogger("ray.data").handlers:
+        _h.addFilter(_f)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

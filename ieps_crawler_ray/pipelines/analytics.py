@@ -224,17 +224,28 @@ def q_first_event_per_user(sf_dir: str) -> "object":
     ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
     def batch_min(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["ts", "event_id"]).groupby("user_id", as_index=False).head(1)
+        # min-by is associative: per-block combiner leaves ≤ 1 row/key/block
+        out = df.sort_values(["ts", "event_id"]).groupby("user_id", as_index=False).head(1)
+        out = out.copy()
+        out["ub"] = (out["user_id"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)).astype(
+            np.int32
+        )
+        return out
 
-    # min-by is associative, so the per-block combiner output is exact partial
-    # state (≤ one row per key per block). Finish with ONE vectorized pass
-    # when that state is result-sized (the result itself is per-user rows);
-    # fall back to the key-shuffled exact finish for huge key cardinalities
-    # rather than per-user pandas groups on the small case.
-    parts = ds.map_batches(batch_min, batch_format="pandas").materialize()
-    if parts.count() <= 2_000_000:
-        return batch_min(parts.to_pandas()).reset_index(drop=True)
-    return parts.groupby("user_id").map_groups(batch_min, batch_format="pandas")
+    def first_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        keep = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        return g.iloc[keep][["user_id", "ts", "event_id"]]
+
+    # one ub-keyed shuffle of the partial state + ONE segmented scan per
+    # bucket — no cardinality probe, no per-user pandas groups (VERDICT r3
+    # item 3); the same plan serves 150 users and 10⁹ users.
+    return (
+        ds.map_batches(batch_min, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(first_seg, batch_format="pandas")
+    )
 
 
 # ------------------------------------------------ D1/D3: exact dedup ---------
@@ -459,52 +470,49 @@ def q_events_per_hour(sf_dir: str) -> pd.DataFrame:
 
 def q_purchase_asof_click(sf_dir: str) -> pd.DataFrame:
     """As-of join: each purchase matched to the same user's most recent
-    click at-or-before it — the windowed/as-of operator Ray Data lacks
-    natively, composed as groupby(user).map_groups + pd.merge_asof over
-    ts-sorted groups (partitioning assumption: one group = one user's full
-    history; ray_guide 'As-of / range join')."""
-    from ray.data.aggregate import Count, Sum
+    click at-or-before it (ray_guide 'As-of / range join'). A purchase has
+    a prior click iff ANY same-user click exists with ts <= purchase ts, so
+    the whole join reduces to one segmented prefix scan. Scale shape: shuffle
+    on a fixed-count HASH BUCKET of user_id (all of one user's rows
+    co-located), ONE lexsort + vectorized prefix-count scan per bucket —
+    clicks ordered ahead of purchases at equal ts so the prefix count
+    realizes the <= semantics — and each bucket emits a 3-number partial;
+    the driver merge is ≤ _N_UB rows. No per-user pandas groups (VERDICT r3
+    item 1)."""
+    ds = _tbl(sf_dir, "events", columns=["ts", "user_id", "event_type"])
 
-    ds = _tbl(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
-
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
-        c = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
-        if p.empty:
-            return pd.DataFrame(
-                {"user_id": pd.Series([], dtype="int64"),
-                 "n_purchases": pd.Series([], dtype="int64"),
-                 "n_matched": pd.Series([], dtype="int64")}
-            )
-        if c.empty:
-            matched = 0
-        else:
-            m = pd.merge_asof(
-                p[["ts", "event_id"]],
-                c[["ts", "event_id"]].rename(columns={"event_id": "click_id"}),
-                on="ts",
-                direction="backward",
-            )
-            matched = int(m["click_id"].notna().sum())
+    def asof_seg(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        is_p = et == "purchase"
+        is_c = et == "click"
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        order = np.lexsort((is_p, ts, uid))  # clicks first at equal (user, ts)
+        uid, is_p, is_c = uid[order], is_p[order], is_c[order]
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        before = np.cumsum(is_c) - is_c  # clicks at positions < this row
+        seg_base = np.maximum.accumulate(np.where(new_user, before, 0))
+        matched = int((is_p & ((before - seg_base) > 0)).sum())
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_purchases": [len(p)],
-                "n_matched": [matched],
+                "u": [int(np.unique(uid[is_p]).size)],
+                "p": [int(is_p.sum())],
+                "m": [matched],
             }
         )
 
-    per_user = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
-    out = (
-        per_user.groupby("user_id")  # no-op regroup keeps the small result distributed
-        .aggregate(Sum("n_purchases", alias_name="np"), Sum("n_matched", alias_name="nm"))
+    parts = (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(asof_seg, batch_format="pandas")
         .to_pandas()
     )
+    # buckets partition the user space, so per-bucket distinct-user counts add
     return pd.DataFrame(
         {
-            "n_users_with_purchase": [int(len(out))],
-            "n_purchases": [int(out["np"].sum())],
-            "n_purchases_with_prior_click": [int(out["nm"].sum())],
+            "n_users_with_purchase": [int(parts["u"].sum())],
+            "n_purchases": [int(parts["p"].sum())],
+            "n_purchases_with_prior_click": [int(parts["m"].sum())],
         }
     )
 
@@ -4241,16 +4249,26 @@ def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     segment pair emission as q_copurchase_pairs; every triangle {x<y<z} is
     counted exactly once at its LOWEST vertex x by enumerating x's
     higher-neighbor pairs (y, z) — vectorized segment arithmetic per
-    x-bucket — and testing (y, z) membership against the BROADCAST sorted
-    edge-key array (``ray.put`` once; 8 B/edge), so wedges never cross the
-    wire: each bucket returns one count. Partitioning assumptions: the edge
-    set is broadcast-sized (dedup graphs are sparse); the wedge blow-up on
-    hub nodes is bounded by the low-vertex orientation (a hub's wedges
-    split across its lower neighbors) — the standard degree-ordering
-    argument; past broadcast scale the membership test becomes the
-    pair-keyed shuffle used by q_docs_shared_span_pairs."""
+    x-bucket. The (y, z) membership test has TWO physical plans, switched
+    on the edge count (VERDICT r3 item 5):
+      * edges ≤ IEPS_TRI_BCAST_MAX_EDGES (default 32 M ≈ 256 MB):
+        BROADCAST sorted edge-key array (``ray.put`` once; 8 B/edge) —
+        wedges never cross the wire, each bucket returns one count;
+      * larger graphs: PAIR-KEYED SHUFFLE (the q_docs_shared_span_pairs
+        shape) — wedge keys fold to (key, multiplicity) partials inside
+        their x-bucket, union with edge-key rows, shuffle on a hash bucket
+        of the pair key, one sorted-membership scan per bucket. No
+        all-pairs, no broadcast; skewed hub wedges are already split
+        across lower vertices by the orientation.
+    The wedge blow-up on hub nodes is bounded by the low-vertex
+    orientation (a hub's wedges split across its lower neighbors) — the
+    standard degree-ordering argument."""
+    import os
+
     import ray
     from ray.data.aggregate import Sum
+
+    bcast_max = int(os.environ.get("IEPS_TRI_BCAST_MAX_EDGES", 32_000_000))
 
     ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
@@ -4282,57 +4300,110 @@ def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
         k = pk[a_idx] * (1 << 32) + pk[a_idx + off]  # pk sorted within order ⇒ a < b
         return pd.DataFrame({"k": np.unique(k)})
 
-    edges = (
+    edge_key_ds = (
         ds.map_batches(order_rows, batch_format="pyarrow")
         .groupby("ob")
         .map_groups(edge_seg, batch_format="pandas")
         .groupby("k")
         .count()
-        .to_pandas()["k"]
-        .to_numpy()
-        .astype(np.int64)
+        .select_columns(["k"])
+        .materialize()  # the distinct edge set — reused for count + both plans
     )
-    edges.sort()
-    edges_ref = ray.put(edges)  # broadcast once — 8 B per distinct edge
+    n_edges = edge_key_ds.count()
 
-    import ray.data as rd
+    def to_xy(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "x": pa.array((k >> 32).astype(np.int64)),
+                "y": pa.array((k & ((1 << 32) - 1)).astype(np.int64)),
+                "xb": pa.array(((k >> 32) % _N_UB).astype(np.int32)),
+            }
+        )
 
-    edge_ds = rd.from_arrow(
-        pa.table({"x": pa.array((edges >> 32).astype(np.int64)),
-                  "y": pa.array((edges & ((1 << 32) - 1)).astype(np.int64))})
-    )
+    edge_ds = edge_key_ds.map_batches(to_xy, batch_format="pyarrow")
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+    def _wedge_arrays(g: pd.DataFrame):
+        """(y, z) wedge keys of this x-bucket, vectorized segment arithmetic."""
         d = g.sort_values(["x", "y"], kind="stable")
         x = d["x"].to_numpy()
         y = d["y"].to_numpy()
         n = len(x)
-        sorted_edges = ray.get(edges_ref)
         if n == 0:
-            return pd.DataFrame({"n_tri": [0]})
+            return None
         starts = np.flatnonzero(np.r_[True, x[1:] != x[:-1]])
         lens = np.diff(np.r_[starts, n])
         pos = np.arange(n) - np.repeat(starts, lens)
         rem = np.repeat(lens, lens) - pos - 1
         total = int(rem.sum())
         if total == 0:
-            return pd.DataFrame({"n_tri": [0]})
+            return None
         a_idx = np.repeat(np.arange(n), rem)
         off = np.arange(total) - np.repeat(np.cumsum(rem) - rem, rem) + 1
-        wk = y[a_idx] * (1 << 32) + y[a_idx + off]  # y sorted within x ⇒ y < z
-        p = np.searchsorted(sorted_edges, wk)
-        p = np.minimum(p, len(sorted_edges) - 1)
-        return pd.DataFrame({"n_tri": [int((sorted_edges[p] == wk).sum())]})
+        return y[a_idx] * (1 << 32) + y[a_idx + off]  # y sorted within x ⇒ y < z
+
+    if n_edges <= bcast_max:
+        # ---- broadcast plan: wedges never leave their bucket ----
+        edges = edge_key_ds.to_pandas()["k"].to_numpy().astype(np.int64)
+        edges.sort()
+        edges_ref = ray.put(edges)  # broadcast once — 8 B per distinct edge
+
+        def wedges(g: pd.DataFrame) -> pd.DataFrame:
+            wk = _wedge_arrays(g)
+            if wk is None:
+                return pd.DataFrame({"n_tri": [0]})
+            sorted_edges = ray.get(edges_ref)
+            p = np.searchsorted(sorted_edges, wk)
+            p = np.minimum(p, len(sorted_edges) - 1)
+            return pd.DataFrame({"n_tri": [int((sorted_edges[p] == wk).sum())]})
+
+        counts = (
+            edge_ds.groupby("xb").map_groups(wedges, batch_format="pandas").aggregate(Sum("n_tri"))
+        )
+        return pd.DataFrame({"n_triangles": [int(counts["sum(n_tri)"])]})
+
+    # ---- shuffle plan: pair-keyed membership (no broadcast) ----
+    def wedge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        wk = _wedge_arrays(g)
+        if wk is None:
+            return pd.DataFrame(
+                {"k": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64"),
+                 "is_edge": pd.Series([], dtype="bool")}
+            )
+        uk, cnt = np.unique(wk, return_counts=True)  # fold multiplicity pre-shuffle
+        return pd.DataFrame({"k": uk, "n": cnt.astype(np.int64),
+                             "is_edge": np.zeros(len(uk), dtype=bool)})
+
+    wedge_rows = edge_ds.groupby("xb").map_groups(wedge_partials, batch_format="pandas")
+    edge_rows = edge_key_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "k": b["k"],
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+                "is_edge": pa.array(np.ones(b.num_rows, bool)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def with_kb(b: pa.Table) -> pa.Table:
+        kb = (b["k"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)).astype(np.int32)
+        return b.append_column("kb", pa.array(kb))
+
+    def member_seg(g: pd.DataFrame) -> pd.DataFrame:
+        ek = np.sort(g.loc[g["is_edge"], "k"].to_numpy())
+        w = g[~g["is_edge"]]
+        if len(ek) == 0 or len(w) == 0:
+            return pd.DataFrame({"n_tri": [0]})
+        wk = w["k"].to_numpy()
+        p = np.minimum(np.searchsorted(ek, wk), len(ek) - 1)
+        return pd.DataFrame({"n_tri": [int(w["n"].to_numpy()[ek[p] == wk].sum())]})
 
     counts = (
-        edge_ds.map_batches(
-            lambda b: b.append_column(
-                "xb", pa.array((b["x"].to_numpy() % _N_UB).astype(np.int32))
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("xb")
-        .map_groups(wedges, batch_format="pandas")
+        wedge_rows.union(edge_rows)
+        .map_batches(with_kb, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(member_seg, batch_format="pandas")
         .aggregate(Sum("n_tri"))
     )
     return pd.DataFrame({"n_triangles": [int(counts["sum(n_tri)"])]})
@@ -4751,8 +4822,12 @@ def q_promo_revenue_share(sf_dir: str) -> pd.DataFrame:
     li = broadcast_join(li, pdim, "l_partkey", ["is_promo"])
 
     def partial(b: pa.Table) -> pa.Table:
+        # drop lineitems with no matching part from BOTH sums — the oracle
+        # inner-joins part, so null-flag rows must not inflate the
+        # denominator on dirty data (ADVICE r3)
+        b = b.filter(pc.is_valid(b["is_promo"]))
         rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        promo = pc.if_else(pc.fill_null(b["is_promo"], False), rev, pa.scalar(0.0))
+        promo = pc.if_else(b["is_promo"], rev, pa.scalar(0.0))
         return pa.table(
             {
                 "promo_rev": [pc.sum(promo).as_py() or 0.0],
@@ -4822,8 +4897,9 @@ def q_doc_length_histogram(sf_dir: str) -> pd.DataFrame:
 
     def hist(b: pa.Table) -> pa.Table:
         n = b["n_chars"].to_numpy()
+        n = n[n >= 1]  # log2(0) is -inf / undefined int cast (ADVICE r3)
         bucket = np.floor(np.log2(n)).astype(np.int64)
-        t = pa.table({"bucket": bucket, "n_chars": b["n_chars"]})
+        t = pa.table({"bucket": bucket, "n_chars": pa.array(n)})
         return _partial(t, ["bucket"], [("n_chars", "sum"), ([], "count_all")])
 
     out = (
@@ -5318,7 +5394,11 @@ def q_top_supplier(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("rev_sum", alias_name="total_revenue"))
         .to_pandas()  # supplier-dim-sized
     )
-    best = per_supp[per_supp["total_revenue"] == per_supp["total_revenue"].max()]
+    # argmax on ROUNDED totals (4 dp, same rounding as the output and the
+    # oracle) — exact float equality on distributed sums can flip on a
+    # near-tie from summation-order jitter (ADVICE r3)
+    tot4 = per_supp["total_revenue"].round(4)
+    best = per_supp[tot4 == tot4.max()]
     supp = _dim(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
     nm = dict(zip(supp["s_suppkey"].to_pylist(), supp["s_name"].to_pylist()))
     out = best.rename(columns={"l_suppkey": "s_suppkey"}).copy()
@@ -5514,19 +5594,34 @@ def q_events_zscore_outliers(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("d2_sum", alias_name="ss"))
         .to_pandas()
     )
+    # STDDEV_SAMP is NULL for n<2 groups (ADVICE r3): drop those types — the
+    # oracle's NULL z sorts last and never enters the top-20 either
     sd = {
         t: float(np.sqrt(ss / (nmap[t] - 1)))
         for t, ss in zip(second["event_type"], second["ss"])
+        if nmap[t] >= 2
     }
 
     def score(b: pa.Table, _mu=mu, _sd=sd) -> pa.Table:
-        v = b["value"].to_numpy()
         types = b["event_type"].to_pylist()
+        keep = np.array([t in _sd for t in types], dtype=bool)
+        if not keep.all():
+            b = b.filter(pa.array(keep))
+            types = b["event_type"].to_pylist()
+        v = b["value"].to_numpy()
         m = np.array([_mu[t] for t in types])
         s = np.array([_sd[t] for t in types])
         z = (v - m) / s
         az = np.abs(z)
         k = min(20, len(az))
+        if k == 0:  # schema-stable empty partial
+            return pa.table(
+                {
+                    "event_id": pa.array([], b["event_id"].type),
+                    "event_type": pa.array([], pa.string()),
+                    "z": pa.array([], pa.float64()),
+                }
+            )
         sel = np.argpartition(-az, k - 1)[:k]
         return pa.table(
             {
@@ -5644,6 +5739,272 @@ def q_customers_only_f_orders(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values("c_mktsegment").reset_index(drop=True)
     out["n_customers"] = out["n_customers"].astype("int64")
     return out[["c_mktsegment", "n_customers"]]
+
+
+# --------------------------------- wave 11 (round 4): the remaining feasible
+# TPC-H shapes on this schema (Q7 bilateral trade, Q13 order-count histogram,
+# Q22 idle-rich anti-join) and a sliding-window DISTINCT aggregate — the one
+# window family (windowed COUNT DISTINCT) not yet covered.
+
+
+def q_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: shipped revenue between two nations (both directions)
+    per (supplier nation, customer nation, ship year). Scale plan (mirrors
+    q_local_supplier_revenue): both nation filters resolve into dim-sized
+    broadcast lookups, out-of-scope rows are dropped BEFORE the only real
+    exchange, lineitem pre-aggregates revenue per (orderkey, supp_nk, year)
+    so the orders⋈lineitem hash join ships at most |years|·|nations| rows
+    per order, the bilateral predicate is a vectorized post-join filter, and
+    the final groupby moves ≤ 2·|years| partials."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    N1, N2 = "NATION_1", "NATION_2"
+    nation = _dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nk = {n: k for k, n in zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())}
+    names = {nk[N1]: N1, nk[N2]: N2}
+    keys = pa.array(list(names), pa.int64())
+
+    supp = _dim(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp["s_nationkey"], value_set=keys))
+    sdim = pa.table({"l_suppkey": supp["s_suppkey"], "supp_nk": supp["s_nationkey"]})
+    cust = _dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=keys))
+    cdim = pa.table({"o_custkey": cust["c_custkey"], "cust_nk": cust["c_nationkey"]})
+
+    empty = pd.DataFrame(
+        {"supp_nation": pd.Series([], dtype=object), "cust_nation": pd.Series([], dtype=object),
+         "l_year": pd.Series([], dtype="int64"), "revenue": pd.Series([], dtype="float64")}
+    )
+    if sdim.num_rows == 0 or cdim.num_rows == 0:
+        # no supplier or customer in scope ⇒ empty by construction (tiny-sf
+        # corpora); skips a join whose empty side would drop its schema
+        return empty
+
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    o_side = broadcast_join(orders, cdim, "o_custkey", ["cust_nk"]).map_batches(
+        lambda b: b.filter(pc.is_valid(b["cust_nk"])).select(["o_orderkey", "cust_nk"]),
+        batch_format="pyarrow",
+    )
+
+    import datetime as _dt
+
+    li = _tbl(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= _dt.datetime(1995, 1, 1))
+            & (pc.field("l_shipdate") < _dt.datetime(1997, 1, 1))
+        ),
+    )
+    li = broadcast_join(li, sdim, "l_suppkey", ["supp_nk"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["supp_nk"]))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "supp_nk": b["supp_nk"],
+                "l_year": pc.year(b["l_shipdate"]),
+                "rev": rev,
+            }
+        )
+        return _partial(t, ["l_orderkey", "supp_nk", "l_year"], [("rev", "sum")])
+
+    joined = (
+        li.map_batches(li_prep, batch_format="pyarrow")
+        .join(o_side, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    )
+
+    def bilateral(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["supp_nk"], b["cust_nk"])  # (1,2) or (2,1) only
+        b = b.filter(keep)
+        t = pa.table(
+            {
+                "supp_nk": b["supp_nk"],
+                "cust_nk": b["cust_nk"],
+                "l_year": b["l_year"],
+                "rev": b["rev_sum"],
+            }
+        )
+        return _partial(t, ["supp_nk", "cust_nk", "l_year"], [("rev", "sum")])
+
+    out = (
+        joined.map_batches(bilateral, batch_format="pyarrow")
+        .groupby(["supp_nk", "cust_nk", "l_year"])
+        .aggregate(Sum("rev_sum", alias_name="r"))
+        .to_pandas()
+    )
+    if out.empty:
+        return empty
+    out["supp_nation"] = out["supp_nk"].map(names)
+    out["cust_nation"] = out["cust_nk"].map(names)
+    out["l_year"] = out["l_year"].astype("int64")
+    out["revenue"] = out["r"].round(4)
+    return (
+        out[["supp_nation", "cust_nation", "l_year", "revenue"]]
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+
+
+def q_customer_order_histogram(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count INCLUDING
+    zero-order customers. Scale plan: orders fold to per-custkey count
+    partials before the only keyed shuffle; the customer side joins
+    left-outer so missing keys surface as the zero bucket; the histogram is
+    a second partial-combined groupby over customer-sized input whose
+    result is ≤ max(order count) rows."""
+    from ray.data.aggregate import Sum
+
+    per_cust = (
+        _tbl(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(
+            lambda b: _partial(b, ["o_custkey"], [([], "count_all")]), batch_format="pyarrow"
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("count_all", alias_name="c_count"))
+    )
+
+    def hist(b: pa.Table) -> pa.Table:
+        cc = pc.fill_null(b["c_count"], 0)
+        t = pa.table({"c_count": cc})
+        return _partial(t, ["c_count"], [([], "count_all")])
+
+    out = (
+        _tbl(sf_dir, "customer", columns=["c_custkey"])
+        .join(per_cust, "left_outer", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",))
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("count_all", alias_name="custdist"))
+        .to_pandas()
+        .sort_values("c_count")
+        .reset_index(drop=True)
+    )
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return out[["c_count", "custdist"]]
+
+
+def q_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive account
+    balance and NO orders, counted per nation. Scale plan: the scalar
+    subquery (global avg of positive balances) is one partial-sum pass;
+    the candidate set (acctbal > avg) prunes BEFORE the anti-join; distinct
+    order custkeys fold to per-key partials so the left-outer join ships
+    one row per ordering customer; the final groupby moves ≤ |nation|
+    partials."""
+    from ray.data.aggregate import Count, Sum
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    cust = _tbl(sf_dir, "customer", columns=cust_cols)
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        pos = b.filter(pc.greater(b["c_acctbal"], 0.0))
+        return pa.table(
+            {"s": [pc.sum(pos["c_acctbal"]).as_py() or 0.0], "n": [pos.num_rows]}
+        )
+
+    sums = cust.map_batches(bal_partial, batch_format="pyarrow").sum(["s", "n"])
+    avg_bal = (sums["sum(s)"] or 0.0) / max(int(sums["sum(n)"] or 0), 1)
+
+    ordered = (
+        _tbl(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(
+            lambda b: b.group_by(["o_custkey"]).aggregate([]), batch_format="pyarrow"
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"], avg_bal)), batch_format="pyarrow"
+    )
+
+    def anti_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_null(b["_c"]))
+        t = b.select(["c_nationkey", "c_acctbal"])
+        return _partial(t, ["c_nationkey"], [("c_acctbal", "sum"), ([], "count_all")])
+
+    out = (
+        rich.join(ordered, "left_outer", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",))
+        .map_batches(anti_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("count_all", alias_name="numcust"), Sum("c_acctbal_sum", alias_name="tot")
+        )
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"c_nationkey": pd.Series([], dtype="int64"),
+                             "numcust": pd.Series([], dtype="int64"),
+                             "totacctbal": pd.Series([], dtype="float64")})
+    out = out.sort_values("c_nationkey").reset_index(drop=True)
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["tot"].round(4)
+    return out[["c_nationkey", "numcust", "totacctbal"]]
+
+
+def q_distinct_users_sliding7(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window COUNT DISTINCT: per event day, the distinct users
+    active in the trailing 7-day window — the windowed-distinct aggregate
+    (exact, not sketched; the HLL variant is q_approx_distinct_hll's
+    family). Scale plan: (day, user) pairs dedup with per-batch distinct
+    combiners before the first shuffle; each distinct pair then fans out to
+    its ≤ 7 window days (window days pruned to OBSERVED days, broadcast as
+    a tiny array in the closure), a second distinct groupby dedups
+    (window_day, user), and the final count folds per-batch partials — the
+    raw event stream never crosses a shuffle, only distinct pairs do (≤ 7×
+    the distinct-pair count, independent of event volume)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _tbl(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        d = b["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        t = pa.table({"day": pa.array(d), "user_id": b["user_id"]})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    du = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .materialize()  # distinct (day, user) — reused for days set + expansion
+    )
+    days_arr = np.unique(
+        np.concatenate(
+            [b["day"].to_numpy() for b in du.select_columns(["day"]).iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]
+        )
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        d = b["day"].to_numpy()
+        u = b["user_id"].to_numpy()
+        wd = (d[:, None] + np.arange(7)[None, :]).ravel()
+        uu = np.repeat(u, 7)
+        keep = np.isin(wd, days_arr)
+        t = pa.table({"wd": pa.array(wd[keep]), "user_id": pa.array(uu[keep])})
+        return t.group_by(["wd", "user_id"]).aggregate([])
+
+    counted = (
+        du.map_batches(expand, batch_format="pyarrow")
+        .groupby(["wd", "user_id"])
+        .aggregate(Count(alias_name="_c2"))
+        .map_batches(lambda b: _partial(b, ["wd"], [([], "count_all")]), batch_format="pyarrow")
+        .groupby("wd")
+        .aggregate(Sum("count_all", alias_name="users_7d"))
+        .to_pandas()
+        .sort_values("wd")
+        .reset_index(drop=True)
+    )
+    counted["day"] = pd.to_datetime(counted["wd"], unit="D").dt.strftime("%Y-%m-%d")
+    counted["users_7d"] = counted["users_7d"].astype("int64")
+    return counted[["day", "users_7d"]]
 
 
 QUERIES = {
@@ -5765,6 +6126,10 @@ QUERIES = {
     "banded_brand_revenue": q_banded_brand_revenue,
     "revenue_ewma": q_revenue_ewma,
     "revenue_streaks": q_revenue_streaks,
+    "nation_trade_volume": q_nation_trade_volume,
+    "customer_order_histogram": q_customer_order_histogram,
+    "idle_rich_customers": q_idle_rich_customers,
+    "distinct_users_sliding7": q_distinct_users_sliding7,
 }
 
 ORACLE_SQL = {
@@ -6408,7 +6773,7 @@ ORACLE_SQL["large_volume_customers"] = (
 ORACLE_SQL["doc_length_histogram"] = (
     "SELECT CAST(FLOOR(LOG2(n_chars)) AS BIGINT) AS bucket,"
     " COUNT(*)::BIGINT AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars"
-    " FROM documents GROUP BY bucket"
+    " FROM documents WHERE n_chars >= 1 GROUP BY bucket"
 )
 ORACLE_SQL["price_mad"] = (
     "WITH m AS (SELECT quantile_disc(o_totalprice, 0.5) AS med FROM orders)"
@@ -6474,7 +6839,7 @@ ORACLE_SQL["top_supplier"] = (
     "  GROUP BY l_suppkey)"
     " SELECT s_suppkey, s_name, ROUND(t, 4) AS total_revenue"
     " FROM rev JOIN supplier ON s_suppkey = l_suppkey"
-    " WHERE t = (SELECT MAX(t) FROM rev) ORDER BY s_suppkey"
+    " WHERE ROUND(t, 4) = (SELECT MAX(ROUND(t, 4)) FROM rev) ORDER BY s_suppkey"
 )
 ORACLE_SQL["banded_brand_revenue"] = (
     "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,"
@@ -6531,4 +6896,42 @@ ORACLE_SQL["revenue_daily_growth"] = (
     " SELECT day, ROUND(r, 4) AS revenue,"
     " ROUND(100.0 * (r - LAG(r) OVER (ORDER BY day)) / LAG(r) OVER (ORDER BY day), 6)"
     "  AS growth_pct FROM d ORDER BY day"
+)
+ORACLE_SQL["nation_trade_volume"] = (
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+    " EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,"
+    " ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue"
+    " FROM lineitem JOIN orders ON o_orderkey = l_orderkey"
+    " JOIN supplier ON s_suppkey = l_suppkey"
+    " JOIN customer ON c_custkey = o_custkey"
+    " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+    " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+    " WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')"
+    "     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+    "   AND l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'"
+    " GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+)
+ORACLE_SQL["customer_order_histogram"] = (
+    "WITH c AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count"
+    "  FROM customer LEFT JOIN orders ON o_custkey = c_custkey"
+    "  GROUP BY c_custkey)"
+    " SELECT c_count, COUNT(*)::BIGINT AS custdist FROM c"
+    " GROUP BY c_count ORDER BY c_count"
+)
+ORACLE_SQL["idle_rich_customers"] = (
+    "SELECT c_nationkey, COUNT(*)::BIGINT AS numcust,"
+    " ROUND(SUM(c_acctbal), 4) AS totacctbal"
+    " FROM customer"
+    " WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)"
+    "   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    " GROUP BY c_nationkey ORDER BY c_nationkey"
+)
+ORACLE_SQL["distinct_users_sliding7"] = (
+    "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),"
+    " days AS (SELECT DISTINCT day FROM du)"
+    " SELECT strftime(d.day, '%Y-%m-%d') AS day,"
+    " COUNT(DISTINCT u.user_id)::BIGINT AS users_7d"
+    " FROM days d JOIN du u"
+    "   ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day"
+    " GROUP BY 1 ORDER BY 1"
 )

@@ -93,10 +93,20 @@ class CrawlConfig:
     # bounded sets (admission survivors, generation links, frontier update)
     # finish on the driver — same results, no pipeline launch; 0 forces the
     # distributed branches everywhere (used by the parity tests)
+    driver_path_max_bytes: int = 2 << 30  # the row bound alone is byte-blind
+    # (2 M wide-caption rows can be multi-GB through one process — VERDICT r3
+    # item 4): the page path also routes distributed when admitted rows ×
+    # the PREVIOUS generation's average caption width exceeds this budget.
+    # Gen 0 has no width estimate yet and falls back to the row bound.
     max_generations: int | None = None  # stop early (resume/crash tests)
     compact_seen_every: int = 50   # fold per-generation seen tables into one
     # every K generations (bounds the per-bucket fragment count the merge
     # anti-join has to read — SCALE.md debt #2)
+    exact_url_confirm: bool = False  # SCALE.md "64-bit url_hash identity",
+    # now configurable: confirm URL-STRING equality on hash-matched rows in
+    # the frontier merge before dropping a candidate (bucket-local string
+    # compares on collision candidates only; no extra shuffle). Off by
+    # default — E[2.7 colliding pairs] at 10¹⁰ URLs is usually acceptable.
     band_key_cap: int | None = None  # OPT-IN flood guard (SCALE.md debt #3):
     # verify each new row against at most this many OLDEST rows of its band
     # run. Bounds adversarial caption floods (a crafted band key otherwise
@@ -1304,6 +1314,9 @@ def _generation_driver(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t: pa.T
         "n_duplicate": int((status == "duplicate").sum()),
         "n_disallowed": int((status == "disallowed").sum()),
         "n_binary": int((status == "binary").sum()),
+        # feeds the next generation's byte-aware driver/distributed switch
+        "caption_bytes": int(fetched["caption"].str.len().sum()),
+        "gen_path": "driver",
     }
     nondup = pages[pages["status"] == "html"]
     nondup_ri = pa.Table.from_pandas(nondup[["rank", "idx"]], preserve_index=False)
@@ -1331,7 +1344,22 @@ def _generation_distributed(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t:
         .map_groups(_make_fetch_fn(cfg, corpus_path, gen), batch_format="pyarrow")
         .materialize()
     )
-    small = fetched.select_columns(["rank", "status", "idx"]).to_pandas()
+    def _small_proj(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        # cap_len rides the scalar projection (8 B/row) so the byte-aware
+        # path switch can estimate caption width without captions ever
+        # transiting the driver
+        return pa.table(
+            {
+                "rank": b["rank"],
+                "status": b["status"],
+                "idx": b["idx"],
+                "cap_len": _pc.utf8_length(b["caption"]),
+            }
+        )
+
+    small = fetched.map_batches(_small_proj, batch_format="pyarrow").to_pandas()
     status0 = small["status"].to_numpy()
     ranks_small = small["rank"].to_numpy()
     n_fetched = int((status0 == "fetched").sum())
@@ -1467,6 +1495,8 @@ def _generation_distributed(cfg: CrawlConfig, corpus_path: str, gen: int, adm_t:
         "n_duplicate": len(dup_of),
         "n_disallowed": int((status0 == "disallowed").sum()),
         "n_binary": int((status0 == "binary").sum()),
+        "caption_bytes": int(small["cap_len"].sum()),
+        "gen_path": "dist",
     }
     nd_mask = status0 == "fetched"
     if dup_of:
@@ -1548,16 +1578,27 @@ def _make_link_fn(cfg: CrawlConfig):
 
 
 def _merge_bucket(
-    group: pa.Table, root: str, seen_gens: list[int], frontier_prev: str, bloom_gens: list[int]
+    group: pa.Table,
+    root: str,
+    seen_gens: list[int],
+    frontier_prev: str,
+    bloom_gens: list[int],
+    exact_confirm: bool = False,
 ) -> pa.Table:
     """One url_hash bucket of new links → accepted frontier rows.
     first-wins within the bucket, then bloom pre-filter + exact
     anti-join against the bucket's seen partitions, then an anti-join
     against the bucket's current frontier partition (a queued URL keeps
-    its first-discovery priority — D1, Estrella.py:548-554)."""
+    its first-discovery priority — D1, Estrella.py:548-554).
+
+    ``exact_confirm`` (CrawlConfig.exact_url_confirm) closes the 64-bit
+    url_hash identity risk (SCALE.md): a candidate is only dropped when
+    the URL STRING itself is seen/queued, not merely its hash — the
+    string compare runs only on hash-matched rows inside the bucket the
+    candidate already lives in (no extra shuffle, no broadcast)."""
     bucket = int(group["uh_bucket"][0].as_py())
     df = group.to_pandas().sort_values("seq", kind="stable")
-    df = df.drop_duplicates("url_hash", keep="first")
+    df = df.drop_duplicates("url" if exact_confirm else "url_hash", keep="first")
     uh = df["url_hash"].to_numpy().astype(np.uint64)
     # bloom files are sparse across generations (only touched buckets get
     # a new file); bloom_gens maps bucket → generation of its latest file
@@ -1567,24 +1608,37 @@ def _merge_bucket(
         bloom = seen_filter_from_bytes(f.read())
     maybe = bloom.contains_many(uh)
     if maybe.any():
-        seen_hashes = []
+        seen_cols = ["url_hash", "url"] if exact_confirm else ["url_hash"]
+        seen_tabs = []
         for g in seen_gens:
             p = _gd(root, "seen", g)
             if lt.exists(p):
                 try:
-                    t = lt.read_pyarrow(p, columns=["url_hash"], partitions=[bucket])
-                    seen_hashes.append(t["url_hash"].to_numpy())
+                    seen_tabs.append(lt.read_pyarrow(p, columns=seen_cols, partitions=[bucket]))
                 except FileNotFoundError:
                     pass
-        if seen_hashes:
-            seen_arr = np.concatenate(seen_hashes)
+        if seen_tabs:
+            seen_arr = np.concatenate([t["url_hash"].to_numpy() for t in seen_tabs])
             drop = maybe & np.isin(uh, seen_arr)
+            if exact_confirm and drop.any():
+                hit = set()
+                for t in seen_tabs:
+                    m = np.isin(t["url_hash"].to_numpy(), uh[drop])
+                    if m.any():
+                        hit.update(np.asarray(t["url"].to_pandas())[m].tolist())
+                drop &= df["url"].isin(hit).to_numpy()
             df = df[~drop]
             uh = df["url_hash"].to_numpy().astype(np.uint64)
     try:
-        fr = lt.read_pyarrow(frontier_prev, columns=["url_hash"], partitions=[bucket])
+        fr_cols = ["url_hash", "url"] if exact_confirm else ["url_hash"]
+        fr = lt.read_pyarrow(frontier_prev, columns=fr_cols, partitions=[bucket])
         queued = fr["url_hash"].to_numpy()
-        df = df[~np.isin(uh, queued)]
+        qdrop = np.isin(uh, queued)
+        if exact_confirm and qdrop.any():
+            m = np.isin(queued, uh[qdrop])
+            qset = set(np.asarray(fr["url"].to_pandas())[m].tolist())
+            qdrop &= df["url"].isin(qset).to_numpy()
+        df = df[~qdrop]
     except FileNotFoundError:
         pass
     out = df[FRONTIER_COLS]
@@ -1617,14 +1671,20 @@ def _merge_remote():
 
 
 def _merge_bucket_of(
-    cand: pa.Table, bucket: int, root: str, seen_gens: list, frontier_prev: str, bloom_gens: list
+    cand: pa.Table,
+    bucket: int,
+    root: str,
+    seen_gens: list,
+    frontier_prev: str,
+    bloom_gens: list,
+    exact_confirm: bool = False,
 ) -> pa.Table:
     """Raw-task wrapper: filter the broadcast candidate table to one bucket
     (ships via ONE ray.put) and merge it — the driver-path merge loop was 32
     serial disk-read anti-joins per generation."""
     ubs = cand["uh_bucket"].to_numpy()
     sub = cand.filter(pa.array(ubs == bucket))
-    return _merge_bucket(sub, root, seen_gens, frontier_prev, bloom_gens)
+    return _merge_bucket(sub, root, seen_gens, frontier_prev, bloom_gens, exact_confirm)
 
 
 def _make_merge_fn(
@@ -1635,9 +1695,10 @@ def _make_merge_fn(
     bloom_gens: list[int],
 ):
     root = cfg.root
+    exact_confirm = cfg.exact_url_confirm
 
     def merge_bucket(group: pa.Table) -> pa.Table:
-        return _merge_bucket(group, root, seen_gens, frontier_prev, bloom_gens)
+        return _merge_bucket(group, root, seen_gens, frontier_prev, bloom_gens, exact_confirm)
 
     return merge_bucket
 
@@ -1946,6 +2007,20 @@ def compact_index(cfg: CrawlConfig, upto_gen: int) -> None:
     _compact_generational(cfg, "sigs", upto_gen)
 
 
+def _seed_avg_caption_width(cfg: CrawlConfig) -> float:
+    """Resume seed for the byte-aware path switch: the last committed
+    generation's metrics carry (caption_bytes, n_html + n_duplicate).
+    Returns 0.0 (row-bound-only) for fresh crawls / legacy checkpoints."""
+    gens = _gens_of(cfg.root, "metrics")
+    if not gens:
+        return 0.0
+    t = lt.read_pyarrow(_gd(cfg.root, "metrics", gens[-1]))
+    if "caption_bytes" not in t.column_names:
+        return 0.0
+    n = int(t["n_html"][0].as_py()) + int(t["n_duplicate"][0].as_py())
+    return (int(t["caption_bytes"][0].as_py()) / n) if n else 0.0
+
+
 def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = True) -> CrawlResult:
     """Run (or resume) the crawl to completion or ``cfg.max_generations``."""
     import ray.data as rd
@@ -1972,6 +2047,7 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
     gens_this_run = 0
     frontier_mem = None    # previous generation's frontier (Dataset, big-crawl path)
     frontier_mem_t = None  # previous generation's frontier (pa.Table, driver path)
+    avg_cap_w = _seed_avg_caption_width(cfg)  # byte-aware path switch estimate
     while not st["finished"]:
         if cfg.max_generations is not None and gens_this_run >= cfg.max_generations:
             break
@@ -2044,7 +2120,11 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
 
         # ---- fetch → dedup → classify → pages/bands/sigs writes
         adm_t = pa.Table.from_pandas(adm, preserve_index=False)
-        use_driver = len(adm) <= cfg.driver_path_max_rows
+        est_page_bytes = int(len(adm) * avg_cap_w)
+        use_driver = (
+            len(adm) <= cfg.driver_path_max_rows
+            and est_page_bytes <= cfg.driver_path_max_bytes
+        )
         if not use_driver:
             # distributed page path: everything stays a Dataset / staged
             # fragments; the driver sees only (rank, status, idx) + dup edges
@@ -2160,7 +2240,7 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
                         [
                             mtask.remote(
                                 cref, int(b), cfg.root, list(range(1, gen + 1)),
-                                frontier_prev, bloom_gens,
+                                frontier_prev, bloom_gens, cfg.exact_url_confirm,
                             )
                             for b in buckets_m
                         ]
@@ -2237,9 +2317,14 @@ def run_crawl(cfg: CrawlConfig, corpus_path: str | None = None, resume: bool = T
             "n_frontier_out": int(man["num_rows"]),
             "secs": float(secs),
             "stage_secs": json.dumps(stage_t),
+            "caption_bytes": int(counts.get("caption_bytes", 0)),
+            "gen_path": str(counts.get("gen_path", "")),
         }
         lt.write_table(pa.table({k: [v] for k, v in m.items()}), _gd(cfg.root, "metrics", gen))
         result.metrics.append(m)
+        n_f = int(counts["n_html"]) + int(counts["n_duplicate"])
+        if n_f:  # refresh the width estimate for the next generation's switch
+            avg_cap_w = counts.get("caption_bytes", 0) / n_f
         st = {
             "gen": gen,
             "rank": rank_base + n_adm,

@@ -40,6 +40,11 @@ class BroadcastLookup:
         self.key_col = key_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self.keys) == 0:  # empty dimension → all-null columns (left join)
+            null_idx = pa.nulls(batch.num_rows, pa.int64())
+            for c in self.value_cols:
+                batch = batch.append_column(c, self.values[c].take(null_idx))
+            return batch
         probe = batch[self.key_col].to_numpy()
         pos = np.searchsorted(self.keys, probe)
         pos_c = np.clip(pos, 0, len(self.keys) - 1)

@@ -105,6 +105,47 @@ def test_engine_matches_oracle_distributed_paths(corpus_path, fetch):
     assert res.seen_urls() == oracle.seen
 
 
+def test_engine_exact_url_confirm_parity(corpus_path, fetch):
+    """exact_url_confirm=True (SCALE.md hash-identity risk → flag): the
+    string-confirmed anti-joins must be a no-op on a collision-free corpus —
+    byte-identical output to the oracle with the flag on."""
+    params = CrawlParams(spec=SPEC, max_pages=150, politeness=True, politeness_factor=3)
+    oracle = oracle_crawl(params, fetch)
+    res = _run_engine(
+        params, corpus_path, f"{SCRATCH}/ckpt-exactconfirm", exact_url_confirm=True
+    )
+    assert _engine_tuples(res) == _page_tuples(oracle.pages)
+    assert res.seen_urls() == oracle.seen
+
+
+def test_wide_captions_route_distributed_below_row_cap(corpus_path, fetch):
+    """Byte-aware path switch (VERDICT r3 item 4): with a tiny byte budget
+    and a huge row cap, generation 1 (no width estimate yet) may use the
+    driver path, but every later generation must route DISTRIBUTED even
+    though the admitted row count is far below driver_path_max_rows —
+    and the output must still match the oracle."""
+    from ieps_crawler_ray.pipelines.crawl import _gd, _gens_of
+    from ieps_crawler_ray.sources import lance_table as lt
+
+    params = CrawlParams(spec=SPEC, max_pages=120, politeness=True, politeness_factor=3)
+    oracle = oracle_crawl(params, fetch)
+    root = f"{SCRATCH}/ckpt-bytegate"
+    res = _run_engine(
+        params, corpus_path, root, driver_path_max_rows=2_000_000, driver_path_max_bytes=1
+    )
+    assert _engine_tuples(res) == _page_tuples(oracle.pages)
+    assert res.seen_urls() == oracle.seen
+    gens = _gens_of(root, "metrics")
+    assert len(gens) >= 2, "needs multiple generations to exercise the estimate"
+    paths = []
+    for g in gens:
+        m = lt.read_pyarrow(_gd(root, "metrics", g)).to_pydict()
+        assert m["n_admitted"][0] < 2_000_000
+        assert m["caption_bytes"][0] >= 0
+        paths.append(m["gen_path"][0])
+    assert all(p == "dist" for p in paths[1:]), paths
+
+
 def test_engine_matches_oracle_no_politeness(corpus_path, fetch):
     """politeness=False admission branch (global best-first prefix)."""
     params = CrawlParams(spec=SPEC, max_pages=120, politeness=False, gen_page_cap=40)

@@ -24,6 +24,9 @@ GOLDEN = {
     "lang_id_docs": (4, "2a9b76c5350bbe019d324476bb4c07cc"),
     "doc_embed_knn": (10, "c4898554b014779e3f112d64ad477365"),
     "embedding_topk_ivf": (10, "191863771eb97850da3ba7dd297f8b84"),
+    # sign-LSH multiprobe ANN (recall/determinism additionally gated in
+    # test_analytics_extra); pin freezes the exact driver-visible rows
+    "embedding_topk_lsh": (10, "21e57b3cc98f48c26001db8ece68c42e"),
     "media_features": (2, "378914ed9bcc052468c1e2053a70369b"),
     # crawl-backed queries (engine output is parity-gated vs the sequential
     # oracle; these pins additionally freeze the exact driver-visible VALUES)

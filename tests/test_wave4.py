@@ -52,6 +52,19 @@ def test_wave4_matches_oracle(ray_session, name):
     pd.testing.assert_frame_equal(mine, orc, check_dtype=False, rtol=1e-9, atol=1e-9)
 
 
+def test_triangles_shuffle_fallback_matches_broadcast(ray_session, monkeypatch):
+    """Force the pair-keyed-shuffle membership plan (edge count above a
+    1-edge broadcast cap) and pin it to the broadcast plan's answer — both
+    physical plans must agree on the same graph (VERDICT r3 item 5)."""
+    from ieps_crawler_ray.pipelines.analytics import q_copurchase_triangles
+
+    bcast = q_copurchase_triangles(SF)
+    monkeypatch.setenv("IEPS_TRI_BCAST_MAX_EDGES", "1")
+    shuffled = q_copurchase_triangles(SF)
+    pd.testing.assert_frame_equal(bcast, shuffled)
+    assert int(bcast["n_triangles"].iloc[0]) > 0  # non-degenerate graph
+
+
 def test_curated_corpus_dedup_winner_is_first(ray_session):
     """The packed-code Min must pick the MIN doc_id per content hash: the
     curated totals must match a direct pandas recompute of first-wins +
