@@ -1746,6 +1746,10 @@ def q_hybrid_topk(sf_dir: str) -> pd.DataFrame:
 
     def score_topk(b: pa.Table) -> pa.Table:
         ids = b["vec_id"].to_numpy()
+        if len(ids) == 0:  # schema-stable empty partial (post-join blocks)
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
         kw = b["kw"].to_pandas().fillna(0.0).to_numpy(dtype=np.float64)
         score = 0.6 * b["sim"].to_numpy() + 0.4 * kw
         k = min(10, len(ids))
@@ -1803,6 +1807,10 @@ def q_doc_embed_knn(sf_dir: str) -> pd.DataFrame:
 
     def topk(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy()
+        if len(ids) == 0:  # schema-stable empty partial
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
         e = np.array(b["embedding"].to_pylist(), dtype=np.float32)
         sims = e @ q
         k = min(10, len(ids))
@@ -2330,13 +2338,20 @@ def q_price_quantity_stats(sf_dir: str) -> pd.DataFrame:
     rows = []
     for f, (fx, fy, n) in sorted(mu.items()):
         sxx, syy, sxy = (second.loc[f, c] for c in ("sxx", "syy", "sxy"))
+        # STDDEV_SAMP / CORR are NULL for n<2 or zero variance — mirror
+        # that instead of emitting inf/nan on degenerate groups (same
+        # guard family as q_events_zscore_outliers, ADVICE r3)
+        std = float(np.sqrt(syy / (n - 1))) if n >= 2 else None
+        corr = (
+            float(sxy / np.sqrt(sxx * syy)) if n >= 2 and sxx > 0 and syy > 0 else None
+        )
         rows.append(
             {
                 "l_returnflag": f,
                 "n": n,
                 "avg_qty": round(fx, 6),
-                "std_price": round(float(np.sqrt(syy / (n - 1))), 6),
-                "corr_qty_price": round(float(sxy / np.sqrt(sxx * syy)), 6),
+                "std_price": round(std, 6) if std is not None else None,
+                "corr_qty_price": round(corr, 6) if corr is not None else None,
             }
         )
     return pd.DataFrame(rows).astype({"n": "int64"})
