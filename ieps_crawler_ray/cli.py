@@ -34,6 +34,15 @@ def main(argv=None) -> None:
     c.add_argument("--ckpt", default="/tmp/ieps_crawler_ray/cli-crawl")
     c.add_argument("--no-resume", action="store_true")
     c.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    c.add_argument(
+        "--ray-address",
+        default=os.environ.get("RAY_ADDRESS", "local"),
+        help="Ray address: 'local' starts a single-node session capped at "
+        "--num-cpus; 'auto' (the ray-job-submit default via RAY_ADDRESS) "
+        "attaches to the hosting cluster and uses ALL its resources — the "
+        "same entrypoint serves both `python -m ieps_crawler_ray.cli` and "
+        "`ray job submit -- python -m ieps_crawler_ray.cli crawl ...`",
+    )
 
     s = sub.add_parser("status", help="print checkpoint state + per-gen metrics")
     s.add_argument("--ckpt", default="/tmp/ieps_crawler_ray/cli-crawl")
@@ -54,12 +63,12 @@ def main(argv=None) -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+        kw = dict(include_dashboard=False, logging_level="ERROR")
+        if args.ray_address == "local":
+            kw["num_cpus"] = args.num_cpus  # cap only the local session;
+            # on a cluster (address='auto' under ray job submit) the job
+            # uses whatever the fixed-size cluster provides
+        ray.init(address=args.ray_address, **kw)
     try:
         from .pipelines.crawl import CrawlConfig, run_crawl
         from .semantics import CrawlParams
