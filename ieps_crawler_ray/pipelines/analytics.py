@@ -7201,3 +7201,125 @@ ORACLE_SQL["waiting_suppliers"] = (
     " WHERE st.nsupp >= 2 AND am.n_at_max = 1 AND sm.sm = st.mx"
     " GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10"
 )
+
+
+def q_gopher_quality_docs(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style quality-rule gate (Rae et al. 2021 §A1.1, public): per
+    lang, how many documents pass ALL of (a) word count within [5, 10 000],
+    (b) mean word length within [3, 10] chars, (c) most-frequent word ≤ 20 %
+    of the document. All three rules are evaluated in EXACT integer
+    arithmetic (cross-multiplied bounds — no float ratios), so the DuckDB
+    oracle hash-matches bit-for-bit. Vectorized per batch via polars
+    explode → two-level groupby (token counts → per-doc stats); each batch
+    emits ≤ |langs| partial rows, so the only shuffle moves partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(b).with_columns(pl.col("text").str.split(" ").alias("w"))
+        wc = (
+            df.select("doc_id", "lang", "w")
+            .explode("w")
+            .group_by("doc_id", "lang", "w")
+            .agg(pl.len().alias("c"))
+        )
+        per = wc.group_by("doc_id", "lang").agg(
+            pl.col("c").sum().alias("n_words"),
+            (pl.col("c") * pl.col("w").str.len_bytes().cast(pl.Int64))
+            .sum()
+            .alias("twc"),
+            pl.col("c").max().alias("top_cnt"),
+        )
+        per = per.with_columns(
+            (
+                pl.col("n_words").is_between(5, 10_000)
+                & (3 * pl.col("n_words") <= pl.col("twc"))
+                & (pl.col("twc") <= 10 * pl.col("n_words"))
+                & (5 * pl.col("top_cnt") <= pl.col("n_words"))
+            )
+            .cast(pl.Int64)
+            .alias("kept")
+        )
+        out = per.group_by("lang").agg(
+            pl.len().cast(pl.Int64).alias("n_docs"), pl.col("kept").sum().alias("n_kept")
+        )
+        return out.to_arrow()
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_kept", alias_name="n_kept"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out[["lang", "n_docs", "n_kept"]]
+
+
+QUERIES["gopher_quality_docs"] = q_gopher_quality_docs
+ORACLE_SQL["gopher_quality_docs"] = (
+    "WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word"
+    "   FROM documents),"
+    " wc AS (SELECT doc_id, lang, word, COUNT(*) AS c FROM w GROUP BY ALL),"
+    " per AS (SELECT doc_id, lang, SUM(c) AS n_words,"
+    "   SUM(c * length(word)) AS twc, MAX(c) AS top_cnt FROM wc GROUP BY 1, 2)"
+    " SELECT lang, COUNT(*)::BIGINT AS n_docs,"
+    " SUM(CASE WHEN n_words BETWEEN 5 AND 10000"
+    "   AND 3 * n_words <= twc AND twc <= 10 * n_words"
+    "   AND 5 * top_cnt <= n_words THEN 1 ELSE 0 END)::BIGINT AS n_kept"
+    " FROM per GROUP BY lang ORDER BY lang"
+)
+
+
+def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): embeddings are clustered by the cached distributed spherical
+    k-means index (`_ivf_index`), then WITHIN each cluster a row is dropped
+    when any lower-vec_id row of the same cluster has cosine ≥ 0.4 — the
+    paper's keep-one-per-semantic-duplicate-set rule, made deterministic by
+    the lowest-id-wins order. The per-cluster pairwise similarity runs
+    vectorized inside ``map_groups`` over the bucket-PARTITIONED assignment
+    table (partitioning assumption, as in the paper: cluster size is bounded
+    by choosing K ∝ N/target-cluster-size, so the O(|cluster|²) matmul stays
+    node-local and the clusters are embarrassingly parallel). Output:
+    per-cluster kept/dropped counts. No SQL oracle (k-means is iterative);
+    golden-pinned + full numpy recompute in tests/test_wave13.py."""
+    from ..sources import lance_table as lt
+
+    path, _cents = _ivf_index(sf_dir)
+    TAU = 0.4
+
+    def dedup_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="stable")
+        e = np.array(list(g["embedding"]), dtype=np.float64)
+        en = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+        s = en @ en.T
+        # strictly-lower-triangle max: does any EARLIER row sit within TAU?
+        dropped = (np.tril(s, k=-1) >= TAU).any(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster_id": [int(g["bucket"].iloc[0])],
+                "n": [len(g)],
+                "n_dropped": [int(dropped.sum())],
+            }
+        )
+
+    out = (
+        lt.read_dataset(path, columns=["vec_id", "embedding", "bucket"])
+        .groupby("bucket")
+        .map_groups(dedup_seg, batch_format="pandas")
+        .to_pandas()
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+    return out[["cluster_id", "n", "n_dropped"]].astype(
+        {"cluster_id": "int64", "n": "int64", "n_dropped": "int64"}
+    )
+
+
+QUERIES["semantic_dedup"] = q_semantic_dedup

@@ -641,8 +641,88 @@ def q_host_pagerank(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_image_phash_neardup(sf_dir: str) -> pd.DataFrame:
+    """Image-level near-duplicate PAIRS (pHash hamming ≤ 3) via banded LSH —
+    the image-modality twin of ``q_simhash_neardup_pairs``: 4 bands × 16
+    bits of the stored 64-bit pHash, pigeonhole-exact for the threshold
+    (≤ 3 differing bits leave ≥ 1 band equal), so candidate generation is a
+    bucket groupby over band keys, never all-pairs; exact popcount verify
+    runs vectorized inside each band bucket and cross-band duplicates
+    collapse through a fixed-count pair-hash bucket. The corpus plants
+    ``dup_image_permille`` perturbed copies (reference analogue: the image
+    duplicate handling of oldstufffrompa1/crawler.py:437-541 recast as
+    corpus-wide near-dup mining). Reads ONLY (image_id, phash) — the binary
+    payload never leaves storage. Golden-pinned; brute-force-equality
+    pytest."""
+    spec = _spec_for_sf(sf_dir)
+    spec = C.CorpusSpec(**{**spec.__dict__, "dup_image_permille": 50})
+    path = _corpus(spec)
+    ds = lt.read_dataset(path, columns=["image_id", "phash"])
+    T = 3
+
+    def band_f(b: pa.Table) -> pa.Table:
+        ids = np.array(
+            [int(s[3:]) for s in b["image_id"].to_pylist()], dtype=np.int64
+        )
+        h = b["phash"].to_numpy().view(np.uint64)
+        keys = np.concatenate(
+            [
+                np.int64(k) * np.int64(1 << 16)
+                + ((h >> np.uint64(16 * k)) & np.uint64(0xFFFF)).astype(np.int64)
+                for k in range(4)
+            ]
+        )
+        return pa.table(
+            {
+                "bk_key": pa.array(keys, pa.int64()),
+                "img": pa.array(np.tile(ids, 4), pa.int64()),
+                "phash": pa.array(np.tile(h.view(np.int64), 4), pa.int64()),
+            }
+        )
+
+    from ..functions.hashing import hamming64
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("img")
+        ids = g["img"].to_numpy()
+        ph = g["phash"].to_numpy().view(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = hamming64(ph[ia], ph[ib]).astype(np.int64)
+        keep = ham <= T
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]}
+        )
+
+    N_PB = 64
+
+    def add_pb(b: pa.Table) -> pa.Table:
+        key = b["id_a"].to_numpy().astype(np.uint64) * np.uint64(1_000_003) + b[
+            "id_b"
+        ].to_numpy().astype(np.uint64)
+        return b.append_column("pb", pa.array((key % np.uint64(N_PB)).astype(np.int32)))
+
+    out = (
+        ds.map_batches(band_f, batch_format="pyarrow")
+        .groupby("bk_key")
+        .map_groups(emit, batch_format="pandas")
+        .map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", "hamming"]],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 QUERIES = {
     "image_verify": q_image_verify,
+    "image_phash_neardup": q_image_phash_neardup,
     "host_pagerank": q_host_pagerank,
     "image_thumbnails": q_image_thumbnails,
     "crawl_audit": q_crawl_audit,

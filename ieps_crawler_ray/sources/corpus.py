@@ -74,6 +74,10 @@ class CorpusSpec:
     dim_choices: tuple = (32, 64, 128)  # image side lengths (multiples of 32)
     binary_permille: int = 0    # fraction of URLs serving a binary document
     # (M5 BINARY page type; 0 keeps the corpus all-HTML)
+    dup_image_permille: int = 0  # ~x/1000 of images are a light pixel
+    # perturbation of an earlier image (same dims) — planted signal for
+    # image-level near-duplicate detection (pHash hamming pairs); 0 keeps
+    # every image visually distinct (and existing corpus caches valid)
 
     def stream(self, idx, tag) -> np.ndarray:
         """Independent uint64 stream per (image index, tag); tag may be an
@@ -183,6 +187,29 @@ def content_type_of_index(spec: CorpusSpec, idx) -> list[str]:
 
 
 def pixels_of_index(spec: CorpusSpec, i: int) -> np.ndarray:
+    """(h, w, 3) uint8 for image ``i`` — the base synthetic field, except
+    that with ``dup_image_permille`` on, ~x/1000 of images are a light
+    perturbation of an EARLIER image's base pixels (one 16×16 block of one
+    channel shifted; same dims as the base — no recursion, like the caption
+    near-dups): a planted near-duplicate whose pHash lands within a few bits
+    of its source, giving the image-dedup operators real signal to find."""
+    if spec.dup_image_permille and i > 0:
+        r = spec.stream(np.array([i]), 53)[0]
+        if int(r % U64(1000)) < spec.dup_image_permille:
+            j = int(spec.stream(np.array([i]), 54)[0] % U64(i))
+            px = _base_pixels(spec, j).copy()
+            h, w, _ = px.shape
+            bs = 16
+            by = int(spec.stream(np.array([i]), 55)[0] % U64(max(1, h // bs))) * bs
+            bx = int(spec.stream(np.array([i]), 56)[0] % U64(max(1, w // bs))) * bs
+            ch = int(spec.stream(np.array([i]), 57)[0] % U64(3))
+            px[by : by + bs, bx : bx + bs, ch] += np.uint8(16)  # uint8 wrap —
+            # deterministic; small enough that the pHash moves ≤ a few bits
+            return px
+    return _base_pixels(spec, i)
+
+
+def _base_pixels(spec: CorpusSpec, i: int) -> np.ndarray:
     """(h, w, 3) uint8 — gradient + two seeded sinusoids per channel (cheap,
     fully deterministic, distinct pHashes across images).
 
@@ -482,9 +509,13 @@ def sitemap_urls_for_host(spec: CorpusSpec, host_id: int) -> list[str]:
 
 def corpus_path(root: str, spec: CorpusSpec) -> str:
     dims = "x".join(str(d) for d in spec.dim_choices)
+    # dup_image_permille changes STORED bytes/phash so it must key the path;
+    # suffix only when nonzero to keep existing cached corpora valid
+    # (binary_permille is fetch-time-only and correctly absent)
+    dup = f"-dup{spec.dup_image_permille}" if spec.dup_image_permille else ""
     return (
         f"{root}/corpus4-n{spec.n_images}-h{spec.n_hosts}-s{spec.seed}"
-        f"-b{spec.num_buckets}-d{dims}-nd{spec.neardup_permille}"
+        f"-b{spec.num_buckets}-d{dims}-nd{spec.neardup_permille}{dup}"
     )
 
 

@@ -32,11 +32,14 @@ GOLDEN = {
     # oracle; these pins additionally freeze the exact driver-visible VALUES)
     "crawl_pages": (3, "b518356c70e8d3e625a3ebc89b14e653"),
     "crawl_order": (100, "d053f5f886d8a7d94d37e5d168d15424"),
-    "crawl_frontier_metrics": (4, "d83b44dda94aaf9b98cd3653e9b6ed53"),
+    "crawl_frontier_metrics": (4, "3a75db9b90e6141deacdba61dd6f6358"),
     "crawl_link_stats": (1, "e83ddaa99af92ffe4100f41c433447d0"),
     "crawl_images_verify": (2, "cf4a0419e39ea28c9151f58aa9830a34"),
     "crawl_sitemap_stats": (1, "619f9eb4b85d0e1bb001105132ad6634"),
     "image_verify": (2, "00c87b6b75fab4c968b1a72a8f3dc7c8"),
+    # image-modality near-dup pairs (pHash banded LSH; brute-force-equality
+    # gated in test_wave13)
+    "image_phash_neardup": (32, "1b30753d1bce135b1f570a4adf16b619"),
     "image_thumbnails": (2, "863a5a5e1bfd809635feb97d9d066731"),
     "crawl_audit": (9, "29b98f6a71a39653eb67f29e789b27d1"),
     # sketch estimate (deterministic seed; accuracy separately tolerance-gated
@@ -47,6 +50,9 @@ GOLDEN = {
     "price_quantile_sketch": (3, "18260dcd661c5ba201017b3cf2e26f7f"),
     # iterative spherical k-means (not SQL-expressible; hash-seeded centroids)
     "embedding_clusters": (16, "bae562247cd9f086c9d4dfe91a0c216b"),
+    # SemDeDup within-cluster semantic dedup (k-means-based; full numpy
+    # recompute in test_wave13)
+    "semantic_dedup": (16, "47801c827b8672547d0a8bd6d3412e4a"),
     # iterative PageRank (not SQL-expressible; independently recomputed from
     # the per-page link oracle in test_wave3)
     "host_pagerank": (10, "1388bd87863ab5a6dc275eb14056e433"),
