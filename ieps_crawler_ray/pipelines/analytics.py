@@ -54,6 +54,18 @@ def _partial(batch: pa.Table, keys: list[str], aggs: list[tuple]) -> pa.Table:
     return batch.group_by(keys).aggregate(aggs)
 
 
+def _coalesce_partials(parts):
+    """Coalesce a tiny partials stream (n_batches × n_keys rows, a handful of
+    distinct keys) into ONE block before the final ``groupby``. With many
+    input blocks and few keys, Ray's sort-based aggregate otherwise emits
+    mostly-empty output partitions whose empty schema trips the streaming
+    executor's "RefBundle with a different schema" warning on every run.
+    One block in → one block out: no empty partitions, no schema flip, and
+    the final reduce over ≤ a few hundred partial rows is single-task anyway.
+    Only for small-key aggregates — never call on row-scale datasets."""
+    return parts.repartition(1)
+
+
 # ------------------------------------------------- A1: global counts ---------
 
 
@@ -321,7 +333,7 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
         )
 
     out = (
-        ds.map_batches(prep, batch_format="pyarrow")
+        _coalesce_partials(ds.map_batches(prep, batch_format="pyarrow"))
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("l_quantity_sum", alias_name="q"),
@@ -366,7 +378,8 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
     out = (
-        parts.groupby("n_name")
+        _coalesce_partials(parts)
+        .groupby("n_name")
         .aggregate(Sum("o_totalprice_sum", alias_name="t"), Sum("count_all", alias_name="n_orders"))
         .to_pandas()
     )
@@ -739,7 +752,7 @@ def q_token_stats_by_lang(sf_dir: str) -> pd.DataFrame:
         return _partial(t, ["lang"], [("n_tok", "sum"), ([], "count_all")])
 
     out = (
-        ds.map_batches(f, batch_format="pyarrow")
+        _coalesce_partials(ds.map_batches(f, batch_format="pyarrow"))
         .groupby("lang")
         .aggregate(Sum("n_tok_sum", alias_name="total_tokens"), Sum("count_all", alias_name="nd"))
         .to_pandas()
@@ -783,7 +796,7 @@ def q_lang_id_docs(sf_dir: str) -> pd.DataFrame:
         return _partial(t, ["lang_pred"], [([], "count_all")])
 
     out = (
-        ds.map_batches(f, batch_format="pyarrow")
+        _coalesce_partials(ds.map_batches(f, batch_format="pyarrow"))
         .groupby("lang_pred")
         .aggregate(Sum("count_all", alias_name="n"))
         .to_pandas()
