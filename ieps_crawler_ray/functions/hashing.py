@@ -252,3 +252,63 @@ def phash_band_keys(phashes: np.ndarray, bands: int = 4) -> np.ndarray:
         chunk = (ph >> (U64(b) * width)) & mask
         keys[:, b] = mix2(chunk, np.full(len(ph), U64(b + 101)))
     return keys
+
+
+# Karp-Rabin rolling-hash parameters for content-defined chunking. ``_CDC_P``
+# is odd → invertible mod 2**64, so the window hash factors through prefix
+# sums (see cdc_boundaries) and the whole scan vectorizes.
+_CDC_P = U64(0x100000001B3)  # FNV prime (public constant), odd
+_CDC_Q = U64(pow(0x100000001B3, -1, 1 << 64))  # modular inverse of _CDC_P
+
+
+def cdc_chunks(data: np.ndarray, window: int = 16, divisor: int = 64):
+    """Content-defined chunking (Rabin-style CDC, the public baseline behind
+    LBFS/FastCDC) over a byte array, fully vectorized. Returns
+    ``(cuts, hashes)``: the sorted END indices (exclusive) of each chunk —
+    always including ``len(data)`` as the final boundary — and one 64-bit
+    content hash per chunk.
+
+    A boundary falls AFTER position i (i ≥ window-1) whenever the Karp-Rabin
+    hash of the trailing ``window`` bytes ≡ 0 (mod ``divisor``). The window
+    hash h(i) = Σ_k b[i-k]·p^k is computed for every i at once via the
+    invertible-multiplier trick: with S[i] = Σ_{j≤i} b[j]·q^j (q = p⁻¹ mod
+    2⁶⁴, natural uint64 wraparound as the modulus), h(i) = p^i·(S[i]−S[i−w]).
+    splitmix64 finalizes so the low bits used by the mod-divisor test are
+    well mixed. The per-chunk hash reuses the same prefix sums: the hash of
+    bytes [a, b) is p^(b−1)·(S[b−1]−S[a−1]) = Σ_j b[j]·p^(b−1−j) — a pure
+    function of the chunk CONTENT (offset-independent), finalized with
+    splitmix64 and xored with the chunk length so short chunks don't alias.
+    """
+    b = np.asarray(data, dtype=np.uint64)
+    n = len(b)
+    if n == 0:
+        return np.array([0], dtype=np.int64), np.zeros(1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        qpow = np.empty(n, dtype=np.uint64)
+        qpow[0] = U64(1)
+        if n > 1:
+            np.cumprod(np.full(n - 1, _CDC_Q, dtype=np.uint64), out=qpow[1:])
+        ppow = np.empty(n, dtype=np.uint64)
+        ppow[0] = U64(1)
+        if n > 1:
+            np.cumprod(np.full(n - 1, _CDC_P, dtype=np.uint64), out=ppow[1:])
+        s = np.cumsum(b * qpow, dtype=np.uint64)
+        if n >= window:
+            h = ppow[window - 1 :] * (
+                s[window - 1 :] - np.concatenate(([U64(0)], s[: n - window]))
+            )
+            cut = np.nonzero(splitmix64(h) % U64(divisor) == U64(0))[0] + np.int64(window)
+        else:
+            cut = np.empty(0, dtype=np.int64)
+        if len(cut) == 0 or cut[-1] != n:
+            cut = np.concatenate([cut, [n]]).astype(np.int64)
+        s0 = np.concatenate(([U64(0)], s))  # s0[i] = S[i-1]
+        starts = np.concatenate(([0], cut[:-1]))
+        chash = ppow[cut - 1] * (s0[cut] - s0[starts])
+    lens = (cut - starts).astype(np.uint64)
+    return cut, splitmix64(chash) ^ splitmix64(lens)
+
+
+def cdc_boundaries(data: np.ndarray, window: int = 16, divisor: int = 64) -> np.ndarray:
+    """Chunk END indices only — see cdc_chunks."""
+    return cdc_chunks(data, window, divisor)[0]

@@ -4437,33 +4437,26 @@ def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_triangles": [int(counts["sum(n_tri)"])]})
 
 
-def q_doc_lm_scores(sf_dir: str) -> pd.DataFrame:
-    """KenLM-style language-model quality filter: score every document by
-    the average log-probability of its character trigrams under an add-1
-    smoothed trigram model TRAINED ON THE CORPUS ITSELF (two streaming
-    scans), returning the 20 most in-distribution docs. Scan 1 folds each
-    batch into (trigram-code, count) partials — codes pack the [a-z ]
-    alphabet as base-32 ints, so counting is a bincount, not string ops;
-    the merged model (≤ 32³ rows) plus its context marginals broadcast in
-    the task closure as one dense float array. Scan 2 scores each doc with
-    two vectorized gathers. p(c₃|c₁c₂) = (n₃+1)/(n₂+27): 27 = |alphabet|,
-    kept in lockstep with the SQL oracle."""
+def _tri_codes(text: str) -> np.ndarray:
+    """Pack a [a-z ] string's character trigrams as base-32 int codes."""
+    b = np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(np.int64)
+    c = np.where(b == 32, 0, b - 96)  # ' '→0, 'a'-'z'→1..26
+    if ((c < 0) | (c > 26)).any():
+        raise ValueError("trigram LM expects the [a-z ] corpus alphabet")
+    if len(c) < 3:
+        return np.empty(0, dtype=np.int64)
+    return c[:-2] * 1024 + c[1:-1] * 32 + c[2:]
+
+
+def _tri_model(ds) -> np.ndarray:
+    """Train the add-1-smoothed char-trigram LM over a documents Dataset in
+    ONE streaming scan: each batch folds to (trigram-code, count) partials,
+    the merged model is a dense ≤32³ float array of log p(c₃|c₁c₂) =
+    ln((n₃+1)/(n₂+27)) that broadcasts in task closures."""
     from ray.data.aggregate import Sum
 
-    V = 27.0
-    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def _codes(text: str) -> np.ndarray:
-        b = np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(np.int64)
-        c = np.where(b == 32, 0, b - 96)  # ' '→0, 'a'-'z'→1..26
-        if ((c < 0) | (c > 26)).any():
-            raise ValueError("doc_lm_scores expects the [a-z ] corpus alphabet")
-        if len(c) < 3:
-            return np.empty(0, dtype=np.int64)
-        return c[:-2] * 1024 + c[1:-1] * 32 + c[2:]
-
     def count3(b: pa.Table) -> pa.Table:
-        all_codes = [_codes(t) for t in b["text"].to_pylist()]
+        all_codes = [_tri_codes(t) for t in b["text"].to_pylist()]
         flat = np.concatenate(all_codes) if all_codes else np.empty(0, np.int64)
         uk, cnt = np.unique(flat, return_counts=True)
         return pa.table({"g": pa.array(uk), "n3": pa.array(cnt.astype(np.int64))})
@@ -4477,7 +4470,23 @@ def q_doc_lm_scores(sf_dir: str) -> pd.DataFrame:
     n3 = np.zeros(32**3, dtype=np.float64)
     n3[model["g"].to_numpy()] = model["n3"].to_numpy()
     n2 = n3.reshape(32 * 32, 32).sum(axis=1)  # context marginals
-    logp = np.log((n3 + 1.0) / (np.repeat(n2, 32) + V))
+    return np.log((n3 + 1.0) / (np.repeat(n2, 32) + 27.0))
+
+
+def q_doc_lm_scores(sf_dir: str) -> pd.DataFrame:
+    """KenLM-style language-model quality filter: score every document by
+    the average log-probability of its character trigrams under an add-1
+    smoothed trigram model TRAINED ON THE CORPUS ITSELF (two streaming
+    scans), returning the 20 most in-distribution docs. Scan 1 folds each
+    batch into (trigram-code, count) partials — codes pack the [a-z ]
+    alphabet as base-32 ints, so counting is a bincount, not string ops;
+    the merged model (≤ 32³ rows) plus its context marginals broadcast in
+    the task closure as one dense float array. Scan 2 scores each doc with
+    two vectorized gathers. p(c₃|c₁c₂) = (n₃+1)/(n₂+27): 27 = |alphabet|,
+    kept in lockstep with the SQL oracle."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    logp = _tri_model(ds)
+    _codes = _tri_codes
 
     def score(b: pa.Table, _lp=logp) -> pa.Table:
         ids, lps = [], []
@@ -7336,3 +7345,278 @@ def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["semantic_dedup"] = q_semantic_dedup
+
+
+# ------------- wave 14: BM25 retrieval / CCNet buckets / CDC chunk dedup ----
+
+
+def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 ranked retrieval (Robertson-Spärck Jones, public; k1=1.2,
+    b=0.75) of the 10 best documents for a fixed 4-term query — the lexical
+    half of the pa2 hybrid search (Vector_db_querier.py:100-124 uses
+    Postgres ts_rank_cd; BM25 is its standard public counterpart). Two
+    streaming scans: scan 1 folds each batch to ≤6 partial rows (doc count,
+    Σ doc-length, per-term document frequency) via polars list kernels —
+    the groupby shuffle moves those partials only; the merged 6-number
+    stats broadcast in the scan-2 closure, which scores every doc
+    vectorized (list.count_matches, no row loop) and emits a per-batch
+    partial top-10, merged result-sized on the driver. Scores round to 6
+    before ranking on BOTH sides so near-tie order is stable vs DuckDB."""
+    TERMS = ("dup", "hash", "merge", "scan")
+    K1, B = 1.2, 0.75
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_f(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        w = pl.from_arrow(b["text"]).str.split(" ")
+        keys = ["\x00n", "\x00dl"] + list(TERMS)
+        vals = [len(w), int(w.list.len().cast(pl.Int64).sum())] + [
+            int(w.list.contains(t).cast(pl.Int64).sum()) for t in TERMS
+        ]
+        return pa.table(
+            {"k": pa.array(keys, pa.string()), "v": pa.array(vals, pa.int64())}
+        )
+
+    st = (
+        _coalesce_partials(ds.map_batches(stats_f, batch_format="pyarrow"))
+        .groupby("k")
+        .aggregate(Sum("v", alias_name="v"))
+        .to_pandas()
+        .set_index("k")["v"]
+    )
+    n, avgdl = float(st["\x00n"]), float(st["\x00dl"]) / float(st["\x00n"])
+    dfs = {t: float(st.get(t, 0)) for t in TERMS}
+
+    def score_f(b: pa.Table, _n=n, _avgdl=avgdl, _dfs=dfs) -> pa.Table:
+        import polars as pl
+
+        w = pl.from_arrow(b["text"]).str.split(" ")
+        dl = w.list.len().cast(pl.Float64).to_numpy()
+        s = np.zeros(len(dl), dtype=np.float64)
+        for t in TERMS:
+            if _dfs[t] == 0:
+                continue
+            tf = w.list.count_matches(t).cast(pl.Float64).to_numpy()
+            idf = np.log(1.0 + (_n - _dfs[t] + 0.5) / (_dfs[t] + 0.5))
+            s += idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / _avgdl))
+        keep = s > 0.0
+        part = pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy()[keep], "score": np.round(s[keep], 6)}
+        ).sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    out = (
+        ds.map_batches(score_f, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return out[["doc_id", "score"]].astype({"doc_id": "int64"})
+
+
+QUERIES["bm25_topk"] = q_bm25_topk
+ORACLE_SQL["bm25_topk"] = (
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),"
+    " dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM w GROUP BY 1),"
+    " st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl),"
+    " tf AS (SELECT doc_id, tok, COUNT(*)::DOUBLE AS tf FROM w"
+    "   WHERE tok IN ('dup', 'hash', 'merge', 'scan') GROUP BY 1, 2),"
+    " df AS (SELECT tok, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),"
+    " sc AS (SELECT tf.doc_id,"
+    "   SUM(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2"
+    "       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS s"
+    "  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1)"
+    " SELECT doc_id, ROUND(s, 6) AS score FROM sc"
+    " ORDER BY score DESC, doc_id LIMIT 10"
+)
+
+
+def q_perplexity_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public): score
+    every document under the corpus-trained char-trigram LM (_tri_model —
+    the same model as q_doc_lm_scores), then split the corpus into
+    head/middle/tail TERCILES by exact global rank (lp DESC, doc_id ASC —
+    head = most in-distribution) and report per-(bucket, lang) counts and
+    mean log-prob. Exact NTILE at scale WITHOUT a global sort: the text is
+    scanned exactly twice (model, scores); per-doc scores materialize as a
+    ~16-byte/doc 3-column table, and the two tercile cut points come from
+    `_histogram_select` rank selection over that table (O(log N) streaming
+    histogram rounds), with the doc_id tiebreak resolved by pulling only
+    the cut-VALUE tie group (data-bounded: lp is rounded to 6, ties are
+    rare). Bucketing is then a broadcast 2-float compare; the final agg is
+    k-row partials. Oracle: the trigram CTE chain + ROW_NUMBER NTILE."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    logp = _tri_model(ds)
+
+    def score(b: pa.Table, _lp=logp) -> pa.Table:
+        ids, langs, lps = [], [], []
+        for d, lg, t in zip(
+            b["doc_id"].to_numpy(), b["lang"].to_pylist(), b["text"].to_pylist()
+        ):
+            codes = _tri_codes(t)
+            if len(codes):
+                ids.append(int(d))
+                langs.append(lg)
+                lps.append(round(float(_lp[codes].mean()), 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "lp": pa.array(lps, pa.float64()),
+            }
+        )
+
+    lp_ds = ds.map_batches(score, batch_format="pyarrow").materialize()
+    agg = lp_ds.aggregate(Count(), Min("lp"), Max("lp"))
+    n, lo, hi = int(agg["count()"]), float(agg["min(lp)"]), float(agg["max(lp)"])
+
+    def cut_at(k: int):
+        """(lp value, doc_id) of the k-th doc (1-based) in (lp DESC, doc_id
+        ASC) order — the last doc still inside the bucket boundary."""
+        if k <= 0:
+            return float("inf"), -1
+        v = _histogram_select(lp_ds, "lp", n - k, lo, hi)  # k-th largest
+
+        def tie_f(b: pa.Table, _v=v) -> pa.Table:
+            lp = b["lp"].to_numpy()
+            ids = b["doc_id"].to_numpy()[lp == _v]
+            kind = np.concatenate([np.zeros(1, np.int64), np.ones(len(ids), np.int64)])
+            val = np.concatenate([[int((lp > _v).sum())], ids])
+            return pa.table({"kind": pa.array(kind), "val": pa.array(val)})
+
+        rows = lp_ds.map_batches(tie_f, batch_format="pyarrow").take_all()
+        c_gt = sum(r["val"] for r in rows if r["kind"] == 0)
+        ties = sorted(r["val"] for r in rows if r["kind"] == 1)
+        return v, int(ties[k - c_gt - 1])
+
+    v1, d1 = cut_at(n // 3)
+    v2, d2 = cut_at((2 * n) // 3)
+
+    def bucketize(b: pa.Table, _v1=v1, _d1=d1, _v2=v2, _d2=d2) -> pa.Table:
+        lp = b["lp"].to_numpy()
+        ids = b["doc_id"].to_numpy()
+        head = (lp > _v1) | ((lp == _v1) & (ids <= _d1))
+        mid = ~head & ((lp > _v2) | ((lp == _v2) & (ids <= _d2)))
+        bucket = np.where(head, "head", np.where(mid, "middle", "tail"))
+        t = pa.table(
+            {"bucket": pa.array(bucket, pa.string()), "lang": b["lang"], "lp": b["lp"]}
+        )
+        return _partial(t, ["bucket", "lang"], [("lp", "sum"), ([], "count_all")])
+
+    out = (
+        _coalesce_partials(lp_ds.map_batches(bucketize, batch_format="pyarrow"))
+        .groupby(["bucket", "lang"])
+        .aggregate(Sum("lp_sum", alias_name="s"), Sum("count_all", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values(["bucket", "lang"])
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["avg_lp"] = (out["s"] / out["n_docs"]).round(6)
+    return out[["bucket", "lang", "n_docs", "avg_lp"]]
+
+
+QUERIES["perplexity_buckets"] = q_perplexity_buckets
+ORACLE_SQL["perplexity_buckets"] = (
+    "WITH tg AS (SELECT doc_id, substring(text, i, 3) AS g FROM documents,"
+    "  unnest(generate_series(1, length(text) - 2)) AS u(i)),"
+    " cnt3 AS (SELECT g, COUNT(*) AS n3 FROM tg GROUP BY g),"
+    " cnt2 AS (SELECT substring(g, 1, 2) AS g2, SUM(n3) AS n2 FROM cnt3 GROUP BY 1),"
+    " scored AS (SELECT t.doc_id, ROUND(AVG(ln((c3.n3 + 1.0) / (c2.n2 + 27.0))), 6) AS lp"
+    "  FROM tg t JOIN cnt3 c3 ON t.g = c3.g"
+    "  JOIN cnt2 c2 ON substring(t.g, 1, 2) = c2.g2 GROUP BY t.doc_id),"
+    " rk AS (SELECT s.doc_id, d.lang, s.lp,"
+    "   ROW_NUMBER() OVER (ORDER BY s.lp DESC, s.doc_id) AS rn,"
+    "   COUNT(*) OVER () AS n"
+    "  FROM scored s JOIN documents d USING (doc_id))"
+    " SELECT CASE WHEN rn <= n // 3 THEN 'head'"
+    "   WHEN rn <= (2 * n) // 3 THEN 'middle' ELSE 'tail' END AS bucket,"
+    "  lang, COUNT(*)::BIGINT AS n_docs, ROUND(AVG(lp), 6) AS avg_lp"
+    " FROM rk GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+def q_cdc_chunk_stats(sf_dir: str) -> pd.DataFrame:
+    """Content-defined-chunking dedup statistics (Rabin CDC — the public
+    LBFS/FastCDC baseline): split every document at rolling-hash boundaries
+    (hashing.cdc_chunks: 16-byte Karp-Rabin window, divisor 64 → ~60-byte
+    expected chunks) and report, per lang, total chunks, DISTINCT chunks,
+    the chunk-granularity dup ratio and mean chunk length — the storage/
+    training-dedup measurement at sub-document granularity. Scale: chunk
+    boundaries AND per-chunk content hashes both come vectorized from one
+    prefix-sum pass per doc (no per-byte or per-chunk python; chunk text is
+    never materialized); each batch folds to distinct-(lang, chunk-hash)
+    partials, so the ONE hash-keyed groupby shuffle moves ≤ one row per
+    distinct chunk per batch; per-lang totals then fold from that
+    distinct-chunk-sized table via k-row partials. Golden-pinned (rolling
+    hashes aren't SQL-expressible); the kernel is recompute-tested in
+    tests/test_wave14.py."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["lang", "text"])
+
+    def chunk_f(b: pa.Table) -> pa.Table:
+        langs, hs, lens = [], [], []
+        for lg, t in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            raw = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            cuts, ch = hashing.cdc_chunks(raw)
+            starts = np.concatenate(([0], cuts[:-1]))
+            langs.extend([lg] * len(cuts))
+            hs.append(ch)
+            lens.append(cuts - starts)
+        t_ = pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "h": pa.array(
+                    np.concatenate(hs).view(np.int64)
+                    if hs
+                    else np.empty(0, np.int64)
+                ),
+                "len": pa.array(
+                    np.concatenate(lens).astype(np.int64)
+                    if lens
+                    else np.empty(0, np.int64)
+                ),
+                "one": pa.array(
+                    np.ones(len(langs), np.int64), pa.int64()
+                ),
+            }
+        )
+        return _partial(t_, ["lang", "h"], [("len", "sum"), ("one", "sum")])
+
+    per_hash = (
+        ds.map_batches(chunk_f, batch_format="pyarrow")
+        .groupby(["lang", "h"])
+        .aggregate(Sum("len_sum", alias_name="lsum"), Sum("one_sum", alias_name="n"))
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        return _partial(
+            b, ["lang"], [("n", "sum"), ("lsum", "sum"), ([], "count_all")]
+        )
+
+    out = (
+        _coalesce_partials(per_hash.map_batches(fold, batch_format="pyarrow"))
+        .groupby("lang")
+        .aggregate(
+            Sum("n_sum", alias_name="n_chunks"),
+            Sum("lsum_sum", alias_name="total_len"),
+            Sum("count_all", alias_name="n_distinct"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out = out.astype({"n_chunks": "int64", "n_distinct": "int64"})
+    out["dup_ratio"] = (1.0 - out["n_distinct"] / out["n_chunks"]).round(6)
+    out["avg_len"] = (out["total_len"] / out["n_chunks"]).round(4)
+    return out[["lang", "n_chunks", "n_distinct", "dup_ratio", "avg_len"]]
+
+
+QUERIES["cdc_chunk_stats"] = q_cdc_chunk_stats

@@ -53,6 +53,9 @@ GOLDEN = {
     # SemDeDup within-cluster semantic dedup (k-means-based; full numpy
     # recompute in test_wave13)
     "semantic_dedup": (16, "47801c827b8672547d0a8bd6d3412e4a"),
+    # Rabin-CDC chunk dedup stats (rolling hash not SQL-expressible; kernel
+    # recompute-tested in test_wave14)
+    "cdc_chunk_stats": (5, "6e0d332bb9b9682151e4539822eb584f"),
     # iterative PageRank (not SQL-expressible; independently recomputed from
     # the per-page link oracle in test_wave3)
     "host_pagerank": (10, "1388bd87863ab5a6dc275eb14056e433"),
