@@ -720,9 +720,54 @@ def q_image_phash_neardup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_image_phash_clusters(sf_dir: str) -> pd.DataFrame:
+    """Image near-duplicate CLUSTERS: connected components over the verified
+    pHash hamming≤3 pair graph (q_image_phash_neardup — banded LSH, never
+    all-pairs), each non-singleton component labeled with its min image id
+    — the keep-one-per-cluster unit an image-dedup pass drops against
+    (SemDeDup/CC-pipeline analogue for the image modality; reference
+    analogue: the MinHash duplicate handling of oldstufffrompa1/
+    crawler.py:366-410 applied to images). Output is per-CLUSTER (cluster
+    id, member count, max in-cluster pair hamming) — result-sized, so no
+    full image-id column ships to the driver; the component resolution is
+    driver union-find over the dup-rate-bounded EDGE set (≪ corpus), the
+    same scale shape as q_dedup_clusters with q_dedup_clusters_labelprop
+    as the named growth path when edges outgrow one node. Golden-pinned;
+    brute-force recompute in tests/test_wave14.py."""
+    edges = q_image_phash_neardup(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["id_a"], edges["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    rows: dict[int, list] = {}
+    for (a, b, h) in zip(edges["id_a"], edges["id_b"], edges["hamming"]):
+        r = find(int(a))
+        e = rows.setdefault(r, [set(), 0])
+        e[0].update((int(a), int(b)))
+        e[1] = max(e[1], int(h))
+    out = pd.DataFrame(
+        {
+            "cluster_id": sorted(rows),
+            "n_images": [len(rows[r][0]) for r in sorted(rows)],
+            "max_hamming": [rows[r][1] for r in sorted(rows)],
+        }
+    )
+    return out.astype({"cluster_id": "int64", "n_images": "int64", "max_hamming": "int64"})
+
+
 QUERIES = {
     "image_verify": q_image_verify,
     "image_phash_neardup": q_image_phash_neardup,
+    "image_phash_clusters": q_image_phash_clusters,
     "host_pagerank": q_host_pagerank,
     "image_thumbnails": q_image_thumbnails,
     "crawl_audit": q_crawl_audit,

@@ -40,6 +40,9 @@ GOLDEN = {
     # image-modality near-dup pairs (pHash banded LSH; brute-force-equality
     # gated in test_wave13)
     "image_phash_neardup": (32, "1b30753d1bce135b1f570a4adf16b619"),
+    # connected components over those pairs (driver union-find on the
+    # dup-rate-bounded edge set; brute-force recompute in test_wave14)
+    "image_phash_clusters": (31, "ca1441b72e197aca5ba9efdbbe532506"),
     "image_thumbnails": (2, "863a5a5e1bfd809635feb97d9d066731"),
     "crawl_audit": (9, "29b98f6a71a39653eb67f29e789b27d1"),
     # sketch estimate (deterministic seed; accuracy separately tolerance-gated

@@ -142,3 +142,50 @@ def test_perplexity_buckets_exact_ntile_sizes(ray_session):
         include_groups=False,
     )
     assert m["head"] > m["middle"] > m["tail"]
+
+
+# ------------------------------------------- image pHash cluster recompute ----
+
+
+def test_image_phash_clusters_matches_bruteforce_components(ray_session):
+    """Re-derive the cluster table from the (brute-force-gated) pair list
+    with an independent adjacency-set BFS — no shared union-find code."""
+    from ieps_crawler_ray.pipelines.crawl_pipeline import (
+        q_image_phash_clusters,
+        q_image_phash_neardup,
+    )
+
+    got = q_image_phash_clusters(SF)
+    edges = q_image_phash_neardup(SF)
+    adj: dict[int, set] = {}
+    ham: dict[tuple, int] = {}
+    for a, b, h in zip(edges["id_a"], edges["id_b"], edges["hamming"]):
+        a, b = int(a), int(b)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        ham[(a, b)] = int(h)
+    seen: set = set()
+    rows = []
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, todo = set(), [start]
+        while todo:
+            x = todo.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            todo.extend(adj[x] - comp)
+        seen |= comp
+        mx = max(
+            ham[(min(a, b), max(a, b))]
+            for a in comp
+            for b in adj[a]
+            if b in comp and a < b
+        )
+        rows.append((min(comp), len(comp), mx))
+    want = pd.DataFrame(
+        sorted(rows), columns=["cluster_id", "n_images", "max_hamming"]
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    assert (want["n_images"] >= 2).all() and len(want) > 0
