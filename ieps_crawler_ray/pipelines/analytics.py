@@ -7620,3 +7620,320 @@ def q_cdc_chunk_stats(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["cdc_chunk_stats"] = q_cdc_chunk_stats
+
+
+def q_repeat_orders_7d(sf_dir: str) -> pd.DataFrame:
+    """Temporal RANGE self-join (interval join): pairs of orders by the same
+    customer at most 7 days apart, COUNTED per customer and folded to the
+    (n_pairs → n_customers) histogram — the repeat-engagement shape of a
+    retention pipeline, and the one join family (range join) SURVEY §2 J*
+    lacked a dedicated entry for. Scale plan: pairs are never materialized —
+    a fixed-count custkey hash-bucket shuffle, then per bucket ONE lexsort
+    merge (rows + ts+7d probe points in one array) yields every row's
+    in-window successor count vectorized; a hot customer with R orders in a
+    burst costs O(R log R) counting, not O(R²) pair emission. Per-customer
+    sums fold via np.add.reduceat; only the ≤(distinct n_pairs)-row
+    histogram crosses the final reduce."""
+    from ray.data.aggregate import Sum
+
+    W = np.int64(7 * 86_400_000_000)  # 7 days in µs
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def add_ub(b: pa.Table) -> pa.Table:
+        ub = (
+            b["o_custkey"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)
+        ).astype(np.int32)
+        return b.append_column("ub", pa.array(ub))
+
+    def pairs_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="stable"
+        )
+        ck = g["o_custkey"].to_numpy()
+        ts = g["o_orderdate"].to_numpy().astype("datetime64[us]").view(np.int64)
+        n = len(ck)
+        if n == 0:
+            return pd.DataFrame({"n_pairs": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        # merged-rank trick: rows and their ts+W probes lexsorted together;
+        # a probe's sorted position minus the probes before it = #rows with
+        # (cust, ts) <= (cust_i, ts_i + W)  — all vectorized, no per-key loop
+        m_ck = np.concatenate([ck, ck])
+        m_ts = np.concatenate([ts, ts + W])
+        m_q = np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+        order = np.lexsort((m_q, m_ts, m_ck))  # probes AFTER equal (ck, ts) rows
+        isq = m_q[order] == 1
+        q_before = np.cumsum(isq) - 1  # among sorted, #probes at or before pos
+        sorted_pos = np.empty(2 * n, dtype=np.int64)
+        sorted_pos[order] = np.arange(2 * n)
+        probe_pos = sorted_pos[n:]  # sorted rank of probe k
+        count_le = probe_pos - q_before[probe_pos]  # rows ranked before probe k
+        new = np.concatenate(([True], ck[1:] != ck[:-1]))
+        seg_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        local = np.arange(n) - seg_start
+        succ = count_le - seg_start - local - 1  # strictly-after, in-window rows
+        per_cust = np.add.reduceat(succ, np.nonzero(new)[0])
+        per_cust = per_cust[per_cust > 0]
+        if len(per_cust) == 0:
+            return pd.DataFrame({"n_pairs": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        vals, cnts = np.unique(per_cust, return_counts=True)
+        return pd.DataFrame({"n_pairs": vals.astype(np.int64),
+                             "cnt": cnts.astype(np.int64)})
+
+    out = (
+        _coalesce_partials(
+            ds.map_batches(add_ub, batch_format="pyarrow")
+            .groupby("ub")
+            .map_groups(pairs_seg, batch_format="pandas")
+        )
+        .groupby("n_pairs")
+        .aggregate(Sum("cnt", alias_name="n_customers"))
+        .to_pandas()
+        .sort_values("n_pairs")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_pairs": "int64", "n_customers": "int64"})
+
+
+QUERIES["repeat_orders_7d"] = q_repeat_orders_7d
+ORACLE_SQL["repeat_orders_7d"] = (
+    "WITH p AS (SELECT a.o_custkey AS ck, COUNT(*) AS n_pairs"
+    " FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey"
+    "  AND (a.o_orderdate < b.o_orderdate OR"
+    "   (a.o_orderdate = b.o_orderdate AND a.o_orderkey < b.o_orderkey))"
+    "  AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY"
+    " GROUP BY 1)"
+    " SELECT n_pairs, COUNT(*)::BIGINT AS n_customers"
+    " FROM p GROUP BY 1 ORDER BY 1"
+)
+
+
+def q_lang_sources_concat(sf_dir: str) -> pd.DataFrame:
+    """Ordered-set STRING aggregation per group: string_agg(DISTINCT source
+    ORDER BY source) + distinct count per lang — the label-manifest shape
+    (which corpora feed each language bucket). Scale plan: each batch folds
+    to its distinct (lang, source) pairs via the arrow group_by combiner, so
+    the one shuffle moves ≤|langs|×|sources| partial rows per block; the
+    concat itself runs on the driver over the result-sized distinct-pair
+    table (string concatenation is inherently ordered, and the pair table
+    IS the result grain)."""
+    from ray.data.aggregate import Count
+
+    ds = _tbl(sf_dir, "documents", columns=["lang", "source"])
+    pairs = (
+        _coalesce_partials(
+            ds.map_batches(
+                lambda b: _partial(b, ["lang", "source"], [([], "count_all")]),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    pairs = pairs.sort_values(["lang", "source"])
+    out = (
+        pairs.groupby("lang", sort=True)["source"]
+        .agg(n_sources="nunique", sources=",".join)
+        .reset_index()
+    )
+    return out.astype({"n_sources": "int64"})[["lang", "n_sources", "sources"]]
+
+
+QUERIES["lang_sources_concat"] = q_lang_sources_concat
+ORACLE_SQL["lang_sources_concat"] = (
+    "SELECT lang, COUNT(DISTINCT source)::BIGINT AS n_sources,"
+    " string_agg(DISTINCT source, ',' ORDER BY source) AS sources"
+    " FROM documents GROUP BY lang ORDER BY lang"
+)
+
+
+def q_nation_spend_above_median(sf_dir: str) -> pd.DataFrame:
+    """Global-median broadcast composite: the share of each nation's
+    customers whose lifetime spend exceeds the GLOBAL median customer spend
+    — an exact PERCENT_RANK-style comparison against a global order
+    statistic without any global sort. Plan: (1) one partial-agg shuffle
+    reduces orders to the per-customer spend table (aggregate-result-sized,
+    materialized once so the selection rounds don't re-run the groupby);
+    (2) the exact median comes from :func:`_histogram_select` over that
+    table (4096-bin refinement, PERCENTILE_CONT interpolation between the
+    two middle ranks); (3) one final scan joins the broadcast
+    custkey→nation dim and folds (nation, above, total) partials. Spends
+    round to cents before the compare so distributed summation order can't
+    flip a borderline row vs the oracle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .joins import broadcast_join
+
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    spend = (
+        ds.map_batches(
+            lambda b: _partial(b, ["o_custkey"], [("o_totalprice", "sum")]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice_sum", alias_name="s_raw"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "o_custkey": b["o_custkey"],
+                    "s": pa.array(np.round(b["s_raw"].to_numpy(), 2)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n = spend.count()
+    mm = spend.aggregate(Min("s"), Max("s"))
+    lo, hi = float(mm["min(s)"]), float(mm["max(s)"])
+    if n % 2 == 1:
+        med = _histogram_select(spend, "s", n // 2, lo, hi)
+    else:
+        a = _histogram_select(spend, "s", n // 2 - 1, lo, hi)
+        b_ = _histogram_select(spend, "s", n // 2, lo, hi)
+        med = (a + b_) / 2.0
+
+    cust = _dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nk = nation.column("n_nationkey").to_numpy()
+    order = np.argsort(nk)
+    pos = np.searchsorted(nk[order], cust.column("c_nationkey").to_numpy())
+    dim = pa.table(
+        {
+            "o_custkey": cust["c_custkey"],
+            "nation": nation.column("n_name").take(pa.array(order)).take(
+                pa.array(pos, pa.int64())
+            ),
+        }
+    )
+
+    def fold(b: pa.Table, _m=med) -> pa.Table:
+        t = pa.table(
+            {
+                "nation": b["nation"],
+                "above": pa.array(
+                    (b["s"].to_numpy() > _m).astype(np.int64)
+                ),
+            }
+        )
+        return _partial(t, ["nation"], [("above", "sum"), ([], "count_all")])
+
+    out = (
+        _coalesce_partials(
+            broadcast_join(spend, dim, "o_custkey", ["nation"]).map_batches(
+                fold, batch_format="pyarrow"
+            )
+        )
+        .groupby("nation")
+        .aggregate(
+            Sum("above_sum", alias_name="n_above"),
+            Sum("count_all", alias_name="n_customers"),
+        )
+        .to_pandas()
+        .sort_values("nation")
+        .reset_index(drop=True)
+    )
+    out = out.astype({"n_above": "int64", "n_customers": "int64"})
+    out["share_above"] = (out["n_above"] / out["n_customers"]).round(6)
+    return out[["nation", "n_customers", "n_above", "share_above"]]
+
+
+QUERIES["nation_spend_above_median"] = q_nation_spend_above_median
+ORACLE_SQL["nation_spend_above_median"] = (
+    "WITH spend AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS s"
+    "  FROM orders GROUP BY o_custkey),"
+    " m AS (SELECT median(s) AS med FROM spend)"
+    " SELECT n.n_name AS nation, COUNT(*)::BIGINT AS n_customers,"
+    "  SUM(CASE WHEN s > med THEN 1 ELSE 0 END)::BIGINT AS n_above,"
+    "  ROUND(SUM(CASE WHEN s > med THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)"
+    "   AS share_above"
+    " FROM spend JOIN customer c ON o_custkey = c_custkey"
+    " JOIN nation n ON c_nationkey = n_nationkey, m"
+    " GROUP BY 1 ORDER BY 1"
+)
+
+
+def q_purchase_next_click(sf_dir: str) -> pd.DataFrame:
+    """FORWARD as-of join (the LEAD-side twin of q_purchase_asof_click):
+    each purchase matched to the same user's FIRST click strictly after it,
+    folded to per-day (purchases, matched, exact total gap µs). Scale shape:
+    fixed-count user-hash bucket shuffle, ONE lexsort per bucket (clicks
+    ordered before purchases at equal ts, so a suffix-min over click
+    positions realizes the strictly-after semantics), per-day partials out
+    — no per-user groups, gaps summed as exact int64 microseconds so the
+    oracle compare has no float-order jitter."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def fwd_seg(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        is_p = et == "purchase"
+        is_c = et == "click"
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((is_p, ts, uid))  # clicks first at equal (user, ts)
+        uid, is_p, is_c, ts = uid[order], is_p[order], is_c[order], ts[order]
+        n = len(uid)
+        cols = {
+            "day": pd.Series([], dtype="object"),
+            "p": pd.Series([], dtype="int64"),
+            "m": pd.Series([], dtype="int64"),
+            "gap": pd.Series([], dtype="int64"),
+        }
+        if n == 0 or not is_p.any():
+            return pd.DataFrame(cols)
+        idx = np.arange(n, dtype=np.int64)
+        click_pos = np.where(is_c, idx, n)
+        sm = np.minimum.accumulate(click_pos[::-1])[::-1]
+        nxt = np.concatenate([sm[1:], [n]])  # first click at a position > i
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        seg_id = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        ends = np.r_[starts[1:], n]
+        matched = is_p & (nxt < ends[seg_id])
+        p_idx = np.nonzero(is_p)[0]
+        day = np.datetime_as_string(
+            (ts[p_idx] // np.int64(86_400_000_000)).astype("datetime64[D]")
+        )
+        gap = np.where(matched[p_idx], ts[np.minimum(nxt[p_idx], n - 1)] - ts[p_idx], 0)
+        df = pd.DataFrame(
+            {"day": day, "p": 1, "m": matched[p_idx].astype(np.int64), "gap": gap}
+        )
+        out = df.groupby("day", sort=False, as_index=False).sum()
+        return out.astype({"p": "int64", "m": "int64", "gap": "int64"})
+
+    out = (
+        _coalesce_partials(
+            ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+            .groupby("ub")
+            .map_groups(fwd_seg, batch_format="pandas")
+        )
+        .groupby("day")
+        .aggregate(
+            Sum("p", alias_name="n_purchases"),
+            Sum("m", alias_name="n_matched"),
+            Sum("gap", alias_name="gap_us"),
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"n_purchases": "int64", "n_matched": "int64", "gap_us": "int64"}
+    )[["day", "n_purchases", "n_matched", "gap_us"]]
+
+
+QUERIES["purchase_next_click"] = q_purchase_next_click
+ORACLE_SQL["purchase_next_click"] = (
+    "WITH p AS (SELECT e.ts,"
+    "  (SELECT MIN(c.ts) FROM events c WHERE c.user_id = e.user_id"
+    "    AND c.event_type = 'click' AND c.ts > e.ts) AS nxt"
+    " FROM events e WHERE e.event_type = 'purchase')"
+    " SELECT strftime(ts, '%Y-%m-%d') AS day,"
+    "  COUNT(*)::BIGINT AS n_purchases, COUNT(nxt)::BIGINT AS n_matched,"
+    "  COALESCE(SUM(epoch_us(nxt) - epoch_us(ts)), 0)::BIGINT AS gap_us"
+    " FROM p GROUP BY 1 ORDER BY 1"
+)

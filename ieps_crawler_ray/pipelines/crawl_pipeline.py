@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ..functions.codecs import decode_image, encode_image, psnr
 from ..functions.hashing import phash64
@@ -764,8 +765,217 @@ def q_image_phash_clusters(sf_dir: str) -> pd.DataFrame:
     return out.astype({"cluster_id": "int64", "n_images": "int64", "max_hamming": "int64"})
 
 
+def q_image_dedup_manifest(sf_dir: str) -> pd.DataFrame:
+    """The ACTIONABLE output of image near-dedup at 100 TB: per-fmt
+    keep/drop manifest totals from the pHash cluster graph — each cluster
+    keeps its min-id member (first-wins, the reference's duplicate
+    arbitration in oldstufffrompa1/crawler.py:366-410), everything else is
+    dropped; reports images, drops and DECODED-pixel bytes reclaimed
+    (w×h×3 — the cost a training pipeline actually pays; the stored binary
+    column itself never leaves storage). Scale plan: the drop SET is
+    dup-rate-bounded (≈ dup_image_permille of the corpus), so it broadcasts
+    to one np.isin per batch of a single (image_id, fmt, w, h) corpus scan;
+    cluster resolution reuses the driver union-find over the bounded edge
+    list with labelprop as the named growth path. Golden-pinned; recompute
+    test in tests/test_wave15.py."""
+    edges = q_image_phash_neardup(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["id_a"], edges["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    members: dict[int, set] = {}
+    for a in set(edges["id_a"]) | set(edges["id_b"]):
+        members.setdefault(find(int(a)), set()).add(int(a))
+    drop = np.array(
+        sorted(m for r, ms in members.items() for m in ms if m != min(ms)),
+        dtype=np.int64,
+    )
+
+    spec = _spec_for_sf(sf_dir)
+    spec = C.CorpusSpec(**{**spec.__dict__, "dup_image_permille": 50})
+    ds = lt.read_dataset(_corpus(spec), columns=["image_id", "fmt", "w", "h"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        ids = np.array([int(s[3:]) for s in b["image_id"].to_pylist()], np.int64)
+        dropped = np.isin(ids, drop)
+        px = (
+            b["w"].to_numpy().astype(np.int64)
+            * b["h"].to_numpy().astype(np.int64)
+            * 3
+        )
+        t = pa.table(
+            {
+                "fmt": b["fmt"],
+                "one": pa.array(np.ones(len(ids), np.int64)),
+                "dropped": pa.array(dropped.astype(np.int64)),
+                "px_saved": pa.array(np.where(dropped, px, 0)),
+            }
+        )
+        return t.group_by(["fmt"]).aggregate(
+            [("one", "sum"), ("dropped", "sum"), ("px_saved", "sum")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            Sum("one_sum", alias_name="n_images"),
+            Sum("dropped_sum", alias_name="n_dropped"),
+            Sum("px_saved_sum", alias_name="px_bytes_saved"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"n_images": "int64", "n_dropped": "int64", "px_bytes_saved": "int64"}
+    )[["fmt", "n_images", "n_dropped", "px_bytes_saved"]]
+
+
+def q_caption_image_consistency(sf_dir: str) -> pd.DataFrame:
+    """Cross-modal consistency mining: caption near-duplicate PAIRS
+    (word-set MinHash-LSH, exact Jaccard ≥ 0.8 verify) annotated with the
+    pHash hamming distance of their IMAGES — the contrastive-pair /
+    label-noise miner of an image+caption curation pipeline ("same text,
+    different picture" pairs are either augmentation gold or alignment
+    noise; reference analogue: the caption MinHash semantics of
+    Estrella.py:580-603 applied to the Lance image table). The corpus
+    plants ~2% one-word-edit captions (corpus.py caption_of_index), so the
+    miner has real signal. Scale plan: banded LSH (50×4) bounds candidates,
+    a fixed-count pair-hash bucket dedups cross-band repeats; the deduped
+    candidate list is dup-rate-bounded (≈2% of the corpus), so it collects
+    driver-side (same bound as the union-find edge lists) and ONE extra
+    corpus scan with a broadcast sorted-id membership test ships back only
+    the ≤2·|pairs| touched (caption, phash) rows for a vectorized verify —
+    never all-pairs, never a corpus broadcast, and the binary payload
+    column never leaves storage. If dup rate ever outgrows the driver, the
+    hash-join-per-side shape used by q_docs_jaccard_pairs is the drop-in
+    growth path. Golden-pinned; brute-force-equality pytest in
+    tests/test_wave15.py."""
+    from ..functions.hashing import MinHasher, hamming64
+
+    spec = _spec_for_sf(sf_dir)
+    path = _corpus(spec)
+    ds = lt.read_dataset(path, columns=["image_id", "caption", "phash"])
+    mh = MinHasher(num_perms=200, seed=7_042)
+    THETA = 0.8
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        ids = np.array([int(s[3:]) for s in b["image_id"].to_pylist()], dtype=np.int64)
+        toks = [sorted(set(c.split())) for c in b["caption"].to_pylist()]
+        keys = mh.band_keys(mh.signatures(toks), bands=50)
+        n, nb = keys.shape
+        return pa.table(
+            {
+                "band_key": pa.array(keys.reshape(-1), pa.uint64()),
+                "img": pa.array(np.repeat(ids, nb), pa.int64()),
+            }
+        )
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["img"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+            )
+        ia, ib = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    N_PB = 64
+
+    def add_pb(b: pa.Table) -> pa.Table:
+        key = b["id_a"].to_numpy().astype(np.uint64) * np.uint64(1_000_003) + b[
+            "id_b"
+        ].to_numpy().astype(np.uint64)
+        return b.append_column("pb", pa.array((key % np.uint64(N_PB)).astype(np.int32)))
+
+    cand = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
+            batch_format="pandas",
+        )
+    )
+
+    pairs = cand.to_pandas()  # dup-rate-bounded (≈2% of corpus)
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+            "phash_hamming": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(pairs) == 0:
+        return empty
+    need = np.unique(
+        np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()])
+    )  # sorted — one searchsorted membership test per batch
+    need_ref = ray.put(need)
+
+    def pick(b: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        ids = np.array([int(s[3:]) for s in b["image_id"].to_pylist()], np.int64)
+        pos = np.searchsorted(want, ids)
+        hit = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)] == ids)
+        return pa.table(
+            {
+                "iid": pa.array(ids[hit]),
+                "caption": b["caption"].filter(pa.array(hit)),
+                "phash": b["phash"].filter(pa.array(hit)),
+            }
+        )
+
+    side = (
+        lt.read_dataset(path, columns=["image_id", "caption", "phash"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("iid")
+    )  # ≤ 2·|pairs| rows
+    cap = side["caption"]
+    ph = side["phash"].to_numpy().view(np.uint64)
+    a_pos = side.index.get_indexer(pairs["id_a"].to_numpy())
+    b_pos = side.index.get_indexer(pairs["id_b"].to_numpy())
+    jac = np.array(
+        [
+            len(sa := set(cap.iloc[i].split())) and len(sb := set(cap.iloc[j].split()))
+            and len(sa & sb) / len(sa | sb)
+            for i, j in zip(a_pos, b_pos)
+        ],
+        dtype=np.float64,
+    )
+    ham = hamming64(ph[a_pos], ph[b_pos]).astype(np.int64)
+    keep = jac >= THETA
+    out = pd.DataFrame(
+        {
+            "id_a": pairs["id_a"].to_numpy()[keep],
+            "id_b": pairs["id_b"].to_numpy()[keep],
+            "jaccard": np.round(jac[keep], 4),
+            "phash_hamming": ham[keep],
+        }
+    )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 QUERIES = {
     "image_verify": q_image_verify,
+    "caption_image_consistency": q_caption_image_consistency,
+    "image_dedup_manifest": q_image_dedup_manifest,
     "image_phash_neardup": q_image_phash_neardup,
     "image_phash_clusters": q_image_phash_clusters,
     "host_pagerank": q_host_pagerank,

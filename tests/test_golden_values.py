@@ -43,6 +43,12 @@ GOLDEN = {
     # connected components over those pairs (driver union-find on the
     # dup-rate-bounded edge set; brute-force recompute in test_wave14)
     "image_phash_clusters": (31, "ca1441b72e197aca5ba9efdbbe532506"),
+    # caption near-dup pairs annotated with image pHash hamming (cross-modal
+    # consistency miner; brute-force-equality gated in test_wave15)
+    "caption_image_consistency": (14, "c614af407e7955318044d35955fddfb7"),
+    # first-wins keep/drop manifest from the pHash cluster graph (BFS
+    # recompute in test_wave15)
+    "image_dedup_manifest": (2, "a556484136d51016e3e5af2f85f4fe31"),
     "image_thumbnails": (2, "863a5a5e1bfd809635feb97d9d066731"),
     "crawl_audit": (9, "29b98f6a71a39653eb67f29e789b27d1"),
     # sketch estimate (deterministic seed; accuracy separately tolerance-gated
