@@ -7937,3 +7937,513 @@ ORACLE_SQL["purchase_next_click"] = (
     "  COALESCE(SUM(epoch_us(nxt) - epoch_us(ts)), 0)::BIGINT AS gap_us"
     " FROM p GROUP BY 1 ORDER BY 1"
 )
+
+
+# =================== wave 16: sweep-line, set-similarity, moments, PQ-ANN ====
+
+
+def q_peak_concurrent_sessions(sf_dir: str) -> pd.DataFrame:
+    """Peak CONCURRENT session count across all users — the sweep-line /
+    interval-stabbing window op (§2.9 streaming family): sessionize (1 h gap,
+    same contract as q_user_sessions), turn every session [st, en] into two
+    deltas (+1 at st, −1 at en+1 µs), and take the max of the running sum.
+    Scale plan: sessions come from the `_N_UB` hash-bucket segmented scan
+    (no per-user groups); the GLOBAL running max then uses the distributed
+    two-pass prefix scan (same shape as q_token_packing): (1) deltas fold to
+    per-DAY-bucket sums, the driver cumsums the day-count-sized series into
+    exclusive bucket offsets, (2) a day-bucket-partitioned pass sorts only
+    within its bucket and emits one (bucket max) partial. No global sort, no
+    fact-scale driver state; deltas are session-count-scale."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    _DAY = np.int64(86_400_000_000)
+
+    def deltas_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap = np.concatenate(([False], (ts[1:] - ts[:-1]) > 3600 * 1_000_000))
+        starts = np.flatnonzero(new_user | gap)
+        ends = np.concatenate((starts[1:], [len(ts)])) - 1
+        d_ts = np.concatenate([ts[starts], ts[ends] + 1])
+        d_dl = np.concatenate(
+            [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+        )
+        return pd.DataFrame({"tb": d_ts // _DAY, "ts_us": d_ts, "delta": d_dl})
+
+    deltas = (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(deltas_seg, batch_format="pandas")
+        .materialize()  # session-count-scale (two deltas per session)
+    )
+    from ray.data.aggregate import Sum
+
+    bsums = (
+        _coalesce_partials(
+            deltas.map_batches(
+                lambda b: _partial(b.select(["tb", "delta"]), ["tb"], [("delta", "sum")]),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("tb")
+        .aggregate(Sum("delta_sum", alias_name="s"))
+        .to_pandas()
+        .sort_values("tb")
+    )
+    off = dict(
+        zip(
+            bsums["tb"].astype(int),
+            np.concatenate(([0], np.cumsum(bsums["s"].to_numpy())[:-1])),
+        )
+    )
+
+    def bucket_max(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts_us"].to_numpy()
+        dl = g["delta"].to_numpy()
+        # RANGE window semantics: all deltas at one instant apply together
+        order = np.argsort(ts, kind="stable")
+        ts_s, dl_s = ts[order], dl[order]
+        uts, starts = np.unique(ts_s, return_index=True)
+        per_ts = np.add.reduceat(dl_s, starts)
+        run = np.cumsum(per_ts) + off[int(g["tb"].iloc[0])]
+        return pd.DataFrame({"mx": [int(run.max())]})
+
+    parts = (
+        deltas.groupby("tb").map_groups(bucket_max, batch_format="pandas").to_pandas()
+    )
+    return pd.DataFrame({"peak_concurrent": [int(parts["mx"].max())]}).astype("int64")
+
+
+QUERIES["peak_concurrent_sessions"] = q_peak_concurrent_sessions
+ORACLE_SQL["peak_concurrent_sessions"] = (
+    "WITH o AS (SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER w IS NULL OR"
+    "   ts - LAG(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS is_start"
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " s AS (SELECT user_id, ts, SUM(is_start) OVER"
+    "   (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid"
+    "  FROM o),"
+    " b AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en FROM s GROUP BY 1, 2),"
+    " d AS (SELECT st AS ts, 1 AS delta FROM b"
+    "  UNION ALL SELECT en + INTERVAL 1 MICROSECOND, -1 FROM b),"
+    " r AS (SELECT SUM(delta) OVER (ORDER BY ts RANGE UNBOUNDED PRECEDING) AS active FROM d)"
+    " SELECT MAX(active)::BIGINT AS peak_concurrent FROM r"
+)
+
+
+def q_event_type_user_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Jaccard similarity between event types over their USER SETS — the
+    set-similarity-between-categories op (audience-overlap analysis). Scale
+    plan: with ≤ 64 types, each user's type set packs into ONE uint64
+    bitmask: per-batch bitwise-OR partials (np.bitwise_or.reduceat over the
+    user-sorted batch), `ub`-bucket shuffle, per-bucket final OR + mask
+    HISTOGRAM — so only (mask, count) rows (≤ 2^|types|, practically tiny)
+    reach the driver, which expands the pairwise intersection/union counts
+    from the histogram. No distinct-pair shuffle, no self-join."""
+    from ray.data.aggregate import Sum
+
+    ds0 = _tbl(sf_dir, "events", columns=["event_type"])
+    types = sorted(
+        _coalesce_partials(
+            ds0.map_batches(
+                lambda b: _partial(b, ["event_type"], [([], "count_all")]),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("event_type")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()["event_type"]
+        .tolist()
+    )
+    bit_of = {t: i for i, t in enumerate(types)}
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def mask_partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        bits = np.array(
+            [1 << bit_of[t] for t in b["event_type"].to_pylist()], dtype=np.uint64
+        )
+        order = np.argsort(uid, kind="stable")
+        uid_s, bits_s = uid[order], bits[order]
+        starts = np.flatnonzero(np.r_[True, uid_s[1:] != uid_s[:-1]])
+        masks = np.bitwise_or.reduceat(bits_s, starts)
+        t = pa.table(
+            {
+                "user_id": pa.array(uid_s[starts], pa.int64()),
+                "mask": pa.array(masks, pa.uint64()),
+            }
+        )
+        return _with_user_bucket(t)
+
+    def mask_hist(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        mk = g["mask"].to_numpy().astype(np.uint64)
+        order = np.argsort(uid, kind="stable")
+        uid_s, mk_s = uid[order], mk[order]
+        starts = np.flatnonzero(np.r_[True, uid_s[1:] != uid_s[:-1]])
+        final = np.bitwise_or.reduceat(mk_s, starts)
+        vals, cnts = np.unique(final, return_counts=True)
+        return pd.DataFrame({"mask": vals.astype(np.uint64), "cnt": cnts.astype(np.int64)})
+
+    hist = (
+        _coalesce_partials(
+            ds.map_batches(mask_partial, batch_format="pyarrow")
+            .groupby("ub")
+            .map_groups(mask_hist, batch_format="pandas")
+        )
+        .groupby("mask")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+    )
+    masks = hist["mask"].to_numpy().astype(np.uint64)
+    cnts = hist["n"].to_numpy().astype(np.int64)
+    rows = []
+    for i, t1 in enumerate(types):
+        ni = int(cnts[(masks >> np.uint64(i)) & np.uint64(1) == 1].sum())
+        for j in range(i + 1, len(types)):
+            nj = int(cnts[(masks >> np.uint64(j)) & np.uint64(1) == 1].sum())
+            both = ((masks >> np.uint64(i)) & (masks >> np.uint64(j))) & np.uint64(1)
+            inter = int(cnts[both == 1].sum())
+            if inter > 0:
+                rows.append(
+                    {
+                        "t1": t1,
+                        "t2": types[j],
+                        "jaccard": round(inter / (ni + nj - inter), 6),
+                    }
+                )
+    return pd.DataFrame(rows, columns=["t1", "t2", "jaccard"])
+
+
+QUERIES["event_type_user_jaccard"] = q_event_type_user_jaccard
+ORACLE_SQL["event_type_user_jaccard"] = (
+    "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),"
+    " c AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),"
+    " p AS (SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS inter"
+    "  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type"
+    "  GROUP BY 1, 2)"
+    " SELECT t1, t2, ROUND(inter / (c1.n + c2.n - inter), 6) AS jaccard"
+    " FROM p JOIN c c1 ON c1.event_type = p.t1 JOIN c c2 ON c2.event_type = p.t2"
+    " ORDER BY t1, t2"
+)
+
+
+def q_cumulative_users_by_day(sf_dir: str) -> pd.DataFrame:
+    """Cumulative DISTINCT user count by day — the growth-curve window op
+    (COUNT(DISTINCT) OVER cumulative). Scale plan: distinct-over-time
+    reduces to first-event-per-user (the `ub`-bucket segmented-min scan,
+    no per-user groups), first days fold to a day histogram inside the same
+    segment pass, and the cumsum runs driver-side over the RESULT-sized
+    day series — the fact table is never sorted globally."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+
+    def batch_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values("ts").groupby("user_id", as_index=False).head(1).copy()
+        out["ub"] = (
+            out["user_id"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)
+        ).astype(np.int32)
+        return out
+
+    def day_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        keep = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        days = g["ts"].iloc[keep].dt.strftime("%Y-%m-%d")
+        vc = days.value_counts()
+        return pd.DataFrame({"day": vc.index, "n": vc.to_numpy().astype(np.int64)})
+
+    out = (
+        _coalesce_partials(
+            ds.map_batches(batch_min, batch_format="pandas")
+            .groupby("ub")
+            .map_groups(day_hist, batch_format="pandas")
+        )
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    out["cum_users"] = out["n"].cumsum().astype("int64")
+    return out[["day", "cum_users"]]
+
+
+QUERIES["cumulative_users_by_day"] = q_cumulative_users_by_day
+ORACLE_SQL["cumulative_users_by_day"] = (
+    "WITH f AS (SELECT user_id, MIN(ts) AS ts0 FROM events GROUP BY 1),"
+    " d AS (SELECT strftime(ts0, '%Y-%m-%d') AS day, COUNT(*) AS n FROM f GROUP BY 1)"
+    " SELECT day, SUM(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users"
+    " FROM d ORDER BY day"
+)
+
+
+def q_qty_price_corr(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag —
+    the mergeable-second-moment aggregate family (CORR/COVAR/STDDEV as one
+    shape). Numerically CENTERED two-pass plan (sums of raw products would
+    cancel catastrophically at 100 TB row counts): pass 1 reduces per-flag
+    (Σx, Σy, n) → driver means (a ≤|flags|-row broadcast riding the task
+    closure); pass 2 folds per-flag centered (Σdx·dy, Σdx², Σdy²) partials.
+    Both passes are pyarrow-vectorized batch combiners; the exchange moves
+    ≤|flags| rows per batch."""
+    from ray.data.aggregate import Sum
+
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+    ds = _tbl(sf_dir, "lineitem", columns=cols)
+
+    means = (
+        _coalesce_partials(
+            ds.map_batches(
+                lambda b: _partial(
+                    b,
+                    ["l_returnflag"],
+                    [("l_quantity", "sum"), ("l_extendedprice", "sum"), ([], "count_all")],
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="sx"),
+            Sum("l_extendedprice_sum", alias_name="sy"),
+            Sum("count_all", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    mx = dict(zip(means["l_returnflag"], means["sx"] / means["n"]))
+    my = dict(zip(means["l_returnflag"], means["sy"] / means["n"]))
+
+    def centered(b: pa.Table) -> pa.Table:
+        flags = b["l_returnflag"].to_pylist()
+        x = b["l_quantity"].to_numpy().astype(np.float64)
+        y = b["l_extendedprice"].to_numpy().astype(np.float64)
+        dx = x - np.array([mx[f] for f in flags])
+        dy = y - np.array([my[f] for f in flags])
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "xy": pa.array(dx * dy, pa.float64()),
+                "xx": pa.array(dx * dx, pa.float64()),
+                "yy": pa.array(dy * dy, pa.float64()),
+            }
+        )
+        return _partial(t, ["l_returnflag"], [("xy", "sum"), ("xx", "sum"), ("yy", "sum")])
+
+    out = (
+        _coalesce_partials(ds.map_batches(centered, batch_format="pyarrow"))
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("xy_sum", alias_name="sxy"),
+            Sum("xx_sum", alias_name="sxx"),
+            Sum("yy_sum", alias_name="syy"),
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    out["corr"] = (out["sxy"] / np.sqrt(out["sxx"] * out["syy"])).round(6)
+    return out[["l_returnflag", "corr"]]
+
+
+QUERIES["qty_price_corr"] = q_qty_price_corr
+ORACLE_SQL["qty_price_corr"] = (
+    "SELECT l_returnflag, ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr"
+    " FROM lineitem GROUP BY 1 ORDER BY 1"
+)
+
+
+def q_sentence_stats(sf_dir: str) -> pd.DataFrame:
+    """Sentence segmentation stats per language — completes the brief's
+    text-analysis family (lang-ID / quality / token counting / fingerprints
+    / SENTENCES). A sentence boundary is a `[.!?]+` run (the same regex on
+    both sides of the gate), and a doc counts boundaries+1 sentences — the
+    standard convention that unterminated text is one sentence, which also
+    keeps the ratio total under punctuation-free corpora. Per-batch polars
+    count_matches (Rust regex, vectorized) folds to ≤|langs| partial rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["lang", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.Series(b["text"])
+        ns = s.str.count_matches(r"[.!?]+").cast(pl.Int64).to_numpy() + 1
+        nt = textfn.token_counts(b["text"].to_pylist())
+        t = pa.table(
+            {
+                "lang": b["lang"],
+                "ns": pa.array(ns, pa.int64()),
+                "nt": pa.array(nt, pa.int64()),
+            }
+        )
+        return _partial(t, ["lang"], [("ns", "sum"), ("nt", "sum"), ([], "count_all")])
+
+    out = (
+        _coalesce_partials(ds.map_batches(f, batch_format="pyarrow"))
+        .groupby("lang")
+        .aggregate(
+            Sum("ns_sum", alias_name="n_sentences"),
+            Sum("nt_sum", alias_name="ntok"),
+            Sum("count_all", alias_name="n_docs"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["avg_sentences"] = (out["n_sentences"] / out["n_docs"]).round(6)
+    out["tokens_per_sentence"] = (out["ntok"] / out["n_sentences"]).round(6)
+    return out[["lang", "n_docs", "n_sentences", "avg_sentences", "tokens_per_sentence"]]
+
+
+QUERIES["sentence_stats"] = q_sentence_stats
+ORACLE_SQL["sentence_stats"] = (
+    "SELECT lang, COUNT(*)::BIGINT AS n_docs,"
+    " SUM(len(regexp_extract_all(text, '[.!?]+')) + 1)::BIGINT AS n_sentences,"
+    " ROUND(SUM(len(regexp_extract_all(text, '[.!?]+')) + 1)::DOUBLE / COUNT(*), 6)"
+    "  AS avg_sentences,"
+    " ROUND(SUM(len(string_split_regex(trim(text), '\\s+')))::DOUBLE /"
+    "  SUM(len(regexp_extract_all(text, '[.!?]+')) + 1), 6) AS tokens_per_sentence"
+    " FROM documents GROUP BY lang ORDER BY lang"
+)
+
+
+def q_revenue_anomaly_days_mad(sf_dir: str) -> pd.DataFrame:
+    """Days whose revenue deviates more than 3×MAD from the series median —
+    the robust-outlier window op over an aggregated series (the MAD twin of
+    q_events_zscore_outliers). The fact table reduces to one row per day in
+    one partial-agg pass; median/MAD/filter run driver-side on the
+    RESULT-sized day series (same contract as q_revenue_daily_growth)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(
+        sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice", "l_discount"]
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["l_shipdate"], format="%Y-%m-%d")
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"day": day, "rev": rev})
+        return _partial(t, ["day"], [("rev", "sum")])
+
+    d = (
+        _coalesce_partials(ds.map_batches(f, batch_format="pyarrow"))
+        .groupby("day")
+        .aggregate(Sum("rev_sum", alias_name="rev"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    rev = d["rev"].to_numpy()
+    med = float(np.median(rev))
+    mad = float(np.median(np.abs(rev - med)))
+    keep = np.abs(rev - med) > 3.0 * mad
+    out = d.loc[keep].copy()
+    out["revenue"] = out["rev"].round(4)
+    return out[["day", "revenue"]].reset_index(drop=True)
+
+
+QUERIES["revenue_anomaly_days_mad"] = q_revenue_anomaly_days_mad
+ORACLE_SQL["revenue_anomaly_days_mad"] = (
+    "WITH d AS (SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,"
+    "  SUM(l_extendedprice * (1 - l_discount)) AS rev FROM lineitem GROUP BY 1),"
+    " m AS (SELECT MEDIAN(rev) AS med, MAD(rev) AS mad FROM d)"
+    " SELECT day, ROUND(rev, 4) AS revenue FROM d, m"
+    " WHERE ABS(rev - med) > 3 * mad ORDER BY day"
+)
+
+
+# ----------------------------------------- PQ-quantized ANN (wave 16) --------
+
+PQ_M = 8         # subspaces (dim 64 → 8 dims each)
+PQ_K = 16        # centroids per subspace (4-bit codes)
+PQ_ITERS = 8     # Lloyd rounds on the training sample
+PQ_RERANK = 40   # per-batch exact-rerank candidate pool
+
+
+def _pq_codebooks(sf_dir: str) -> np.ndarray:
+    """Train the product-quantization codebooks deterministically on a small
+    bounded sample (vec_id < 2048 — driver-side read of ≤ 2048 rows via a
+    parquet filter pushdown; at 100 TB the sample read prunes to row groups
+    the same way). Per-subspace Lloyd with first-K-rows init; empty clusters
+    keep their previous centroid. Returns (M, K, dsub) float64."""
+    t = pq.read_table(
+        _pq(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 2048)],
+    )
+    order = np.argsort(t["vec_id"].to_numpy())
+    x = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    n, d = x.shape
+    dsub = d // PQ_M
+    books = np.empty((PQ_M, PQ_K, dsub))
+    for m in range(PQ_M):
+        sub = x[:, m * dsub : (m + 1) * dsub]
+        cb = sub[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            code = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                sel = code == k
+                if sel.any():
+                    cb[k] = sub[sel].mean(axis=0)
+        books[m] = cb
+    return books
+
+
+def q_embedding_topk_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN top-k (Jégou et al. 2011): vectors encode to
+    M×4-bit codes against per-subspace codebooks; the query scans with an
+    asymmetric-distance LUT (M×K inner products) so the full-corpus pass
+    touches ONE uint8 matrix instead of floats (16× smaller than float64 —
+    the scan path at 100 TB), then the per-batch top candidates rerank with
+    exact cosine before the tiny driver merge. Deterministic end to end
+    (seedless first-K init, fixed iteration count) — golden-pinned, with
+    recall vs the brute-force oracle gated in tests/test_wave16.py."""
+    books = _pq_codebooks(sf_dir)  # (M, K, dsub) — tiny, rides the closure
+    q = _query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+    dsub = books.shape[2]
+    # LUT[m, k] = <q_m, c_{m,k}> : approx score = Σ_m LUT[m, code_m]
+    lut = np.einsum("mkd,md->mk", books, qn.reshape(PQ_M, dsub))
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def scan(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        mask = ids != 0
+        e = np.array(b["embedding"].to_pylist(), dtype=np.float64)[mask]
+        ids = ids[mask]
+        if len(ids) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
+        en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        sub = en.reshape(len(en), PQ_M, dsub)
+        # encode: per-subspace nearest centroid (‖s−c‖² = ‖s‖²−2s·c+‖c‖²;
+        # argmin over c needs only s·c − ‖c‖²/2 — one matmul per subspace)
+        approx = np.zeros(len(en))
+        for m in range(PQ_M):
+            scores = sub[:, m, :] @ books[m].T - 0.5 * (books[m] ** 2).sum(axis=1)
+            codes = scores.argmax(axis=1)
+            approx += lut[m][codes]
+        k = min(PQ_RERANK, len(ids))
+        cand = np.argpartition(-approx, k - 1)[:k]
+        sims = en[cand] @ qn  # exact rerank of the candidate pool only
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[cand], pa.int64()),
+                "sim": pa.array(sims, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["sim", "vec_id"], ascending=[False, True]).head(10)
+    return parts[["vec_id"]].reset_index(drop=True)
+
+
+QUERIES["embedding_topk_pq"] = q_embedding_topk_pq

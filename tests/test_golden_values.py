@@ -72,6 +72,9 @@ GOLDEN = {
     # full-matrix numpy in test_wave5; evr rounded to 6 decimals so
     # block-order summation jitter ~1e-12 cannot move the pin)
     "embedding_pca": (4, "9bb9785f973fecb086ab2534cd01d1de"),
+    # product-quantization ANN (deterministic first-K Lloyd; recall vs the
+    # brute-force oracle additionally gated in test_wave16)
+    "embedding_topk_pq": (10, "a8cac6d385f2f8afd352f5596db4a587"),
 }
 
 
