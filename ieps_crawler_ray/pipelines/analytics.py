@@ -8447,3 +8447,323 @@ def q_embedding_topk_pq(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["embedding_topk_pq"] = q_embedding_topk_pq
+
+
+# ============ wave 17: regression agg, bigrams, containment, Pareto ==========
+
+
+def q_price_qty_regression(sf_dir: str) -> pd.DataFrame:
+    """Grouped least-squares line fit (REGR_SLOPE/REGR_INTERCEPT family) of
+    extended price on quantity per return flag — the other half of the
+    mergeable-moment aggregates next to q_qty_price_corr, same numerically
+    CENTERED two-pass plan (means first, then Σdx·dy / Σdx² partials) so
+    fact-scale sums cannot cancel."""
+    from ray.data.aggregate import Sum
+
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+    ds = _tbl(sf_dir, "lineitem", columns=cols)
+
+    means = (
+        _coalesce_partials(
+            ds.map_batches(
+                lambda b: _partial(
+                    b,
+                    ["l_returnflag"],
+                    [("l_quantity", "sum"), ("l_extendedprice", "sum"), ([], "count_all")],
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="sx"),
+            Sum("l_extendedprice_sum", alias_name="sy"),
+            Sum("count_all", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    mx = dict(zip(means["l_returnflag"], means["sx"] / means["n"]))
+    my = dict(zip(means["l_returnflag"], means["sy"] / means["n"]))
+
+    def centered(b: pa.Table) -> pa.Table:
+        flags = b["l_returnflag"].to_pylist()
+        x = b["l_quantity"].to_numpy().astype(np.float64)
+        y = b["l_extendedprice"].to_numpy().astype(np.float64)
+        dx = x - np.array([mx[f] for f in flags])
+        dy = y - np.array([my[f] for f in flags])
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "xy": pa.array(dx * dy, pa.float64()),
+                "xx": pa.array(dx * dx, pa.float64()),
+            }
+        )
+        return _partial(t, ["l_returnflag"], [("xy", "sum"), ("xx", "sum")])
+
+    out = (
+        _coalesce_partials(ds.map_batches(centered, batch_format="pyarrow"))
+        .groupby("l_returnflag")
+        .aggregate(Sum("xy_sum", alias_name="sxy"), Sum("xx_sum", alias_name="sxx"))
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    slope = out["sxy"] / out["sxx"]
+    out["slope"] = slope.round(6)
+    out["intercept"] = (
+        out["l_returnflag"].map(my).astype(float)
+        - slope * out["l_returnflag"].map(mx).astype(float)
+    ).round(6)
+    return out[["l_returnflag", "slope", "intercept"]]
+
+
+QUERIES["price_qty_regression"] = q_price_qty_regression
+ORACLE_SQL["price_qty_regression"] = (
+    "SELECT l_returnflag,"
+    " ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,"
+    " ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS intercept"
+    " FROM lineitem GROUP BY 1 ORDER BY 1"
+)
+
+
+def q_top_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Global top-20 token bigrams — the n-gram LM / collocation-mining
+    counting op (the bigram sibling of bpe_pair_counts, which counts within-
+    WORD pairs). Per batch: tokens flatten to one array with doc boundaries
+    masked, bigram strings form by vectorized string concat, and counts fold
+    to (bigram, n) partials — the exchange moves per-batch DISTINCT bigrams,
+    not token instances. Exact global counts via one keyed groupby, then
+    per-batch partial top-k with deterministic (−n, bigram) tie-break and a
+    20-row driver merge (no global sort)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def bigram_counts(b: pa.Table) -> pa.Table:
+        toks = [t.split() for t in b["text"].to_pylist()]
+        flat = np.array([w for ts in toks for w in ts], dtype=object)
+        if len(flat) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        big = pd.Series(flat[:-1]) + " " + pd.Series(flat[1:])
+        # mask bigrams that straddle a document boundary
+        lens = np.array([len(ts) for ts in toks])
+        ends = np.cumsum(lens) - 1  # last token index of each doc
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        keep[ends[ends < len(flat) - 1]] = False
+        vc = big[keep].value_counts()
+        return pa.table(
+            {
+                "bigram": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(bigram_counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(["n", "bigram"], ascending=[False, True]).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        counts.map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "bigram"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    return out[["bigram", "n"]].astype({"n": "int64"})
+
+
+QUERIES["top_bigrams"] = q_top_bigrams
+ORACLE_SQL["top_bigrams"] = (
+    "WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents),"
+    " bi AS (SELECT t[i] || ' ' || t[i+1] AS bigram"
+    "  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i))"
+    " SELECT bigram, COUNT(*)::BIGINT AS n FROM bi GROUP BY 1"
+    " ORDER BY n DESC, bigram LIMIT 20"
+)
+
+
+def q_docs_containment_pairs(sf_dir: str) -> pd.DataFrame:
+    """ASYMMETRIC containment near-dup pairs — quote/inclusion detection
+    (Broder's containment score, the dedup family member Jaccard misses:
+    a short doc fully embedded in a long one has low Jaccard but high
+    containment). Pairs where |grams(A) ∩ grams(B)| / min(|grams(A)|,
+    |grams(B)|) ≥ 0.5 over distinct 8-token windows. Scale shape: the
+    docs_shared_span_pairs gram-hash bucket shuffle (same gram ⇒ same
+    bucket), but every gram row CARRIES its doc's distinct-gram count, so
+    the per-bucket pair partials (id_a, id_b, n, sz_a, sz_b) aggregate to
+    the final ratio with ZERO join-backs — sizes ride the pair key."""
+    from ray.data.aggregate import Max, Sum
+
+    K = 8
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        texts = b["text"].to_pylist()
+        gs: list = []
+        dids: list = []
+        szs: list = []
+        for d, t in zip(ids, texts):
+            toks = t.split(" ")
+            wins = {" ".join(toks[i : i + K]) for i in range(len(toks) - K + 1)}
+            gs.extend(wins)
+            dids.extend([int(d)] * len(wins))
+            szs.extend([len(wins)] * len(wins))
+        if not gs:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "sz": pa.array([], pa.int64()),
+                    "gb": pa.array([], pa.int32()),
+                }
+            )
+        gb = (hashing.hash64(gs) % np.uint64(_N_UB)).astype(np.int32)
+        return pa.table(
+            {
+                "gram": pa.array(gs, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "sz": pa.array(szs, pa.int64()),
+                "gb": pa.array(gb),
+            }
+        )
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["gram", "doc_id"]).sort_values(
+            ["gram", "doc_id"], kind="stable"
+        )
+        gr = d["gram"].to_numpy()
+        ids = d["doc_id"].to_numpy()
+        sz = d["sz"].to_numpy()
+        n = len(gr)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "sz_a": pd.Series([], dtype="int64"),
+                "sz_b": pd.Series([], dtype="int64"),
+            }
+        )
+        if n == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, gr[1:] != gr[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens)
+        rem = np.repeat(lens, lens) - pos - 1
+        total = int(rem.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), rem)
+        off = np.arange(total) - np.repeat(np.cumsum(rem) - rem, rem) + 1
+        b_idx = a_idx + off
+        out = pd.DataFrame(
+            {
+                "id_a": ids[a_idx],
+                "id_b": ids[b_idx],
+                "sz_a": sz[a_idx],
+                "sz_b": sz[b_idx],
+            }
+        )
+        return (
+            out.groupby(["id_a", "id_b", "sz_a", "sz_b"])
+            .size()
+            .rename("n")
+            .reset_index()[["id_a", "id_b", "n", "sz_a", "sz_b"]]
+        )
+
+    agg = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(pair_partials, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(
+            Sum("n", alias_name="inter"),
+            Max("sz_a", alias_name="sa"),  # size is pair-constant; Max = the value
+            Max("sz_b", alias_name="sb"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        c = df["inter"] / np.minimum(df["sa"], df["sb"])
+        df = df.loc[c >= 0.5].copy()
+        df["containment"] = (
+            df["inter"] / np.minimum(df["sa"], df["sb"])
+        ).round(6)
+        return pa.Table.from_pandas(
+            df[["id_a", "id_b", "containment"]], preserve_index=False
+        )
+
+    out = (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"id_a": "int64", "id_b": "int64"})
+
+
+QUERIES["docs_containment_pairs"] = q_docs_containment_pairs
+ORACLE_SQL["docs_containment_pairs"] = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),"
+    " g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram"
+    "  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)),"
+    " sz AS (SELECT doc_id, COUNT(*) AS s FROM g GROUP BY 1),"
+    " p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter"
+    "  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+    " SELECT id_a, id_b,"
+    "  ROUND(inter::DOUBLE / LEAST(sa.s, sb.s), 6) AS containment"
+    " FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b"
+    " WHERE inter::DOUBLE / LEAST(sa.s, sb.s) >= 0.5 ORDER BY 1, 2"
+)
+
+
+def q_suppliers_pareto_80(sf_dir: str) -> pd.DataFrame:
+    """Pareto/ABC concentration: the smallest number of suppliers covering
+    ≥ 80 % of total revenue. The fact table reduces to one row per supplier
+    (partial agg before the keyed groupby); the sort + running share run
+    driver-side on the DIM-sized supplier series (same contract as
+    q_top_supplier). Deterministic (rev DESC, suppkey ASC) ordering."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def f(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"l_suppkey": b["l_suppkey"], "rev": rev})
+        return _partial(t, ["l_suppkey"], [("rev", "sum")])
+
+    s = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_sum", alias_name="rev"))
+        .to_pandas()
+        .sort_values(["rev", "l_suppkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    rev = s["rev"].to_numpy()
+    tot = float(rev.sum())
+    cum = np.cumsum(rev)
+    k = int(((cum - rev) < 0.8 * tot).sum())
+    return pd.DataFrame({"n_suppliers_80": [k]}).astype("int64")
+
+
+QUERIES["suppliers_pareto_80"] = q_suppliers_pareto_80
+ORACLE_SQL["suppliers_pareto_80"] = (
+    "WITH s AS (SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS rev"
+    "  FROM lineitem GROUP BY 1),"
+    " r AS (SELECT rev,"
+    "   SUM(rev) OVER (ORDER BY rev DESC, l_suppkey ROWS UNBOUNDED PRECEDING) AS cum,"
+    "   SUM(rev) OVER () AS tot FROM s)"
+    " SELECT COUNT(*)::BIGINT AS n_suppliers_80 FROM r WHERE cum - rev < 0.8 * tot"
+)
