@@ -8767,3 +8767,47 @@ ORACLE_SQL["suppliers_pareto_80"] = (
     "   SUM(rev) OVER () AS tot FROM s)"
     " SELECT COUNT(*)::BIGINT AS n_suppliers_80 FROM r WHERE cum - rev < 0.8 * tot"
 )
+
+
+def q_dedup_keep_longest_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact-dup dedup with the KEEP-LONGEST winner rule (the CCNet /
+    RefinedWeb arbitration — keep the highest-quality member of each
+    duplicate cluster, not the first) — the argmax-per-group twin of
+    q_dedup_first_wins_docs. Scale plan: winner attributes bit-pack into ONE
+    Max-aggregated uint64 key (n_chars·2³² + (2³²−1−doc_id), so Max realizes
+    'longest, then smallest id') — the same zero-join-back trick as
+    curated_corpus_stats; ONE shuffle of ≤1 partial row per hash per batch."""
+    from ray.data.aggregate import Max
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    _B = np.int64(1) << np.int64(32)
+
+    def pack(b: pa.Table) -> pa.Table:
+        h = hashing.md5_hex(b["text"].to_pylist())
+        code = b["n_chars"].to_numpy() * _B + (_B - 1 - b["doc_id"].to_numpy())
+        t = pa.table(
+            {"content_hash": pa.array(h, pa.string()), "code": pa.array(code, pa.int64())}
+        )
+        return _partial(t, ["content_hash"], [("code", "max")])
+
+    win = (
+        ds.map_batches(pack, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Max("code_max", alias_name="code"))
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        code = b["code"].to_numpy()
+        return pa.table({"doc_id": pa.array(_B - 1 - (code % _B), pa.int64())})
+
+    out = win.map_batches(unpack, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["dedup_keep_longest_docs"] = q_dedup_keep_longest_docs
+ORACLE_SQL["dedup_keep_longest_docs"] = (
+    "WITH w AS (SELECT doc_id, ROW_NUMBER() OVER"
+    "  (PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id) AS rn"
+    " FROM documents)"
+    " SELECT doc_id FROM w WHERE rn = 1 ORDER BY doc_id"
+)

@@ -972,6 +972,157 @@ def q_caption_image_consistency(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+
+
+class PixelStats:
+    """Actor-pool stage: decode stored bytes and fold per-format LUMA moment
+    partials (n_images, n_pixels, Σluma, Σluma²) — the decoded-pixel
+    statistics pass of an image-curation pipeline (normalization constants,
+    brightness QA). Mergeable moments ARE the shuffle payload: each batch
+    emits ≤|fmts| rows regardless of batch size."""
+
+    def __init__(self):
+        from ..functions.hashing import _dct_matrix
+
+        _dct_matrix(32)  # codec warm, same as VerifyImages
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        fmts = b["fmt"].to_pylist()
+        blobs = b["bytes"].to_pylist()
+        agg: dict[str, list] = {}
+        for fmt, blob in zip(fmts, blobs):
+            px = decode_image(blob, fmt)  # (h, w, 3) uint8
+            luma = (
+                0.299 * px[:, :, 0].astype(np.float64)
+                + 0.587 * px[:, :, 1]
+                + 0.114 * px[:, :, 2]
+            )
+            e = agg.setdefault(fmt, [0, 0, 0.0, 0.0])
+            e[0] += 1
+            e[1] += luma.size
+            e[2] += float(luma.sum())
+            e[3] += float((luma * luma).sum())
+        ks = sorted(agg)
+        return pa.table(
+            {
+                "fmt": pa.array(ks, pa.string()),
+                "n_images": pa.array([agg[k][0] for k in ks], pa.int64()),
+                "n_pixels": pa.array([agg[k][1] for k in ks], pa.int64()),
+                "s1": pa.array([agg[k][2] for k in ks], pa.float64()),
+                "s2": pa.array([agg[k][3] for k in ks], pa.float64()),
+            }
+        )
+
+
+def q_image_pixel_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-format decoded-pixel luma mean/std over the corpus — actor-pool
+    decode (setup once per actor), per-batch moment partials, tiny keyed
+    groupby. Golden-pinned; numpy recompute in tests/test_wave18.py."""
+    from ray.data.aggregate import Sum
+
+    spec = _spec_for_sf(sf_dir)
+    ds = lt.read_dataset(_corpus(spec), columns=["fmt", "bytes"])
+    out = (
+        ds.map_batches(
+            PixelStats,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=_pool(),
+        )
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("n_pixels", alias_name="n_pixels"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    mean = out["s1"] / out["n_pixels"]
+    var = out["s2"] / out["n_pixels"] - mean**2
+    out["mean_luma"] = mean.round(4)
+    out["std_luma"] = np.sqrt(np.maximum(var, 0.0)).round(4)
+    return out[["fmt", "n_images", "n_pixels", "mean_luma", "std_luma"]]
+
+
+def q_phash_hamming_histogram(sf_dir: str) -> pd.DataFrame:
+    """Distribution of pHash hamming distances among banded-LSH CANDIDATE
+    pairs — the dedup-threshold diagnostic (how separated are planted
+    near-dups from background collisions). Reuses the q_image_phash_neardup
+    candidate machinery with the verify threshold lifted to the full band
+    guarantee-free range: per band-bucket vectorized popcount, pair-hash
+    bucket dedup, then a ≤65-row histogram. Reads only (image_id, phash)."""
+    from ray.data.aggregate import Sum
+
+    spec = _spec_for_sf(sf_dir)
+    spec = C.CorpusSpec(**{**spec.__dict__, "dup_image_permille": 50})
+    ds = lt.read_dataset(_corpus(spec), columns=["image_id", "phash"])
+
+    def band_f(b: pa.Table) -> pa.Table:
+        ids = np.array([int(s[3:]) for s in b["image_id"].to_pylist()], dtype=np.int64)
+        h = b["phash"].to_numpy().view(np.uint64)
+        keys = np.concatenate(
+            [
+                np.int64(k) * np.int64(1 << 16)
+                + ((h >> np.uint64(16 * k)) & np.uint64(0xFFFF)).astype(np.int64)
+                for k in range(4)
+            ]
+        )
+        return pa.table(
+            {
+                "bk_key": pa.array(keys, pa.int64()),
+                "img": pa.array(np.tile(ids, 4), pa.int64()),
+                "phash": pa.array(np.tile(h.view(np.int64), 4), pa.int64()),
+            }
+        )
+
+    from ..functions.hashing import hamming64
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("img")
+        ids = g["img"].to_numpy()
+        ph = g["phash"].to_numpy().view(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = hamming64(ph[ia], ph[ib]).astype(np.int64)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "hamming": ham})
+
+    N_PB = 64
+
+    def add_pb(b: pa.Table) -> pa.Table:
+        key = b["id_a"].to_numpy().astype(np.uint64) * np.uint64(1_000_003) + b[
+            "id_b"
+        ].to_numpy().astype(np.uint64)
+        return b.append_column("pb", pa.array((key % np.uint64(N_PB)).astype(np.int32)))
+
+    def hist_seg(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["id_a", "id_b"])
+        vc = d["hamming"].value_counts()
+        return pd.DataFrame(
+            {"hamming": vc.index.to_numpy().astype(np.int64), "n_pairs": vc.to_numpy()}
+        )
+
+    out = (
+        ds.map_batches(band_f, batch_format="pyarrow")
+        .groupby("bk_key")
+        .map_groups(emit, batch_format="pandas")
+        .map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(hist_seg, batch_format="pandas")
+        .groupby("hamming")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+        .to_pandas()
+        .sort_values("hamming")
+        .reset_index(drop=True)
+    )
+    return out.astype({"hamming": "int64", "n_pairs": "int64"})
+
+
 QUERIES = {
     "image_verify": q_image_verify,
     "caption_image_consistency": q_caption_image_consistency,
@@ -987,4 +1138,6 @@ QUERIES = {
     "crawl_link_stats": q_crawl_link_stats,
     "crawl_images_verify": q_crawl_images_verify,
     "crawl_sitemap_stats": q_crawl_sitemap_stats,
+    "image_pixel_stats": q_image_pixel_stats,
+    "phash_hamming_histogram": q_phash_hamming_histogram,
 }

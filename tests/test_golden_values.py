@@ -75,6 +75,12 @@ GOLDEN = {
     # product-quantization ANN (deterministic first-K Lloyd; recall vs the
     # brute-force oracle additionally gated in test_wave16)
     "embedding_topk_pq": (10, "a8cac6d385f2f8afd352f5596db4a587"),
+    # decoded-pixel luma moments per format (actor-pool decode; numpy
+    # recompute in test_wave18; round(4) absorbs partial-sum order jitter)
+    "image_pixel_stats": (2, "0277056478956f36839b1560997ee7fc"),
+    # pHash hamming histogram over banded-LSH candidates (integer counts;
+    # brute-force recompute in test_wave18)
+    "phash_hamming_histogram": (13, "1048a6b0028b284012733ca9fb0bbf22"),
 }
 
 
