@@ -8811,3 +8811,145 @@ ORACLE_SQL["dedup_keep_longest_docs"] = (
     " FROM documents)"
     " SELECT doc_id FROM w WHERE rn = 1 ORDER BY doc_id"
 )
+
+
+# ================= wave 19: sequence mining, RFM behavioral segments =========
+
+
+def q_top_event_trigrams(sf_dir: str) -> pd.DataFrame:
+    """Most common 3-step event-type SEQUENCES across user streams — the
+    sequential-pattern-mining op (clickstream n-grams). Scale plan: the
+    `_N_UB` user-bucket shuffle co-locates each user's stream; ONE lexsort +
+    shifted-array trigram construction per bucket (no per-user groups),
+    counts fold to (trigram, n) partials, exact global counts via a keyed
+    groupby, then per-batch partial top-k with deterministic (−n, trigram)
+    tie-break and a 10-row driver merge."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def trigram_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(uid)
+        if n < 3:
+            return pd.DataFrame(
+                {"trigram": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")}
+            )
+        same3 = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+        tri = pd.Series(et[:-2]) + ">" + pd.Series(et[1:-1]) + ">" + pd.Series(et[2:])
+        vc = tri[same3].value_counts()
+        return pd.DataFrame(
+            {"trigram": vc.index, "n": vc.to_numpy().astype(np.int64)}
+        )
+
+    counts = (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(trigram_counts, batch_format="pandas")
+        .groupby("trigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["n", "trigram"], ascending=[False, True]).head(10)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        counts.map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "trigram"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return out[["trigram", "n"]].astype({"n": "int64"})
+
+
+QUERIES["top_event_trigrams"] = q_top_event_trigrams
+ORACLE_SQL["top_event_trigrams"] = (
+    "WITH s AS (SELECT user_id, event_type,"
+    "  LEAD(event_type, 1) OVER w AS e2, LEAD(event_type, 2) OVER w AS e3"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"
+    " SELECT event_type || '>' || e2 || '>' || e3 AS trigram, COUNT(*)::BIGINT AS n"
+    " FROM s WHERE e3 IS NOT NULL GROUP BY 1 ORDER BY n DESC, trigram LIMIT 10"
+)
+
+
+def _ntile3(order_vals: list[np.ndarray], n: int) -> np.ndarray:
+    """Exact NTILE(3) tile ids (1-based) for rows ordered by the given sort
+    keys (first key descending, custkey ascending tie-break is encoded by
+    the caller passing pre-negated keys): SQL's remainder rule — the first
+    (n mod 3) tiles get one extra row."""
+    order = np.lexsort(order_vals[::-1])
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    q, r = divmod(n, 3)
+    tile = np.where(
+        rank < (q + 1) * r,
+        rank // (q + 1),
+        r + (rank - (q + 1) * r) // max(q, 1),
+    )
+    return (tile + 1).astype(np.int64)
+
+
+def q_orders_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM behavioral segmentation (recency / frequency / monetary): each
+    customer's (last order date, order count, total spend) maps to a tercile
+    per dimension, reported as customer counts per (r,f,m) cell — the
+    classic CRM composite. Scale plan: the fact table reduces to ONE row per
+    customer via per-batch (max, count, sum) partials + keyed groupby; the
+    three NTILE(3) assignments run driver-side on the DIM-sized customer
+    series with SQL's exact remainder rule (`q_ntile_orders` is the
+    fact-scale histogram-selection path when even the key set outgrows the
+    driver). Deterministic custkey tie-breaks on every dimension."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    parts = ds.map_batches(
+        lambda b: _partial(
+            b,
+            ["o_custkey"],
+            [("o_orderdate", "max"), ("o_totalprice", "sum"), ([], "count_all")],
+        ),
+        batch_format="pyarrow",
+    )
+    c = (
+        parts.groupby("o_custkey")
+        .aggregate(
+            Max("o_orderdate_max", alias_name="last_o"),
+            Sum("o_totalprice_sum", alias_name="m"),
+            Sum("count_all", alias_name="f"),
+        )
+        .to_pandas()
+    )
+    n = len(c)
+    ck = c["o_custkey"].to_numpy()
+    last = c["last_o"].to_numpy().astype("datetime64[us]").view(np.int64)
+    c["r_t"] = _ntile3([-last, ck], n)
+    c["f_t"] = _ntile3([-c["f"].to_numpy(), ck], n)
+    c["m_t"] = _ntile3([-c["m"].to_numpy(), ck], n)
+    out = (
+        c.groupby(["r_t", "f_t", "m_t"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_customers"})
+        .sort_values(["r_t", "f_t", "m_t"])
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"r_t": "int64", "f_t": "int64", "m_t": "int64", "n_customers": "int64"}
+    )
+
+
+QUERIES["orders_rfm_segments"] = q_orders_rfm_segments
+ORACLE_SQL["orders_rfm_segments"] = (
+    "WITH c AS (SELECT o_custkey, MAX(o_orderdate) AS last_o, COUNT(*) AS f,"
+    "  SUM(o_totalprice) AS m FROM orders GROUP BY 1),"
+    " t AS (SELECT o_custkey,"
+    "  NTILE(3) OVER (ORDER BY last_o DESC, o_custkey) AS r_t,"
+    "  NTILE(3) OVER (ORDER BY f DESC, o_custkey) AS f_t,"
+    "  NTILE(3) OVER (ORDER BY m DESC, o_custkey) AS m_t FROM c)"
+    " SELECT r_t, f_t, m_t, COUNT(*)::BIGINT AS n_customers"
+    " FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+)
