@@ -8953,3 +8953,152 @@ ORACLE_SQL["orders_rfm_segments"] = (
     " SELECT r_t, f_t, m_t, COUNT(*)::BIGINT AS n_customers"
     " FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
 )
+
+
+# ============ wave 20: reorder intervals, autocorrelation, seasonality =======
+
+
+def q_reorder_interval_median_hist(sf_dir: str) -> pd.DataFrame:
+    """Distribution of each customer's MEDIAN reorder interval (days) — the
+    repeat-purchase-cadence op. Scale plan: custkey-bucket shuffle; per
+    bucket ONE time-ordered lexsort yields consecutive-order gaps, a second
+    value-ordered lexsort + segment index arithmetic selects every
+    customer's exact median VECTORIZED (odd/even interpolation, no per-key
+    groups), and medians fold to a ≤|distinct-median|-row histogram partial.
+    Only histogram rows reach the final reduce."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def add_ub(b: pa.Table) -> pa.Table:
+        ub = (b["o_custkey"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)).astype(
+            np.int32
+        )
+        return b.append_column("ub", pa.array(ub))
+
+    def med_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="stable")
+        ck = g["o_custkey"].to_numpy()
+        ts = g["o_orderdate"].to_numpy().astype("datetime64[us]").view(np.int64)
+        same = np.r_[False, ck[1:] == ck[:-1]]
+        gaps = (ts - np.r_[np.int64(0), ts[:-1]]) / 86_400_000_000.0
+        gck, gv = ck[same], gaps[same]
+        empty = pd.DataFrame(
+            {
+                "median_days": pd.Series([], dtype="float64"),
+                "n_customers": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(gck) == 0:
+            return empty
+        # value-ordered within customer → median by segment index arithmetic
+        order = np.lexsort((gv, gck))
+        gck_s, gv_s = gck[order], gv[order]
+        starts = np.flatnonzero(np.r_[True, gck_s[1:] != gck_s[:-1]])
+        lens = np.diff(np.r_[starts, len(gck_s)])
+        lo = starts + (lens - 1) // 2
+        hi = starts + lens // 2
+        med = np.round((gv_s[lo] + gv_s[hi]) / 2.0, 2)
+        vals, cnts = np.unique(med, return_counts=True)
+        return pd.DataFrame(
+            {"median_days": vals, "n_customers": cnts.astype(np.int64)}
+        )
+
+    out = (
+        _coalesce_partials(
+            ds.map_batches(add_ub, batch_format="pyarrow")
+            .groupby("ub")
+            .map_groups(med_hist, batch_format="pandas")
+        )
+        .groupby("median_days")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .to_pandas()
+        .sort_values("median_days")
+        .reset_index(drop=True)
+    )
+    return out.astype({"median_days": "float64", "n_customers": "int64"})
+
+
+QUERIES["reorder_interval_median_hist"] = q_reorder_interval_median_hist
+ORACLE_SQL["reorder_interval_median_hist"] = (
+    "WITH g AS (SELECT o_custkey, epoch_us(o_orderdate) - epoch_us(LAG(o_orderdate)"
+    "   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS gap_us"
+    "  FROM orders),"
+    " m AS (SELECT o_custkey, MEDIAN(gap_us / 86400000000.0) AS med"
+    "  FROM g WHERE gap_us IS NOT NULL GROUP BY 1)"
+    " SELECT ROUND(med, 2) AS median_days, COUNT(*)::BIGINT AS n_customers"
+    " FROM m GROUP BY 1 ORDER BY 1"
+)
+
+
+def q_events_daily_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — the
+    seasonality/burstiness probe over an aggregated series. The fact table
+    reduces to one row per day (partial-agg pass); the correlation of the
+    shifted pair runs driver-side on the RESULT-sized series (same contract
+    as q_revenue_daily_growth / q_revenue_ewma)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["ts"])
+
+    def f(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        return pa.table({"day": day}).group_by(["day"]).aggregate([([], "count_all")])
+
+    d = (
+        _coalesce_partials(ds.map_batches(f, batch_format="pyarrow"))
+        .groupby("day")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    n = d["n"].to_numpy().astype(np.float64)
+    x, y = n[1:], n[:-1]
+    dx, dy = x - x.mean(), y - y.mean()
+    r = float((dx * dy).sum() / np.sqrt((dx * dx).sum() * (dy * dy).sum()))
+    return pd.DataFrame({"autocorr_lag1": [round(r, 6)]})
+
+
+QUERIES["events_daily_autocorr"] = q_events_daily_autocorr
+ORACLE_SQL["events_daily_autocorr"] = (
+    "WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*)::DOUBLE AS n"
+    "  FROM events GROUP BY 1),"
+    " p AS (SELECT n, LAG(n) OVER (ORDER BY day) AS pn FROM d)"
+    " SELECT ROUND(CORR(n, pn), 6) AS autocorr_lag1 FROM p WHERE pn IS NOT NULL"
+)
+
+
+def q_orders_by_weekday(sf_dir: str) -> pd.DataFrame:
+    """Order volume + revenue share per ISO weekday (Mon=0) — calendar
+    seasonality rollup: ≤7 partial rows per batch, result-sized share math
+    on the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def f(b: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(b["o_orderdate"])  # Monday = 0, like ISODOW - 1
+        t = pa.table({"dow": dow, "p": b["o_totalprice"]})
+        return _partial(t, ["dow"], [("p", "sum"), ([], "count_all")])
+
+    out = (
+        _coalesce_partials(ds.map_batches(f, batch_format="pyarrow"))
+        .groupby("dow")
+        .aggregate(Sum("p_sum", alias_name="t"), Sum("count_all", alias_name="n"))
+        .to_pandas()
+        .sort_values("dow")
+        .reset_index(drop=True)
+    )
+    out["dow"] = out["dow"].astype("int64")
+    out["revenue_share"] = (out["t"] / out["t"].sum()).round(6)
+    return out[["dow", "n", "revenue_share"]]
+
+
+QUERIES["orders_by_weekday"] = q_orders_by_weekday
+ORACLE_SQL["orders_by_weekday"] = (
+    "WITH d AS (SELECT (ISODOW(o_orderdate) - 1)::BIGINT AS dow,"
+    "  COUNT(*)::BIGINT AS n, SUM(o_totalprice) AS t FROM orders GROUP BY 1)"
+    " SELECT dow, n, ROUND(t / SUM(t) OVER (), 6) AS revenue_share"
+    " FROM d ORDER BY dow"
+)
