@@ -9102,3 +9102,88 @@ ORACLE_SQL["orders_by_weekday"] = (
     " SELECT dow, n, ROUND(t / SUM(t) OVER (), 6) AS revenue_share"
     " FROM d ORDER BY dow"
 )
+
+
+# ================= wave 21: distribution divergence (two-sample KS) ==========
+
+
+def q_price_ks_returned(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the price
+    distributions of returned (R) vs other lineitems — the distribution-
+    drift / cohort-divergence test of a data-quality pipeline. KS needs the
+    max ECDF gap over a GLOBALLY value-ordered stream; the scale plan is the
+    distributed two-pass prefix scan (q_token_packing shape) on VALUE-range
+    buckets: (1) per-bucket (c1, c0) count partials → driver exclusive
+    cumsum into per-bucket offsets + totals, (2) a bucket-partitioned pass
+    sorts only within its bucket, collapses ties (RANGE window semantics:
+    all rows at one price step the ECDF together) and emits one per-bucket
+    max-gap partial. No global sort; the driver merges ≤|buckets| rows."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_extendedprice", "l_returnflag"])
+    _W = 2000.0  # price-range bucket width
+
+    def counts(b: pa.Table) -> pa.Table:
+        x = b["l_extendedprice"].to_numpy()
+        g = (np.asarray(b["l_returnflag"].to_pylist()) == "R").astype(np.int64)
+        vb = (x // _W).astype(np.int64)
+        t = pa.table(
+            {
+                "vb": pa.array(vb),
+                "x": pa.array(x, pa.float64()),
+                "g1": pa.array(g),
+                "g0": pa.array(1 - g),
+            }
+        )
+        return t
+
+    rows = ds.map_batches(counts, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Sum
+
+    bsums = (
+        _coalesce_partials(
+            rows.map_batches(
+                lambda b: _partial(
+                    b.select(["vb", "g1", "g0"]), ["vb"], [("g1", "sum"), ("g0", "sum")]
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("vb")
+        .aggregate(Sum("g1_sum", alias_name="s1"), Sum("g0_sum", alias_name="s0"))
+        .to_pandas()
+        .sort_values("vb")
+    )
+    n1 = float(bsums["s1"].sum())
+    n0 = float(bsums["s0"].sum())
+    off1 = dict(
+        zip(bsums["vb"].astype(int), np.concatenate(([0], np.cumsum(bsums["s1"].to_numpy())[:-1])))
+    )
+    off0 = dict(
+        zip(bsums["vb"].astype(int), np.concatenate(([0], np.cumsum(bsums["s0"].to_numpy())[:-1])))
+    )
+
+    def bucket_gap(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["x"].to_numpy()
+        g1 = g["g1"].to_numpy()
+        g0 = g["g0"].to_numpy()
+        order = np.argsort(x, kind="stable")
+        x_s, g1_s, g0_s = x[order], g1[order], g0[order]
+        # collapse ties: ECDF steps once per distinct value
+        _, starts = np.unique(x_s, return_index=True)
+        c1 = np.cumsum(np.add.reduceat(g1_s, starts)) + off1[int(g["vb"].iloc[0])]
+        c0 = np.cumsum(np.add.reduceat(g0_s, starts)) + off0[int(g["vb"].iloc[0])]
+        gap = np.abs(c1 / n1 - c0 / n0)
+        return pd.DataFrame({"mx": [float(gap.max())]})
+
+    parts = rows.groupby("vb").map_groups(bucket_gap, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"ks": [round(float(parts["mx"].max()), 6)]})
+
+
+QUERIES["price_ks_returned"] = q_price_ks_returned
+ORACLE_SQL["price_ks_returned"] = (
+    "WITH v AS (SELECT l_extendedprice AS x,"
+    "  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g FROM lineitem),"
+    " n AS (SELECT SUM(g)::DOUBLE AS n1, (COUNT(*) - SUM(g))::DOUBLE AS n0 FROM v),"
+    " t AS (SELECT x, SUM(g) OVER w AS c1, SUM(1 - g) OVER w AS c0 FROM v"
+    "  WINDOW w AS (ORDER BY x RANGE UNBOUNDED PRECEDING))"
+    " SELECT ROUND(MAX(ABS(c1 / n1 - c0 / n0)), 6) AS ks FROM t, n"
+)
