@@ -6262,6 +6262,371 @@ def q_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
     return out[["s_name", "numwait"]]
 
 
+# ------------------------------------------------------------ wave 22 -------
+
+
+def q_nation_pair_trade(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year —
+    the two-dimension-bridge join (supplier nation on the lineitem side,
+    customer nation on the orders side). Scale plan: both nation bridges are
+    broadcast lookups (customer/supplier are dimension-sized); the only
+    exchange is the lineitem⋈orders hash join, and lineitem pre-aggregates
+    per (orderkey, supp_nation, year) BEFORE it so the join moves one row
+    per (order, nation, year), not one per lineitem."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    nat = _dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    key_of = {v: k for k, v in name_of.items()}
+    nk1, nk2 = key_of["NATION_3"], key_of["NATION_8"]  # both populated at every sf
+
+    cust = _dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).rename_columns(
+        ["o_custkey", "c_nk"]
+    )
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust, "o_custkey", ["c_nk"]).map_batches(
+        lambda b: b.filter(
+            pc.or_(pc.equal(b["c_nk"], nk1), pc.equal(b["c_nk"], nk2))
+        ).select(["o_orderkey", "c_nk"]),
+        batch_format="pyarrow",
+    )
+
+    supp = _dim(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).rename_columns(
+        ["l_suppkey", "s_nk"]
+    )
+    li = _tbl(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= _dt.datetime(1996, 1, 1))
+            & (pc.field("l_shipdate") < _dt.datetime(1998, 1, 1))
+        ),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.or_(pc.equal(b["s_nk"], nk1), pc.equal(b["s_nk"], nk2))
+        b = b.filter(keep)
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "s_nk": b["s_nk"],
+                "l_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64()),
+                "rev": rev,
+            }
+        )
+        return _partial(t, ["l_orderkey", "s_nk", "l_year"], [("rev", "sum")])
+
+    li_agg = broadcast_join(li, supp, "l_suppkey", ["s_nk"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    joined = li_agg.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def cross_only(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b["s_nk"], b["c_nk"]))  # the two directions
+        return _partial(
+            b.select(["s_nk", "c_nk", "l_year", "rev_sum"]),
+            ["s_nk", "c_nk", "l_year"],
+            [("rev_sum", "sum")],
+        )
+
+    out = (
+        joined.map_batches(cross_only, batch_format="pyarrow")
+        .groupby(["s_nk", "c_nk", "l_year"])
+        .aggregate(Sum("rev_sum_sum", alias_name="r"))
+        .to_pandas()
+    )
+    out["supp_nation"] = out["s_nk"].map(name_of)
+    out["cust_nation"] = out["c_nk"].map(name_of)
+    out["revenue"] = out["r"].round(4)
+    out = out.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+    return out[["supp_nation", "cust_nation", "l_year", "revenue"]].astype({"l_year": "int64"})
+
+
+def q_part_profit_by_year(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape (adapted to this schema's columns): profit on 'red'
+    parts per supplier nation per ship year, where profit = revenue minus
+    retail cost (p_retailprice × quantity standing in for ps_supplycost).
+    ONE fact scan: both the part attributes (price, name predicate) and the
+    supplier→nation bridge ride broadcast lookups; the groupby moves
+    (nation, year) partials only."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    nat = _dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+
+    part = _dim(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+    part = part.filter(pc.match_substring(part["p_name"], "red")).select(
+        ["p_partkey", "p_retailprice"]
+    ).rename_columns(["l_partkey", "p_retailprice"])
+    supp = _dim(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).rename_columns(
+        ["l_suppkey", "s_nk"]
+    )
+
+    li = _tbl(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["p_retailprice"]))  # semi-join: red parts only
+        amount = pc.subtract(
+            pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])),
+            pc.multiply(b["p_retailprice"], b["l_quantity"]),
+        )
+        t = pa.table(
+            {
+                "s_nk": b["s_nk"],
+                "o_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64()),
+                "amount": amount,
+            }
+        )
+        return _partial(t, ["s_nk", "o_year"], [("amount", "sum")])
+
+    staged = broadcast_join(
+        broadcast_join(li, part, "l_partkey", ["p_retailprice"]), supp, "l_suppkey", ["s_nk"]
+    )
+    out = (
+        staged.map_batches(prep, batch_format="pyarrow")
+        .groupby(["s_nk", "o_year"])
+        .aggregate(Sum("amount_sum", alias_name="a"))
+        .to_pandas()
+    )
+    out["nation"] = out["s_nk"].map(name_of)
+    out["profit"] = out["a"].round(4)
+    out = out.sort_values(["nation", "o_year"]).reset_index(drop=True)
+    return out[["nation", "o_year", "profit"]].astype({"o_year": "int64"})
+
+
+def q_association_rules(sf_dir: str) -> pd.DataFrame:
+    """Market-basket association rules: top-15 part pairs by LIFT with
+    support ≥ 3 co-orders. Two scans of the (orderkey, partkey) projection,
+    both exact: (1) the copurchase pair-count plan (orderkey-bucket shuffle,
+    vectorized in-bucket pair emission, pair-keyed partial sum); (2) item
+    frequencies + basket count — the orderkey buckets partition the order
+    space, so per-bucket DISTINCT is globally exact and each bucket's order
+    count rides the same output as a sentinel row (part = -1). Item counts
+    are part-dimension-sized → broadcast into the scoring stage; only the
+    n_ab ≥ 3 pairs reach the top-k merge."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def with_ob(b: pa.Table) -> pa.Table:
+        ob = (b["l_orderkey"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)).astype(np.int32)
+        return b.append_column("ob", pa.array(ob))
+
+    bucketed = ds.map_batches(with_ob, batch_format="pyarrow")
+
+    def pairs_seg(g: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            g[["l_orderkey", "l_partkey"]]
+            .drop_duplicates()
+            .sort_values(["l_orderkey", "l_partkey"], kind="stable")
+        )
+        ok = d["l_orderkey"].to_numpy()
+        pk = d["l_partkey"].to_numpy()
+        n = len(ok)
+        if n == 0:
+            return pd.DataFrame({"part_a": [], "part_b": [], "n": []})
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens)
+        rem = np.repeat(lens, lens) - pos - 1
+        total = int(rem.sum())
+        if total == 0:
+            return pd.DataFrame({"part_a": [], "part_b": [], "n": []})
+        a_idx = np.repeat(np.arange(n), rem)
+        off = np.arange(total) - np.repeat(np.cumsum(rem) - rem, rem) + 1
+        out = pd.DataFrame({"part_a": pk[a_idx], "part_b": pk[a_idx + off]})
+        return out.groupby(["part_a", "part_b"]).size().rename("n").reset_index()
+
+    pairs = (
+        bucketed.groupby("ob")
+        .map_groups(pairs_seg, batch_format="pandas")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n", alias_name="n_ab"))
+    )
+
+    def item_seg(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        cnt = d.groupby("l_partkey").size().rename("ni").reset_index()
+        # sentinel row: this bucket's distinct-order count (buckets partition
+        # the order space, so the global basket count is the sentinel sum)
+        cnt = pd.concat(
+            [cnt, pd.DataFrame({"l_partkey": [-1], "ni": [d["l_orderkey"].nunique()]})]
+        )
+        return cnt
+
+    items = (
+        bucketed.groupby("ob")
+        .map_groups(item_seg, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("ni", alias_name="ni"))
+        .to_pandas()  # part-dimension-sized
+    )
+    n_orders = int(items.loc[items["l_partkey"] == -1, "ni"].iloc[0])
+    ni = dict(zip(items["l_partkey"], items["ni"]))
+
+    def score(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["n_ab"] >= 3]
+        if df.empty:
+            return pa.table(
+                {
+                    "part_a": pa.array([], pa.int64()),
+                    "part_b": pa.array([], pa.int64()),
+                    "n_ab": pa.array([], pa.int64()),
+                    "conf_ab": pa.array([], pa.float64()),
+                    "lift": pa.array([], pa.float64()),
+                }
+            )
+        na = df["part_a"].map(ni).to_numpy(dtype=np.float64)
+        nb = df["part_b"].map(ni).to_numpy(dtype=np.float64)
+        nab = df["n_ab"].to_numpy(dtype=np.float64)
+        df["conf_ab"] = nab / na
+        df["lift"] = nab * float(n_orders) / (na * nb)
+        df = df.sort_values(["lift", "part_a", "part_b"], ascending=[False, True, True]).head(15)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        pairs.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["lift", "part_a", "part_b"], ascending=[False, True, True])
+        .head(15)
+        .reset_index(drop=True)
+    )
+    out["conf_ab"] = out["conf_ab"].round(6)
+    out["lift"] = out["lift"].round(6)
+    return out[["part_a", "part_b", "n_ab", "conf_ab", "lift"]].astype(
+        {"part_a": "int64", "part_b": "int64", "n_ab": "int64"}
+    )
+
+
+def q_embedding_range_search(sf_dir: str) -> pd.DataFrame:
+    """Range search (the ANN family's radius variant of top-k): count of
+    vectors within cosine ≥ 0.2 of the broadcast query, per label — one
+    streaming scan, per-batch matmul against the 64-float closure vector,
+    label-keyed partials only cross the shuffle."""
+    from ray.data.aggregate import Sum
+
+    q = _query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def hits(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        mask = ids != 0
+        e = np.array(b["embedding"].to_pylist(), dtype=np.float64)[mask]
+        lab = b["label"].to_numpy()[mask]
+        if len(lab) == 0:
+            return pa.table({"label": pa.array([], pa.int32()), "n": pa.array([], pa.int64())})
+        en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        keep = (en @ qn) >= 0.2
+        t = pa.table(
+            {"label": pa.array(lab[keep], pa.int32()), "one": pa.array(np.ones(int(keep.sum()), np.int64))}
+        )
+        return _partial(t, ["label"], [("one", "sum")]).rename_columns(["label", "n"])
+
+    out = (
+        _coalesce_partials(ds.map_batches(hits, batch_format="pyarrow"))
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    return out.astype({"label": "int32", "n": "int64"})
+
+
+def q_normalized_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Dedup after text normalization (lowercase + whitespace collapse +
+    trim) — the canonicalization-then-exact-dedup curation step (M1+D3
+    composed; CCNet-style normalization before hashing). All-Arrow kernels
+    per batch; the shuffle moves one md5-keyed partial row per normalized
+    form per batch."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm_hash(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b["text"])
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        h = hashing.md5_hex(t.to_pylist())
+        t2 = pa.table({"nh": pa.array(h, pa.string()), "doc_id": b["doc_id"]})
+        return _partial(t2, ["nh"], [([], "count_all"), ("doc_id", "min")])
+
+    groups = (
+        ds.map_batches(norm_hash, batch_format="pyarrow")
+        .groupby("nh")
+        .aggregate(Sum("count_all", alias_name="c"), Min("doc_id_min", alias_name="keeper"))
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy()
+        return pa.table(
+            {
+                "n_groups": pa.array([len(c)], pa.int64()),
+                "n_docs": pa.array([int(c.sum())], pa.int64()),
+                "n_redundant": pa.array([int((c - 1).sum())], pa.int64()),
+            }
+        )
+
+    parts = groups.map_batches(fold, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        [
+            {
+                "n_groups": int(parts["n_groups"].sum()),
+                "n_docs": int(parts["n_docs"].sum()),
+                "n_redundant": int(parts["n_redundant"].sum()),
+            }
+        ]
+    )
+
+
+def q_source_lang_chi2(sf_dir: str) -> pd.DataFrame:
+    """Chi-squared independence statistic between document source and lang —
+    the dataset-drift / composition-shift check of a curation pipeline.
+    Distributed part = the (source, lang) contingency partials (one row per
+    cell per batch); the contingency table itself is result-sized
+    (|sources|×|langs|), so the full-grid expected-count fold (zero cells
+    included) runs on the driver in numpy."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["source", "lang"])
+    cells = (
+        _coalesce_partials(
+            ds.map_batches(
+                lambda b: _partial(b, ["source", "lang"], [([], "count_all")]),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby(["source", "lang"])
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    piv = cells.pivot_table(index="source", columns="lang", values="n", fill_value=0.0)
+    obs = piv.to_numpy(dtype=np.float64)
+    rn = obs.sum(axis=1, keepdims=True)
+    cn = obs.sum(axis=0, keepdims=True)
+    exp = rn * cn / obs.sum()
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    dof = int((obs.shape[0] - 1) * (obs.shape[1] - 1))
+    return pd.DataFrame([{"chi2": round(chi2, 6), "dof": dof}]).astype({"dof": "int64"})
+
+
 QUERIES = {
     "global_counts": q_global_counts,
     "events_by_type": q_events_by_type,
@@ -6388,6 +6753,12 @@ QUERIES = {
     "late_ship_orders": q_late_ship_orders,
     "lines_by_priority_class": q_lines_by_priority_class,
     "waiting_suppliers": q_waiting_suppliers,
+    "nation_pair_trade": q_nation_pair_trade,
+    "part_profit_by_year": q_part_profit_by_year,
+    "association_rules": q_association_rules,
+    "embedding_range_search": q_embedding_range_search,
+    "normalized_dedup_docs": q_normalized_dedup_docs,
+    "source_lang_chi2": q_source_lang_chi2,
 }
 
 ORACLE_SQL = {
@@ -9186,4 +9557,68 @@ ORACLE_SQL["price_ks_returned"] = (
     " t AS (SELECT x, SUM(g) OVER w AS c1, SUM(1 - g) OVER w AS c0 FROM v"
     "  WINDOW w AS (ORDER BY x RANGE UNBOUNDED PRECEDING))"
     " SELECT ROUND(MAX(ABS(c1 / n1 - c0 / n0)), 6) AS ks FROM t, n"
+)
+
+
+ORACLE_SQL["nation_pair_trade"] = (
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+    " EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,"
+    " ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue"
+    " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    " JOIN customer ON c_custkey = o_custkey"
+    " JOIN supplier ON s_suppkey = l_suppkey"
+    " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+    " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+    " WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')"
+    "   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))"
+    "  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'"
+    " GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+)
+ORACLE_SQL["part_profit_by_year"] = (
+    "SELECT n_name AS nation, EXTRACT(year FROM l_shipdate)::BIGINT AS o_year,"
+    " ROUND(SUM(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity), 4)"
+    "  AS profit"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " JOIN supplier ON s_suppkey = l_suppkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " WHERE p_name LIKE '%red%'"
+    " GROUP BY 1, 2 ORDER BY 1, 2"
+)
+ORACLE_SQL["association_rules"] = (
+    "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+    " nn AS (SELECT COUNT(DISTINCT l_orderkey)::DOUBLE AS n FROM d),"
+    " ic AS (SELECT l_partkey, COUNT(*)::DOUBLE AS ni FROM d GROUP BY 1),"
+    " pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS nab FROM d a"
+    "  JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    "  GROUP BY 1, 2 HAVING COUNT(*) >= 3)"
+    " SELECT pa AS part_a, pb AS part_b, nab::BIGINT AS n_ab,"
+    " ROUND(nab / ia.ni, 6) AS conf_ab,"
+    " ROUND(nab * nn.n / (ia.ni * ib.ni), 6) AS lift"
+    " FROM pr JOIN ic ia ON ia.l_partkey = pa JOIN ic ib ON ib.l_partkey = pb"
+    " CROSS JOIN nn"
+    " ORDER BY nab * nn.n / (ia.ni * ib.ni) DESC, pa, pb LIMIT 15"
+)
+ORACLE_SQL["embedding_range_search"] = (
+    "SELECT label, COUNT(*)::BIGINT AS n FROM embeddings"
+    " WHERE vec_id <> 0 AND list_cosine_similarity(embedding,"
+    "  (SELECT embedding FROM embeddings WHERE vec_id = 0)) >= 0.2"
+    " GROUP BY label ORDER BY label"
+)
+ORACLE_SQL["normalized_dedup_docs"] = (
+    "WITH n AS (SELECT doc_id,"
+    "  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt FROM documents),"
+    " g AS (SELECT nt, COUNT(*) AS c FROM n GROUP BY nt)"
+    " SELECT COUNT(*)::BIGINT AS n_groups, SUM(c)::BIGINT AS n_docs,"
+    " SUM(c - 1)::BIGINT AS n_redundant FROM g"
+)
+ORACLE_SQL["source_lang_chi2"] = (
+    "WITH c AS (SELECT source, lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY 1, 2),"
+    " rt AS (SELECT source, SUM(n) AS rn FROM c GROUP BY 1),"
+    " ct AS (SELECT lang, SUM(n) AS cn FROM c GROUP BY 1),"
+    " tot AS (SELECT SUM(n) AS t FROM c),"
+    " grid AS (SELECT rt.source, ct.lang, rt.rn, ct.cn, COALESCE(c.n, 0) AS n"
+    "  FROM rt CROSS JOIN ct LEFT JOIN c ON c.source = rt.source AND c.lang = ct.lang)"
+    " SELECT ROUND(SUM(POWER(n - rn * cn / tot.t, 2) / (rn * cn / tot.t)), 6) AS chi2,"
+    " ((SELECT COUNT(*) FROM rt) - 1)::BIGINT * ((SELECT COUNT(*) FROM ct) - 1)::BIGINT"
+    "  AS dof FROM grid CROSS JOIN tot"
 )
