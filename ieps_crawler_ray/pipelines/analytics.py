@@ -6627,6 +6627,269 @@ def q_source_lang_chi2(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([{"chi2": round(chi2, 6), "dof": dof}]).astype({"dof": "int64"})
 
 
+# ------------------------------------------------------------ wave 23 -------
+
+
+def q_pmi_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Collocation mining: top-20 adjacent-token bigrams by pointwise mutual
+    information among bigrams seen ≥ 5 times. Two streaming count passes
+    (unigrams, bigrams) whose shuffles move per-batch DISTINCT terms; the
+    unigram table is vocabulary-sized and rides the scoring closure as a
+    dict (at 100 TB vocab this becomes a ray.put broadcast); scoring +
+    partial top-k stay per-batch."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def uni_counts(b: pa.Table) -> pa.Table:
+        toks = [t.split() for t in b["text"].to_pylist()]
+        flat = pd.Series([w for ts in toks for w in ts], dtype=object)
+        vc = flat.value_counts()
+        return pa.table(
+            {"w": pa.array(vc.index.to_numpy(), pa.string()), "c": pa.array(vc.to_numpy(), pa.int64())}
+        )
+
+    uni = (
+        ds.map_batches(uni_counts, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # vocabulary-sized
+    )
+    n_uni = float(uni["c"].sum())
+    cnt = dict(zip(uni["w"], uni["c"].astype(float)))
+
+    def bigram_counts(b: pa.Table) -> pa.Table:
+        toks = [t.split() for t in b["text"].to_pylist()]
+        flat = np.array([w for ts in toks for w in ts], dtype=object)
+        if len(flat) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        big = pd.Series(flat[:-1]) + " " + pd.Series(flat[1:])
+        lens = np.array([len(ts) for ts in toks])
+        ends = np.cumsum(lens) - 1
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        keep[ends[ends < len(flat) - 1]] = False
+        vc = big[keep].value_counts()
+        return pa.table(
+            {
+                "bigram": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    bi = (
+        ds.map_batches(bigram_counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n_ab"))
+    )
+    # total bigram instances = Σ n_ab (exact; cheap second driver fold)
+    n_big = float(
+        bi.map_batches(
+            lambda b: pa.table({"s": pa.array([int(pc.sum(b["n_ab"]).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow",
+        ).to_pandas()["s"].sum()
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["n_ab"] >= 5]
+        if df.empty:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "n_ab": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        ab = df["bigram"].str.split(" ", n=1, expand=True)
+        na = ab[0].map(cnt).to_numpy(dtype=np.float64)
+        nb = ab[1].map(cnt).to_numpy(dtype=np.float64)
+        nab = df["n_ab"].to_numpy(dtype=np.float64)
+        df["pmi"] = np.log((nab / n_big) / ((na / n_uni) * (nb / n_uni)))
+        df = df.sort_values(["pmi", "bigram"], ascending=[False, True]).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        bi.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["pmi", "bigram"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    out["pmi"] = out["pmi"].round(6)
+    return out[["bigram", "n_ab", "pmi"]].astype({"n_ab": "int64"})
+
+
+ALL_TERMS_QUERY = ("query", "window", "hash")  # the AND-search conjunction
+
+
+def q_docs_matching_all_terms(sf_dir: str) -> pd.DataFrame:
+    """Boolean AND retrieval (relational division over the postings list —
+    the multi-term sibling of `term_postings`): doc_ids containing ALL query
+    terms. Each document lives in one batch, so the containment test is a
+    fully per-batch vectorized polars explode→unique→count — zero shuffle;
+    only matching doc_ids leave the scan."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = set(ALL_TERMS_QUERY)
+    k = len(terms)
+
+    def f(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.DataFrame(
+                {
+                    "doc_id": pl.from_arrow(b["doc_id"]),
+                    "token": pl.from_arrow(b["text"]).str.split(" "),
+                }
+            )
+            .explode("token")
+            .filter(pl.col("token").is_in(list(terms)))
+            .unique(subset=["doc_id", "token"])
+            .group_by("doc_id")
+            .len("hits")
+            .filter(pl.col("hits") == k)
+            .sort("doc_id")
+        )
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64())})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+def q_copurchase_bfs(sf_dir: str) -> pd.DataFrame:
+    """Bounded BFS over the co-purchase graph from the smallest partkey:
+    parts first reachable at hop 1, 2, 3. The SAME frontier-expansion loop
+    as the crawl engine, on an analytics graph: per round, the frontier set
+    broadcasts into an orderkey-bucket map_groups that emits parts sharing
+    an order with a frontier part; the driver keeps the visited set
+    (part-dimension-bounded, like the crawl's per-bucket seen filters).
+    3 rounds = 3 bucket shuffles; no recursive all-pairs blowup."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def with_ob(b: pa.Table) -> pa.Table:
+        ob = (b["l_orderkey"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)).astype(np.int32)
+        return b.append_column("ob", pa.array(ob))
+
+    bucketed = ds.map_batches(with_ob, batch_format="pyarrow")
+    seed = int(
+        ds.map_batches(
+            lambda b: pa.table({"m": pa.array([pc.min(b["l_partkey"]).as_py()], pa.int64())}),
+            batch_format="pyarrow",
+        ).to_pandas()["m"].min()
+    )
+
+    visited = {seed}
+    frontier = {seed}
+    rows = [{"dist": 0, "n": 1}]
+    for dist in (1, 2, 3):
+        fr = frontier  # rides the map_groups closure (ray.put at vocab scale)
+
+        def expand(g: pd.DataFrame, _fr=fr) -> pd.DataFrame:
+            d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+            hit_orders = d.loc[d["l_partkey"].isin(_fr), "l_orderkey"].unique()
+            nxt = d.loc[d["l_orderkey"].isin(hit_orders), "l_partkey"].unique()
+            return pd.DataFrame({"p": np.sort(nxt)})
+
+        reached = (
+            bucketed.groupby("ob").map_groups(expand, batch_format="pandas").to_pandas()
+        )
+        nxt = set(reached["p"].tolist()) - visited
+        rows.append({"dist": dist, "n": len(nxt)})
+        visited |= nxt
+        frontier = nxt
+        if not nxt:
+            break
+    out = pd.DataFrame(rows)
+    # pad unreached levels with zero so the schema is scale-stable
+    for dist in (1, 2, 3):
+        if dist not in set(out["dist"]):
+            out = pd.concat([out, pd.DataFrame([{"dist": dist, "n": 0}])])
+    return out.sort_values("dist").reset_index(drop=True).astype({"dist": "int64", "n": "int64"})
+
+
+def q_supplier_pctrank_nation(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK() window over (nation, acctbal) — the grouped relative-
+    rank shape (ntile/rank family). Nation-bucket shuffle + ONE segmented
+    scan per bucket: rank = row position within its nation segment,
+    pct = (rank-1)/(n-1) with the single-row group defined as 0."""
+    from .joins import broadcast_join
+
+    nat = _dim(sf_dir, "nation", columns=["n_nationkey", "n_name"]).rename_columns(
+        ["s_nationkey", "n_name"]
+    )
+    ds = _tbl(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    named = broadcast_join(ds, nat, "s_nationkey", ["n_name"])
+
+    def with_nb(b: pa.Table) -> pa.Table:
+        nb = (b["s_nationkey"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)).astype(np.int32)
+        return b.append_column("nb", pa.array(nb))
+
+    def pct_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_name", "s_acctbal", "s_suppkey"], kind="stable")
+        nn = g["n_name"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, nn[1:] != nn[:-1]])
+        lens = np.diff(np.r_[starts, len(nn)])
+        pos = np.arange(len(nn)) - np.repeat(starts, lens)
+        denom = np.repeat(lens, lens) - 1
+        pct = np.where(denom > 0, pos / np.maximum(denom, 1), 0.0)
+        return pd.DataFrame(
+            {"s_suppkey": g["s_suppkey"].to_numpy(), "n_name": nn, "pr": np.round(pct, 6)}
+        )
+
+    out = (
+        named.map_batches(with_nb, batch_format="pyarrow")
+        .groupby("nb")
+        .map_groups(pct_seg, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["n_name", "pr", "s_suppkey"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"s_suppkey": "int64"})
+
+
+def q_doc_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Zipf's-law exponent of the corpus term-frequency distribution: OLS
+    slope of ln(freq) on ln(rank) with deterministic (freq DESC, term) rank.
+    Term counts aggregate distributed (per-batch distinct partials); the
+    regression folds on the driver over the vocabulary-sized count table —
+    the same result-sized-driver-fold contract as the contingency/chi²
+    operator."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.DataFrame({"token": pl.from_arrow(b["text"]).str.split(" ")})
+            .explode("token")
+            .group_by("token")
+            .len("c")
+        )
+        return pa.table(
+            {
+                "token": pa.array(df["token"].to_numpy(), pa.string()),
+                "c": pa.array(df["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    tc = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()  # vocabulary-sized
+    )
+    tc = tc.sort_values(["n", "token"], ascending=[False, True], kind="stable")
+    lr = np.log(np.arange(1, len(tc) + 1, dtype=np.float64))
+    lf = np.log(tc["n"].to_numpy(dtype=np.float64))
+    n = float(len(tc))
+    slope = (n * (lr * lf).sum() - lr.sum() * lf.sum()) / (n * (lr * lr).sum() - lr.sum() ** 2)
+    return pd.DataFrame([{"slope": round(float(slope), 6), "n_terms": np.int64(len(tc))}])
+
+
 QUERIES = {
     "global_counts": q_global_counts,
     "events_by_type": q_events_by_type,
@@ -6759,6 +7022,11 @@ QUERIES = {
     "embedding_range_search": q_embedding_range_search,
     "normalized_dedup_docs": q_normalized_dedup_docs,
     "source_lang_chi2": q_source_lang_chi2,
+    "pmi_bigrams": q_pmi_bigrams,
+    "docs_matching_all_terms": q_docs_matching_all_terms,
+    "copurchase_bfs": q_copurchase_bfs,
+    "supplier_pctrank_nation": q_supplier_pctrank_nation,
+    "doc_zipf_slope": q_doc_zipf_slope,
 }
 
 ORACLE_SQL = {
@@ -9621,4 +9889,66 @@ ORACLE_SQL["source_lang_chi2"] = (
     " SELECT ROUND(SUM(POWER(n - rn * cn / tot.t, 2) / (rn * cn / tot.t)), 6) AS chi2,"
     " ((SELECT COUNT(*) FROM rt) - 1)::BIGINT * ((SELECT COUNT(*) FROM ct) - 1)::BIGINT"
     "  AS dof FROM grid CROSS JOIN tot"
+)
+
+
+ORACLE_SQL["pmi_bigrams"] = (
+    "WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents),"
+    " uni AS (SELECT unnest(t) AS w FROM toks),"
+    " uc AS (SELECT w, COUNT(*)::DOUBLE AS c FROM uni GROUP BY 1),"
+    " nu AS (SELECT SUM(c) AS n FROM uc),"
+    " bi AS (SELECT t[i] AS a, t[i+1] AS b FROM toks,"
+    "  unnest(generate_series(1, len(t) - 1)) AS u(i)),"
+    " bc AS (SELECT a, b, COUNT(*)::DOUBLE AS c FROM bi GROUP BY 1, 2"
+    "  HAVING COUNT(*) >= 5),"
+    " nb AS (SELECT COUNT(*)::DOUBLE AS n FROM bi)"
+    " SELECT a || ' ' || b AS bigram, bc.c::BIGINT AS n_ab,"
+    " ROUND(ln((bc.c / nb.n) / ((ua.c / nu.n) * (ub.c / nu.n))), 6) AS pmi"
+    " FROM bc JOIN uc ua ON ua.w = bc.a JOIN uc ub ON ub.w = bc.b"
+    " CROSS JOIN nb CROSS JOIN nu"
+    " ORDER BY ln((bc.c / nb.n) / ((ua.c / nu.n) * (ub.c / nu.n))) DESC, bigram"
+    " LIMIT 20"
+)
+ORACLE_SQL["docs_matching_all_terms"] = (
+    "SELECT doc_id FROM (SELECT doc_id, COUNT(DISTINCT token) AS k FROM"
+    " (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t"
+    " WHERE token IN ('query', 'window', 'hash') GROUP BY doc_id) g"
+    " WHERE k = 3 ORDER BY doc_id"
+)
+ORACLE_SQL["copurchase_bfs"] = (
+    "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+    " seed AS (SELECT MIN(l_partkey) AS p FROM d),"
+    " l1 AS (SELECT DISTINCT b.l_partkey AS p FROM d a"
+    "  JOIN d b ON a.l_orderkey = b.l_orderkey JOIN seed s ON a.l_partkey = s.p"
+    "  WHERE b.l_partkey <> s.p),"
+    " l2 AS (SELECT DISTINCT b.l_partkey AS p FROM d a"
+    "  JOIN d b ON a.l_orderkey = b.l_orderkey"
+    "  WHERE a.l_partkey IN (SELECT p FROM l1)"
+    "   AND b.l_partkey NOT IN (SELECT p FROM l1)"
+    "   AND b.l_partkey NOT IN (SELECT p FROM seed)),"
+    " l3 AS (SELECT DISTINCT b.l_partkey AS p FROM d a"
+    "  JOIN d b ON a.l_orderkey = b.l_orderkey"
+    "  WHERE a.l_partkey IN (SELECT p FROM l2)"
+    "   AND b.l_partkey NOT IN (SELECT p FROM l2)"
+    "   AND b.l_partkey NOT IN (SELECT p FROM l1)"
+    "   AND b.l_partkey NOT IN (SELECT p FROM seed))"
+    " SELECT 0 AS dist, 1::BIGINT AS n"
+    " UNION ALL SELECT 1, COUNT(*)::BIGINT FROM l1"
+    " UNION ALL SELECT 2, COUNT(*)::BIGINT FROM l2"
+    " UNION ALL SELECT 3, COUNT(*)::BIGINT FROM l3 ORDER BY dist"
+)
+ORACLE_SQL["supplier_pctrank_nation"] = (
+    "SELECT s_suppkey, n_name,"
+    " ROUND(PERCENT_RANK() OVER (PARTITION BY n_name"
+    "  ORDER BY s_acctbal, s_suppkey), 6) AS pr"
+    " FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+    " ORDER BY n_name, pr, s_suppkey"
+)
+ORACLE_SQL["doc_zipf_slope"] = (
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),"
+    " tc AS (SELECT w, COUNT(*)::DOUBLE AS n FROM tok GROUP BY 1),"
+    " r AS (SELECT ln(ROW_NUMBER() OVER (ORDER BY n DESC, w)) AS lr, ln(n) AS lf FROM tc)"
+    " SELECT ROUND((COUNT(*) * SUM(lr * lf) - SUM(lr) * SUM(lf))"
+    "  / (COUNT(*) * SUM(lr * lr) - SUM(lr) * SUM(lr)), 6) AS slope,"
+    " COUNT(*)::BIGINT AS n_terms FROM r"
 )
