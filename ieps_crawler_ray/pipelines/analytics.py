@@ -6890,6 +6890,253 @@ def q_doc_zipf_slope(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([{"slope": round(float(slope), 6), "n_terms": np.int64(len(tc))}])
 
 
+# ------------------------------------------------------------ wave 24 -------
+
+
+def q_lineitem_quality_audit(sf_dir: str) -> pd.DataFrame:
+    """Constraint-violation audit in ONE scan (the validate_crawler.py:32-47
+    acceptance-audit shape over a fact table): row count, domain-bound
+    violations (quantity/discount/tax), and the part-FK miss count via the
+    broadcast dimension key set — every check a vectorized predicate folded
+    to per-batch partial sums."""
+    from ray.data.aggregate import Sum
+
+    part_keys = np.sort(
+        _dim(sf_dir, "part", columns=["p_partkey"])["p_partkey"].to_numpy()
+    )
+
+    ds = _tbl(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_discount", "l_tax", "l_extendedprice"],
+    )
+
+    def audit(b: pa.Table) -> pa.Table:
+        qty = b["l_quantity"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        tax = b["l_tax"].to_numpy()
+        price = b["l_extendedprice"].to_numpy()
+        pk = b["l_partkey"].to_numpy()
+        pos = np.searchsorted(part_keys, pk)
+        fk_ok = (pos < len(part_keys)) & (part_keys[np.clip(pos, 0, len(part_keys) - 1)] == pk)
+        return pa.table(
+            {
+                "n_rows": pa.array([len(qty)], pa.int64()),
+                "n_bad_qty": pa.array([int((qty <= 0).sum())], pa.int64()),
+                "n_bad_discount": pa.array([int(((disc < 0) | (disc > 1)).sum())], pa.int64()),
+                "n_bad_tax": pa.array([int(((tax < 0) | (tax > 1)).sum())], pa.int64()),
+                "n_bad_price": pa.array([int((price <= 0).sum())], pa.int64()),
+                "n_fk_miss": pa.array([int((~fk_ok).sum())], pa.int64()),
+            }
+        )
+
+    parts = _coalesce_partials(ds.map_batches(audit, batch_format="pyarrow")).to_pandas()
+    return pd.DataFrame([parts.sum().astype("int64").to_dict()])
+
+
+def q_revenue_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality statistic
+    (HHI's rank-based sibling). Needs Σ rank·x over GLOBALLY sorted totals:
+    same two-pass value-bucket prefix plan as the KS statistic — per-bucket
+    count/sum partials → driver exclusive cumsum → per-bucket sorted scan
+    emits its Σ i·x partial with ranks = bucket offset + position. Ranks are
+    unique (tiebreak custkey), matching ROW_NUMBER in the oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per_cust = (
+        ds.map_batches(
+            lambda b: _partial(b, ["o_custkey"], [("o_totalprice", "sum")]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice_sum", alias_name="rev"))
+    )
+    _W = 100_000.0
+
+    def with_vb(b: pa.Table) -> pa.Table:
+        vb = (b["rev"].to_numpy() // _W).astype(np.int64)
+        return b.append_column("vb", pa.array(vb))
+
+    rows = per_cust.map_batches(with_vb, batch_format="pyarrow").materialize()
+    bsums = (
+        _coalesce_partials(
+            rows.map_batches(
+                lambda b: _partial(b.select(["vb"]), ["vb"], [([], "count_all")]),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("vb")
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()
+        .sort_values("vb")
+    )
+    n = float(bsums["c"].sum())
+    offs = dict(
+        zip(
+            bsums["vb"].astype(int),
+            np.concatenate(([0], np.cumsum(bsums["c"].to_numpy())[:-1])),
+        )
+    )
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rev", "o_custkey"], kind="stable")
+        x = g["rev"].to_numpy()
+        i = np.arange(1, len(x) + 1, dtype=np.float64) + float(offs[int(g["vb"].iloc[0])])
+        return pd.DataFrame({"six": [float((i * x).sum())], "sx": [float(x.sum())]})
+
+    parts = rows.groupby("vb").map_groups(bucket_fold, batch_format="pandas").to_pandas()
+    six, sx = float(parts["six"].sum()), float(parts["sx"].sum())
+    gini = 2.0 * six / (n * sx) - (n + 1.0) / n
+    return pd.DataFrame([{"gini": round(gini, 6), "n_customers": np.int64(int(n))}])
+
+
+def q_price_mannwhitney(sf_dir: str) -> pd.DataFrame:
+    """Mann–Whitney U (rank-sum) statistic between returned (R) and other
+    lineitem prices, with tie-averaged ranks — the nonparametric sibling of
+    the KS drift test, on the same value-bucket two-pass plan. Ties share a
+    price, hence a bucket, so tie-averaging is bucket-local; the global rank
+    of a bucket's first row = the driver's exclusive-cumsum offset."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_extendedprice", "l_returnflag"])
+    _W = 2000.0
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = b["l_extendedprice"].to_numpy()
+        g = (np.asarray(b["l_returnflag"].to_pylist()) == "R").astype(np.int64)
+        return pa.table(
+            {
+                "vb": pa.array((x // _W).astype(np.int64)),
+                "x": pa.array(x, pa.float64()),
+                "g1": pa.array(g),
+            }
+        )
+
+    rows = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    bsums = (
+        _coalesce_partials(
+            rows.map_batches(
+                lambda b: _partial(b, ["vb"], [([], "count_all"), ("g1", "sum")]),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("vb")
+        .aggregate(Sum("count_all", alias_name="c"), Sum("g1_sum", alias_name="s1"))
+        .to_pandas()
+        .sort_values("vb")
+    )
+    n1 = float(bsums["s1"].sum())
+    n0 = float(bsums["c"].sum() - bsums["s1"].sum())
+    offs = dict(
+        zip(
+            bsums["vb"].astype(int),
+            np.concatenate(([0], np.cumsum(bsums["c"].to_numpy())[:-1])),
+        )
+    )
+
+    def bucket_r1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("x", kind="stable")
+        x = g["x"].to_numpy()
+        g1 = g["g1"].to_numpy()
+        base = float(offs[int(g["vb"].iloc[0])])
+        # rank of first row of each tie group + (tie_size - 1)/2 = avg rank
+        starts = np.flatnonzero(np.r_[True, x[1:] != x[:-1]])
+        lens = np.diff(np.r_[starts, len(x)])
+        first_rank = base + starts + 1.0
+        avg_rank = np.repeat(first_rank + (lens - 1) / 2.0, lens)
+        return pd.DataFrame({"r1": [float((avg_rank * g1).sum())]})
+
+    parts = rows.groupby("vb").map_groups(bucket_r1, batch_format="pandas").to_pandas()
+    r1 = float(parts["r1"].sum())
+    u1 = r1 - n1 * (n1 + 1.0) / 2.0
+    return pd.DataFrame(
+        [
+            {
+                "u1": round(u1, 4),
+                "n_returned": np.int64(int(n1)),
+                "n_other": np.int64(int(n0)),
+            }
+        ]
+    )
+
+
+def q_revenue_max_drawdown(sf_dir: str) -> pd.DataFrame:
+    """Maximum drawdown of the daily-revenue series: the largest drop from a
+    running peak — the sequential risk statistic. Daily totals aggregate
+    distributed (date-keyed partials); the series is calendar-bounded
+    (result-sized), so the cummax scan folds on the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": pc.strftime(b["o_orderdate"], format="%Y-%m-%d"),
+                "v": b["o_totalprice"],
+            }
+        )
+        return _partial(t, ["day"], [("v", "sum")])
+
+    daily = (
+        _coalesce_partials(ds.map_batches(prep, batch_format="pyarrow"))
+        .groupby("day")
+        .aggregate(Sum("v_sum", alias_name="r"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    v = daily["r"].to_numpy()
+    dd = np.maximum.accumulate(v) - v
+    return pd.DataFrame(
+        [{"max_drawdown": round(float(dd.max()), 4), "n_days": np.int64(len(v))}]
+    )
+
+
+def q_doc_ttr_buckets(sf_dir: str) -> pd.DataFrame:
+    """Lexical diversity histogram: docs bucketed by type-token ratio decile
+    (distinct tokens / tokens) — a curation quality signal alongside the
+    Gopher gate. Each doc lives in one batch → per-batch exact polars
+    distinct counts; the shuffle moves (bucket, count) partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.DataFrame(
+                {
+                    "doc_id": pl.from_arrow(b["doc_id"]),
+                    "token": pl.from_arrow(b["text"]).str.split(" "),
+                }
+            )
+            .explode("token")
+            .group_by("doc_id")
+            .agg(
+                pl.col("token").n_unique().alias("tt"),
+                pl.col("token").len().alias("nt"),
+            )
+        )
+        ttr = df["tt"].to_numpy() / df["nt"].to_numpy()
+        bucket = np.minimum((ttr * 10).astype(np.int64), 9)
+        t = pa.table({"ttr_decile": pa.array(bucket), "one": pa.array(np.ones(len(bucket), np.int64))})
+        return _partial(t, ["ttr_decile"], [("one", "sum")]).rename_columns(
+            ["ttr_decile", "n"]
+        )
+
+    out = (
+        _coalesce_partials(ds.map_batches(f, batch_format="pyarrow"))
+        .groupby("ttr_decile")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("ttr_decile")
+        .reset_index(drop=True)
+    )
+    return out.astype({"ttr_decile": "int64", "n_docs": "int64"})
+
+
 QUERIES = {
     "global_counts": q_global_counts,
     "events_by_type": q_events_by_type,
@@ -7027,6 +7274,11 @@ QUERIES = {
     "copurchase_bfs": q_copurchase_bfs,
     "supplier_pctrank_nation": q_supplier_pctrank_nation,
     "doc_zipf_slope": q_doc_zipf_slope,
+    "lineitem_quality_audit": q_lineitem_quality_audit,
+    "revenue_gini": q_revenue_gini,
+    "price_mannwhitney": q_price_mannwhitney,
+    "revenue_max_drawdown": q_revenue_max_drawdown,
+    "doc_ttr_buckets": q_doc_ttr_buckets,
 }
 
 ORACLE_SQL = {
@@ -9951,4 +10203,45 @@ ORACLE_SQL["doc_zipf_slope"] = (
     " SELECT ROUND((COUNT(*) * SUM(lr * lf) - SUM(lr) * SUM(lf))"
     "  / (COUNT(*) * SUM(lr * lr) - SUM(lr) * SUM(lr)), 6) AS slope,"
     " COUNT(*)::BIGINT AS n_terms FROM r"
+)
+
+
+ORACLE_SQL["lineitem_quality_audit"] = (
+    "SELECT COUNT(*)::BIGINT AS n_rows,"
+    " SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_bad_qty,"
+    " SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)::BIGINT"
+    "  AS n_bad_discount,"
+    " SUM(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END)::BIGINT AS n_bad_tax,"
+    " SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_bad_price,"
+    " SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_fk_miss"
+    " FROM lineitem LEFT JOIN part ON p_partkey = l_partkey"
+)
+ORACLE_SQL["revenue_gini"] = (
+    "WITH t AS (SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY 1),"
+    " r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey)::DOUBLE AS i FROM t)"
+    " SELECT ROUND(2.0 * SUM(i * rev) / (COUNT(*) * SUM(rev))"
+    "  - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,"
+    " COUNT(*)::BIGINT AS n_customers FROM r"
+)
+ORACLE_SQL["price_mannwhitney"] = (
+    "WITH v AS (SELECT l_extendedprice AS x,"
+    "  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g FROM lineitem),"
+    " r AS (SELECT g, RANK() OVER (ORDER BY x)"
+    "  + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS ar FROM v)"
+    " SELECT ROUND(SUM(CASE WHEN g = 1 THEN ar ELSE 0 END)"
+    "  - SUM(g) * (SUM(g) + 1.0) / 2.0, 4) AS u1,"
+    " SUM(g)::BIGINT AS n_returned, (COUNT(*) - SUM(g))::BIGINT AS n_other FROM r"
+)
+ORACLE_SQL["revenue_max_drawdown"] = (
+    "WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,"
+    "  SUM(o_totalprice) AS r FROM orders GROUP BY 1),"
+    " p AS (SELECT r, MAX(r) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak FROM d)"
+    " SELECT ROUND(MAX(peak - r), 4) AS max_drawdown, COUNT(*)::BIGINT AS n_days FROM p"
+)
+ORACLE_SQL["doc_ttr_buckets"] = (
+    "WITH t AS (SELECT doc_id, COUNT(DISTINCT token)::DOUBLE / COUNT(token) AS ttr"
+    "  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) x"
+    "  GROUP BY doc_id)"
+    " SELECT LEAST(FLOOR(ttr * 10), 9)::BIGINT AS ttr_decile,"
+    " COUNT(*)::BIGINT AS n_docs FROM t GROUP BY 1 ORDER BY 1"
 )
