@@ -921,9 +921,9 @@ def q_docs_sample_hash(sf_dir: str) -> pd.DataFrame:
 # --------------------------------------- exact distributed quantiles ---------
 
 
-def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
-    """Exact quantile_disc(l_extendedprice, q) for q ∈ {0.5, 0.9, 0.99}
-    WITHOUT a global sort: iterative histogram refinement.
+def _quantile_disc(ds, col: str, qs: tuple) -> dict:
+    """Exact quantile_disc(col, q) for each q WITHOUT a global sort:
+    iterative histogram refinement.
 
     Each round is one streaming column scan that bins values into 4096
     equi-width bins per still-unresolved quantile (partial bincounts inside
@@ -934,9 +934,7 @@ def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
     this is ceil(log_4096(N/cap)) scans + one bounded pull — the classic
     distributed exact-selection shape; a global ``sort`` would be an
     all-to-all shuffle of every row."""
-    QS = (0.5, 0.9, 0.99)
-    col = "l_extendedprice"
-    ds = _tbl(sf_dir, "lineitem", columns=[col])
+    QS = qs
     from ray.data.aggregate import Count, Max, Min, Sum
 
     agg = ds.aggregate(Count(), Min(col), Max(col))
@@ -1022,9 +1020,16 @@ def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
                 done[q] = float(vv[resolve[q][3]])
         pend = nxt
 
-    return pd.DataFrame(
-        {"q": list(QS), "value": [done[q] for q in QS]}
-    )
+    return done
+
+
+def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact quantile_disc(l_extendedprice, q) for q ∈ {0.5, 0.9, 0.99} via
+    the distributed histogram-refinement selection (see _quantile_disc)."""
+    QS = (0.5, 0.9, 0.99)
+    ds = _tbl(sf_dir, "lineitem", columns=["l_extendedprice"])
+    done = _quantile_disc(ds, "l_extendedprice", QS)
+    return pd.DataFrame({"q": list(QS), "value": [done[q] for q in QS]})
 
 
 # ------------------------------------------ windows / event-time family ------
@@ -7137,6 +7142,177 @@ def q_doc_ttr_buckets(sf_dir: str) -> pd.DataFrame:
     return out.astype({"ttr_decile": "int64", "n_docs": "int64"})
 
 
+# ------------------------------------------------------------ wave 25 -------
+
+
+def q_monthly_churn(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month churn: users active in month M but silent in M+1,
+    per month. The distinct (user, month) activity set folds per batch,
+    dedupes on one (user-bucket) shuffle, and churn resolves inside each
+    bucket by a segmented scan over the user's sorted month sequence — no
+    self-join of the activity table."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.strftime(b["ts"], format="%Y-%m")
+        t = pa.table({"user_id": b["user_id"], "month": m})
+        t = t.group_by(["user_id", "month"]).aggregate([])  # per-batch distinct
+        ub = (t["user_id"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)).astype(np.int32)
+        return t.append_column("ub", pa.array(ub))
+
+    def churn_seg(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "month"]].drop_duplicates().sort_values(["user_id", "month"])
+        uid = d["user_id"].to_numpy()
+        mon = d["month"].to_numpy()
+        # next month label per row
+        ym = np.array([(int(x[:4]), int(x[5:7])) for x in mon])
+        nxt_y = ym[:, 0] + (ym[:, 1] == 12)
+        nxt_m = np.where(ym[:, 1] == 12, 1, ym[:, 1] + 1)
+        nxt = np.array([f"{y:04d}-{m:02d}" for y, m in zip(nxt_y, nxt_m)])
+        same_user_next = np.r_[(uid[1:] == uid[:-1]) & (mon[1:] == nxt[:-1]), False]
+        churned = ~same_user_next
+        out = pd.DataFrame({"month": mon[churned]})
+        return out.groupby("month").size().rename("n_churned").reset_index()
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(churn_seg, batch_format="pandas")
+        .groupby("month")
+        .aggregate(Sum("n_churned", alias_name="n_churned"))
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_churned": "int64"})
+
+
+def q_neardup_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate contamination matrix: Jaccard≥0.8 pair counts per
+    unordered SOURCE pair (which feeds leak between sources?) — the LSH
+    near-dup miner composed with a source attribution. The pair set is
+    dup-rate-bounded (same contract as dedup_clusters); sources attach by
+    broadcasting the pair-doc id set into ONE pruned documents scan (a
+    broadcast semi-join — documents never shuffles), then the tiny
+    (doc→source) map resolves pairs on the driver."""
+    pairs = q_docs_jaccard_pairs(sf_dir)
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {
+                "source_a": pd.Series([], dtype=str),
+                "source_b": pd.Series([], dtype=str),
+                "n_pairs": pd.Series([], dtype="int64"),
+            }
+        )
+    wanted = np.unique(np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]))
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def pick(b: pa.Table, _w=wanted) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        pos = np.searchsorted(_w, ids)
+        hit = (pos < len(_w)) & (_w[np.clip(pos, 0, len(_w) - 1)] == ids)
+        return b.filter(pa.array(hit))
+
+    src = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    smap = dict(zip(src["doc_id"], src["source"]))
+    sa = pairs["id_a"].map(smap)
+    sb = pairs["id_b"].map(smap)
+    lo = np.minimum(sa, sb)
+    hi = np.maximum(sa, sb)
+    out = (
+        pd.DataFrame({"source_a": lo, "source_b": hi})
+        .groupby(["source_a", "source_b"])
+        .size()
+        .rename("n_pairs")
+        .reset_index()
+        .sort_values(["n_pairs", "source_a", "source_b"], ascending=[False, True, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_pairs": "int64"})
+
+
+def q_events_value_winsorized_mean(sf_dir: str) -> pd.DataFrame:
+    """Winsorized mean of event value: clip at the exact discrete p05/p95
+    (distributed histogram-refinement selection, see _quantile_disc), then
+    one vectorized clip+sum scan — the robust-mean data-cleaning op."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["value"])
+    qd = _quantile_disc(ds, "value", (0.05, 0.95))
+    lo, hi = float(qd[0.05]), float(qd[0.95])
+
+    def fold(b: pa.Table) -> pa.Table:
+        v = np.clip(b["value"].to_numpy(), lo, hi)
+        return pa.table(
+            {"s": pa.array([float(v.sum())], pa.float64()), "n": pa.array([len(v)], pa.int64())}
+        )
+
+    parts = _coalesce_partials(ds.map_batches(fold, batch_format="pyarrow")).to_pandas()
+    mean = float(parts["s"].sum()) / float(parts["n"].sum())
+    return pd.DataFrame(
+        [
+            {
+                "winsorized_mean": round(mean, 6),
+                "p05": round(lo, 6),
+                "p95": round(hi, 6),
+            }
+        ]
+    )
+
+
+def q_events_sliding_30d_revenue(sf_dir: str) -> pd.DataFrame:
+    """Sliding event-time window aggregate: total purchase value per 28-day
+    window sliding by 7 days (calendar-aligned to the corpus epoch). The
+    window/slide replication runs INSIDE map_batches — each event emits its
+    ⌈28/7⌉ = 4 covering windows as (window_start, value) partials — so the
+    shuffle moves per-batch window partials, never event replicas. The
+    generic streaming-window shape Ray Data lacks natively (SURVEY §2.9
+    windowed-rate family)."""
+    from ray.data.aggregate import Sum
+
+    W, S = 28, 7  # window/slide, days
+    epoch = np.datetime64("1995-01-01")
+
+    ds = _tbl(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def windows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "purchase"))
+        if b.num_rows == 0:
+            return pa.table(
+                {"win_start": pa.array([], pa.string()), "v": pa.array([], pa.float64())}
+            )
+        days = (
+            (b["ts"].to_numpy().astype("datetime64[D]") - epoch).astype(np.int64)
+        )
+        v = b["value"].to_numpy()
+        k = W // S
+        last = (days // S) * S  # latest window start covering the event
+        starts = last[:, None] - np.arange(k)[None, :] * S  # k covering starts
+        vv = np.repeat(v, k)
+        ss = starts.ravel()
+        keep = ss >= 0
+        labels = (epoch + ss[keep]).astype("datetime64[D]").astype(str)
+        t = pa.table({"win_start": pa.array(labels, pa.string()), "v": pa.array(vv[keep], pa.float64())})
+        return _partial(t, ["win_start"], [("v", "sum")]).rename_columns(["win_start", "v"])
+
+    out = (
+        _coalesce_partials(ds.map_batches(windows, batch_format="pyarrow"))
+        .groupby("win_start")
+        .aggregate(Sum("v", alias_name="r"))
+        .to_pandas()
+        .sort_values("win_start")
+        .reset_index(drop=True)
+    )
+    out["revenue"] = out["r"].round(4)
+    return out[["win_start", "revenue"]]
+
+
 QUERIES = {
     "global_counts": q_global_counts,
     "events_by_type": q_events_by_type,
@@ -7279,6 +7455,10 @@ QUERIES = {
     "price_mannwhitney": q_price_mannwhitney,
     "revenue_max_drawdown": q_revenue_max_drawdown,
     "doc_ttr_buckets": q_doc_ttr_buckets,
+    "monthly_churn": q_monthly_churn,
+    "neardup_rate_by_source": q_neardup_rate_by_source,
+    "events_value_winsorized_mean": q_events_value_winsorized_mean,
+    "events_sliding_30d_revenue": q_events_sliding_30d_revenue,
 }
 
 ORACLE_SQL = {
@@ -10244,4 +10424,39 @@ ORACLE_SQL["doc_ttr_buckets"] = (
     "  GROUP BY doc_id)"
     " SELECT LEAST(FLOOR(ttr * 10), 9)::BIGINT AS ttr_decile,"
     " COUNT(*)::BIGINT AS n_docs FROM t GROUP BY 1 ORDER BY 1"
+)
+
+
+ORACLE_SQL["monthly_churn"] = (
+    "WITH a AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m') AS month FROM events)"
+    " SELECT month, COUNT(*)::BIGINT AS n_churned FROM a"
+    " WHERE NOT EXISTS (SELECT 1 FROM a b WHERE b.user_id = a.user_id"
+    "  AND b.month = strftime(strptime(a.month, '%Y-%m') + INTERVAL 1 MONTH, '%Y-%m'))"
+    " GROUP BY month ORDER BY month"
+)
+ORACLE_SQL["neardup_rate_by_source"] = (
+    "WITH toks AS (SELECT doc_id, source,"
+    "  list_distinct(string_split_regex(trim(text), '\\s+')) AS ts FROM documents),"
+    " p AS (SELECT a.source AS sa, b.source AS sb FROM toks a, toks b"
+    "  WHERE a.doc_id < b.doc_id AND len(list_intersect(a.ts, b.ts)) * 1.0"
+    "   / len(list_distinct(a.ts || b.ts)) >= 0.8)"
+    " SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,"
+    " COUNT(*)::BIGINT AS n_pairs FROM p GROUP BY 1, 2"
+    " ORDER BY n_pairs DESC, source_a, source_b LIMIT 10"
+)
+ORACLE_SQL["events_value_winsorized_mean"] = (
+    "SELECT ROUND(AVG(LEAST(GREATEST(value,"
+    "  (SELECT quantile_disc(value, 0.05) FROM events)),"
+    "  (SELECT quantile_disc(value, 0.95) FROM events))), 6) AS winsorized_mean,"
+    " ROUND((SELECT quantile_disc(value, 0.05) FROM events), 6) AS p05,"
+    " ROUND((SELECT quantile_disc(value, 0.95) FROM events), 6) AS p95 FROM events"
+)
+ORACLE_SQL["events_sliding_30d_revenue"] = (
+    "WITH p AS (SELECT CAST(ts AS DATE) AS d, value FROM events"
+    "  WHERE event_type = 'purchase'),"
+    " x AS (SELECT datediff('day', DATE '1995-01-01', d) AS nd, value FROM p),"
+    " w AS (SELECT ((nd // 7) * 7 - 7 * k) AS s, value FROM x,"
+    "  unnest(generate_series(0, 3)) AS u(k))"
+    " SELECT strftime(DATE '1995-01-01' + s::INT, '%Y-%m-%d') AS win_start,"
+    " ROUND(SUM(value), 4) AS revenue FROM w WHERE s >= 0 GROUP BY 1 ORDER BY 1"
 )
