@@ -7313,6 +7313,116 @@ def q_events_sliding_30d_revenue(sf_dir: str) -> pd.DataFrame:
     return out[["win_start", "revenue"]]
 
 
+# ------------------------------------------------------------ wave 26 -------
+
+
+def q_knn_label_agreement(sf_dir: str) -> pd.DataFrame:
+    """Embedding-space quality probe: leave-one-out 1-NN label agreement
+    (does the nearest neighbour share my label?). The corpus matrix ships
+    ONCE via ray.put; each batch does one (B×d)·(d×N) matmul against it and
+    takes a self-masked argmax — columns are vec_id-ordered, so numpy's
+    first-max tiebreak IS the oracle's (sim DESC, vec_id ASC). At 100 TB
+    the broadcast side swaps for the IVF index (same contract as
+    embedding_topk_ivf); the probe semantics stay per-row."""
+    import ray
+
+    emb = _dim(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    order = pc.sort_indices(emb["vec_id"])
+    emb = emb.take(order)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    mat = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, labels, mat.T))
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    class Agree:
+        def __init__(self):
+            self.ids, self.labels, self.matT = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            e = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+            e = e / np.linalg.norm(e, axis=1, keepdims=True)
+            sims = e @ self.matT  # B × N
+            my = np.searchsorted(self.ids, b["vec_id"].to_numpy())
+            sims[np.arange(len(my)), my] = -np.inf  # mask self
+            nn = np.argmax(sims, axis=1)  # first max = smallest vec_id on ties
+            hit = (self.labels[nn] == b["label"].to_numpy()).astype(np.int64)
+            return pa.table(
+                {
+                    "h": pa.array([int(hit.sum())], pa.int64()),
+                    "n": pa.array([len(hit)], pa.int64()),
+                }
+            )
+
+    parts = _coalesce_partials(
+        ds.map_batches(Agree, concurrency=2, batch_size=256, batch_format="pyarrow")
+    ).to_pandas()
+    h, n = int(parts["h"].sum()), int(parts["n"].sum())
+    return pd.DataFrame([{"acc": round(h / n, 6), "n": np.int64(n)}])
+
+
+def q_mmr_diverse_topk(sf_dir: str) -> pd.DataFrame:
+    """Maximal-marginal-relevance diverse top-10 vs the broadcast query
+    (λ=0.7): greedy rerank balancing query similarity against similarity to
+    already-selected results. Candidate pool = distributed partial top-50 by
+    plain cosine (per-batch matmul + 50-row driver merge, the
+    embedding_topk plan); the O(k·pool) greedy runs on the pool only. Not
+    SQL-expressible (iterative argmax) → golden-pinned."""
+    q = _query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+    POOL, K, LAM = 50, 10, 0.7
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def topk(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        mask = ids != 0
+        e = np.array(b["embedding"].to_pylist(), dtype=np.float64)[mask]
+        ids = ids[mask]
+        if len(ids) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64()),
+                 "emb": pa.array([], pa.list_(pa.float64()))}
+            )
+        en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        sims = en @ qn
+        k = min(POOL, len(ids))
+        top = np.argpartition(-sims, k - 1)[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[top], pa.int64()),
+                "sim": pa.array(sims[top], pa.float64()),
+                "emb": pa.array([r.tolist() for r in en[top]], pa.list_(pa.float64())),
+            }
+        )
+
+    pool = ds.map_batches(topk, batch_format="pyarrow").to_pandas()
+    pool = pool.sort_values(["sim", "vec_id"], ascending=[False, True]).head(POOL)
+    ids = pool["vec_id"].to_numpy()
+    sims = pool["sim"].to_numpy()
+    vecs = np.array(pool["emb"].tolist(), dtype=np.float64)
+
+    chosen: list[int] = []
+    rows = []
+    cand = np.arange(len(ids))
+    max_sel = np.zeros(len(ids))
+    for rank in range(1, min(K, len(ids)) + 1):
+        score = LAM * sims[cand] - (0.0 if not chosen else (1 - LAM)) * max_sel[cand]
+        # deterministic tiebreak: smallest vec_id among equal scores
+        best_pos = np.lexsort((ids[cand], -score))[0]
+        pick = cand[best_pos]
+        rows.append(
+            {"rank": rank, "vec_id": int(ids[pick]), "mmr_score": round(float(score[best_pos]), 6)}
+        )
+        chosen.append(pick)
+        cand = cand[cand != pick]
+        if len(cand):
+            max_sel[cand] = np.maximum(max_sel[cand], vecs[cand] @ vecs[pick])
+    return pd.DataFrame(rows).astype({"rank": "int64", "vec_id": "int64"})
+
+
 QUERIES = {
     "global_counts": q_global_counts,
     "events_by_type": q_events_by_type,
@@ -7459,6 +7569,8 @@ QUERIES = {
     "neardup_rate_by_source": q_neardup_rate_by_source,
     "events_value_winsorized_mean": q_events_value_winsorized_mean,
     "events_sliding_30d_revenue": q_events_sliding_30d_revenue,
+    "knn_label_agreement": q_knn_label_agreement,
+    "mmr_diverse_topk": q_mmr_diverse_topk,
 }
 
 ORACLE_SQL = {
@@ -10459,4 +10571,14 @@ ORACLE_SQL["events_sliding_30d_revenue"] = (
     "  unnest(generate_series(0, 3)) AS u(k))"
     " SELECT strftime(DATE '1995-01-01' + s::INT, '%Y-%m-%d') AS win_start,"
     " ROUND(SUM(value), 4) AS revenue FROM w WHERE s >= 0 GROUP BY 1 ORDER BY 1"
+)
+
+
+ORACLE_SQL["knn_label_agreement"] = (
+    "WITH nn AS (SELECT a.vec_id, a.label AS la,"
+    " (SELECT b.label FROM embeddings b WHERE b.vec_id <> a.vec_id"
+    "  ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id"
+    "  LIMIT 1) AS lb FROM embeddings a)"
+    " SELECT ROUND(AVG(CASE WHEN la = lb THEN 1.0 ELSE 0.0 END), 6) AS acc,"
+    " COUNT(*)::BIGINT AS n FROM nn"
 )

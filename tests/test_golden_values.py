@@ -81,6 +81,9 @@ GOLDEN = {
     # pHash hamming histogram over banded-LSH candidates (integer counts;
     # brute-force recompute in test_wave18)
     "phash_hamming_histogram": (13, "1048a6b0028b284012733ca9fb0bbf22"),
+    # greedy MMR diverse rerank (iterative argmax not SQL-expressible;
+    # diversity property additionally gated in test_wave26)
+    "mmr_diverse_topk": (10, "41de3d0ee25f065aa0102e330e99328c"),
 }
 
 
