@@ -7423,6 +7423,296 @@ def q_mmr_diverse_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).astype({"rank": "int64", "vec_id": "int64"})
 
 
+# ------------------------------------------------------------ wave 27 -------
+
+
+def q_doc_quality_pctrank(sf_dir: str) -> pd.DataFrame:
+    """FACT-scale grouped PERCENT_RANK: each document's length percentile
+    within its language (the per-group calibration step of a quality gate).
+    Unlike the dimension-sized supplier variant, this cannot fold on the
+    driver: ranks come from the value-bucket two-pass — per-(lang, bucket)
+    count partials → driver exclusive cumsum per lang → per-bucket segmented
+    scan assigns rank()-with-ties = lang offset + tie-group start."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    _W = 64  # n_chars bucket width
+
+    def prep(b: pa.Table) -> pa.Table:
+        vb = (b["n_chars"].to_numpy() // _W).astype(np.int64)
+        return b.append_column("vb", pa.array(vb))
+
+    rows = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    bsums = (
+        _coalesce_partials(
+            rows.map_batches(
+                lambda b: _partial(b.select(["lang", "vb"]), ["lang", "vb"], [([], "count_all")]),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby(["lang", "vb"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()
+        .sort_values(["lang", "vb"])
+    )
+    n_of = bsums.groupby("lang")["c"].sum().to_dict()
+    bsums["off"] = bsums.groupby("lang")["c"].cumsum() - bsums["c"]
+    offs = {(l, int(v)): int(o) for l, v, o in zip(bsums["lang"], bsums["vb"], bsums["off"])}
+
+    def pct_seg(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, gg in g.groupby("lang"):
+            gg = gg.sort_values(["n_chars", "doc_id"], kind="stable")
+            x = gg["n_chars"].to_numpy()
+            base = offs[(lang, int(gg["vb"].iloc[0]))]
+            starts = np.flatnonzero(np.r_[True, x[1:] != x[:-1]])
+            lens = np.diff(np.r_[starts, len(x)])
+            rank = np.repeat(base + starts + 1, lens)  # rank() — ties share
+            n = n_of[lang]
+            pr = (rank - 1) / max(n - 1, 1) if n > 1 else np.zeros(len(x))
+            out.append(
+                pd.DataFrame(
+                    {"doc_id": gg["doc_id"].to_numpy(), "lang": lang, "pr": np.round(pr, 6)}
+                )
+            )
+        return pd.concat(out) if out else pd.DataFrame({"doc_id": [], "lang": [], "pr": []})
+
+    out = (
+        rows.groupby(["lang", "vb"])
+        .map_groups(pct_seg, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"doc_id": "int64"})
+
+
+def q_copurchase_link_prediction(sf_dir: str) -> pd.DataFrame:
+    """Link prediction on the co-purchase graph: top-10 part pairs by
+    common-neighbour count among pairs NOT already co-ordered (the
+    recommender candidate-generation shape). Wedge enumeration reuses the
+    triangle plan — pairs emit per neighbour hub (orderkey-bucket shuffle,
+    vectorized segment pair math on the hub's sorted adjacency), counts fold
+    pair-keyed, and existing edges drop via the same banded broadcast edge
+    test as copurchase_triangles."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def with_ob(b: pa.Table) -> pa.Table:
+        ob = (b["l_orderkey"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)).astype(np.int32)
+        return b.append_column("ob", pa.array(ob))
+
+    bucketed = ds.map_batches(with_ob, batch_format="pyarrow").materialize()
+
+    def pairs_seg(g: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            g[["l_orderkey", "l_partkey"]]
+            .drop_duplicates()
+            .sort_values(["l_orderkey", "l_partkey"], kind="stable")
+        )
+        ok = d["l_orderkey"].to_numpy()
+        pk = d["l_partkey"].to_numpy()
+        n = len(ok)
+        if n == 0:
+            return pd.DataFrame({"part_a": [], "part_b": [], "n": []})
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens)
+        rem = np.repeat(lens, lens) - pos - 1
+        total = int(rem.sum())
+        if total == 0:
+            return pd.DataFrame({"part_a": [], "part_b": [], "n": []})
+        a_idx = np.repeat(np.arange(n), rem)
+        off = np.arange(total) - np.repeat(np.cumsum(rem) - rem, rem) + 1
+        out = pd.DataFrame({"part_a": pk[a_idx], "part_b": pk[a_idx + off]})
+        return out.groupby(["part_a", "part_b"]).size().rename("n").reset_index()
+
+    # direct co-order edge set (for the NOT-an-edge filter) — dup-bounded,
+    # broadcast as a sorted composite-key array (copurchase_triangles plan)
+    edges = (
+        bucketed.groupby("ob")
+        .map_groups(pairs_seg, batch_format="pandas")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    ekeys = np.sort(
+        edges["part_a"].to_numpy().astype(np.uint64) * np.uint64(1 << 32)
+        + edges["part_b"].to_numpy().astype(np.uint64)
+    )
+
+    # wedges: for each part hub, pairs of its NEIGHBOURS share that hub;
+    # build the neighbour adjacency by re-keying edges both directions on a
+    # part-hash bucket, then the same segment pair math per hub
+    both = pd.concat(
+        [
+            edges.rename(columns={"part_a": "hub", "part_b": "nb"})[["hub", "nb"]],
+            edges.rename(columns={"part_b": "hub", "part_a": "nb"})[["hub", "nb"]],
+        ]
+    )
+    import ray.data as rd
+
+    adj = rd.from_pandas(both).repartition(8)
+
+    def with_hb(b: pa.Table) -> pa.Table:
+        hb = (b["hub"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)).astype(np.int32)
+        return b.append_column("hb", pa.array(hb))
+
+    def wedge_seg(g: pd.DataFrame) -> pd.DataFrame:
+        """emit per-hub neighbour pairs PRE-COUNTED and keyed by a fixed
+        64-ary pair-hash bucket — the downstream exchange is a coarse
+        64-group shuffle + one segmented fold per group, never a fine
+        pair-keyed aggregate over every wedge."""
+        d = g[["hub", "nb"]].drop_duplicates().sort_values(["hub", "nb"], kind="stable")
+        hub = d["hub"].to_numpy()
+        nb = d["nb"].to_numpy()
+        n = len(hub)
+        empty = pd.DataFrame(
+            {
+                "pb2": pd.Series([], dtype="int32"),
+                "key": pd.Series([], dtype="uint64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if n == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, hub[1:] != hub[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens)
+        rem = np.repeat(lens, lens) - pos - 1
+        total = int(rem.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), rem)
+        off = np.arange(total) - np.repeat(np.cumsum(rem) - rem, rem) + 1
+        key = nb[a_idx].astype(np.uint64) * np.uint64(1 << 32) + nb[a_idx + off].astype(
+            np.uint64
+        )
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "pb2": (uk % np.uint64(_N_UB)).astype(np.int32),
+                "key": uk,
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    def fold_bucket(g: pd.DataFrame, _ek=ekeys) -> pd.DataFrame:
+        agg = g.groupby("key")["n"].sum()
+        key = agg.index.to_numpy().astype(np.uint64)
+        common = agg.to_numpy()
+        pos = np.searchsorted(_ek, key)
+        is_edge = (pos < len(_ek)) & (_ek[np.clip(pos, 0, len(_ek) - 1)] == key)
+        key, common = key[~is_edge], common[~is_edge]
+        pa_ = (key >> np.uint64(32)).astype(np.int64)
+        pb_ = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        df = pd.DataFrame({"part_a": pa_, "part_b": pb_, "common": common})
+        return df.sort_values(
+            ["common", "part_a", "part_b"], ascending=[False, True, True]
+        ).head(10)
+
+    out = (
+        adj.map_batches(with_hb, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(wedge_seg, batch_format="pandas")
+        .groupby("pb2")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["common", "part_a", "part_b"], ascending=[False, True, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return out.astype({"part_a": "int64", "part_b": "int64", "common": "int64"})
+
+
+def q_customer_cohort_ltv(sf_dir: str) -> pd.DataFrame:
+    """Cohort LTV matrix: average cumulative-to-date revenue per (first-order
+    YEAR cohort, years since first order). Two passes over orders: (1)
+    per-customer first-order year (keyed min partials), broadcast back as a
+    result-sized map; (2) (cohort, age) revenue partials. The matrix is
+    calendar²-bounded → driver fold of the cumulative sum."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def first_prep(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"o_custkey": b["o_custkey"], "y": pc.cast(pc.year(b["o_orderdate"]), pa.int64())}
+        )
+        return _partial(t, ["o_custkey"], [("y", "min")])
+
+    first = (
+        ds.map_batches(first_prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Min("y_min", alias_name="cohort"))
+        .to_pandas()  # customer-dimension-sized
+    )
+    cmap = dict(zip(first["o_custkey"], first["cohort"]))
+    n_cust = first.groupby("cohort").size().to_dict()
+
+    def rev_prep(b: pa.Table, _c=cmap) -> pa.Table:
+        y = pc.cast(pc.year(b["o_orderdate"]), pa.int64()).to_numpy()
+        co = pd.Series(b["o_custkey"].to_numpy()).map(_c).to_numpy()
+        t = pa.table(
+            {
+                "cohort": pa.array(co, pa.int64()),
+                "age": pa.array(y - co, pa.int64()),
+                "v": b["o_totalprice"],
+            }
+        )
+        return _partial(t, ["cohort", "age"], [("v", "sum")])
+
+    mat = (
+        _coalesce_partials(ds.map_batches(rev_prep, batch_format="pyarrow"))
+        .groupby(["cohort", "age"])
+        .aggregate(Sum("v_sum", alias_name="r"))
+        .to_pandas()
+        .sort_values(["cohort", "age"])
+    )
+    mat["cum"] = mat.groupby("cohort")["r"].cumsum()
+    mat["avg_ltv"] = (mat["cum"] / mat["cohort"].map(n_cust)).round(4)
+    return mat[["cohort", "age", "avg_ltv"]].reset_index(drop=True).astype(
+        {"cohort": "int64", "age": "int64"}
+    )
+
+
+def q_orders_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit of order totals: observed digit shares vs
+    the Benford expectation log10(1+1/d) — the fraud/synthetic-data screen.
+    One scan of digit partials; the 9-row fold happens on the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digits(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy()
+        d = np.floor(v / np.power(10.0, np.floor(np.log10(v)))).astype(np.int64)
+        t = pa.table({"digit": pa.array(d), "one": pa.array(np.ones(len(d), np.int64))})
+        return _partial(t, ["digit"], [("one", "sum")]).rename_columns(["digit", "n"])
+
+    obs = (
+        _coalesce_partials(ds.map_batches(digits, batch_format="pyarrow"))
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .set_index("digit")["n"]
+        .reindex(range(1, 10), fill_value=0)
+    )
+    n = float(obs.sum())
+    share = obs.to_numpy() / n
+    exp = np.log10(1.0 + 1.0 / np.arange(1, 10))
+    out = pd.DataFrame(
+        {
+            "digit": np.arange(1, 10, dtype=np.int64),
+            "n": obs.to_numpy().astype(np.int64),
+            "share": np.round(share, 6),
+            "benford": np.round(exp, 6),
+        }
+    )
+    return out
+
+
 QUERIES = {
     "global_counts": q_global_counts,
     "events_by_type": q_events_by_type,
@@ -7571,6 +7861,10 @@ QUERIES = {
     "events_sliding_30d_revenue": q_events_sliding_30d_revenue,
     "knn_label_agreement": q_knn_label_agreement,
     "mmr_diverse_topk": q_mmr_diverse_topk,
+    "doc_quality_pctrank": q_doc_quality_pctrank,
+    "copurchase_link_prediction": q_copurchase_link_prediction,
+    "customer_cohort_ltv": q_customer_cohort_ltv,
+    "orders_benford": q_orders_benford,
 }
 
 ORACLE_SQL = {
@@ -10581,4 +10875,46 @@ ORACLE_SQL["knn_label_agreement"] = (
     "  LIMIT 1) AS lb FROM embeddings a)"
     " SELECT ROUND(AVG(CASE WHEN la = lb THEN 1.0 ELSE 0.0 END), 6) AS acc,"
     " COUNT(*)::BIGINT AS n FROM nn"
+)
+
+
+ORACLE_SQL["doc_quality_pctrank"] = (
+    "SELECT doc_id, lang,"
+    " ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS pr"
+    " FROM documents ORDER BY doc_id"
+)
+ORACLE_SQL["copurchase_link_prediction"] = (
+    "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+    " e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb FROM d a"
+    "  JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),"
+    " adj AS (SELECT pa AS hub, pb AS nb FROM e UNION SELECT pb, pa FROM e),"
+    " w AS (SELECT a.nb AS pa, b.nb AS pb, COUNT(*) AS common FROM adj a"
+    "  JOIN adj b ON a.hub = b.hub AND a.nb < b.nb GROUP BY 1, 2)"
+    " SELECT pa AS part_a, pb AS part_b, common::BIGINT AS common FROM w"
+    " WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = w.pa AND e.pb = w.pb)"
+    " ORDER BY common DESC, part_a, part_b LIMIT 10"
+)
+ORACLE_SQL["customer_cohort_ltv"] = (
+    "WITH f AS (SELECT o_custkey, MIN(EXTRACT(year FROM o_orderdate))::BIGINT AS cohort"
+    "  FROM orders GROUP BY 1),"
+    " nc AS (SELECT cohort, COUNT(*)::DOUBLE AS n FROM f GROUP BY 1),"
+    " r AS (SELECT f.cohort,"
+    "  EXTRACT(year FROM o.o_orderdate)::BIGINT - f.cohort AS age,"
+    "  SUM(o.o_totalprice) AS rev FROM orders o JOIN f ON o.o_custkey = f.o_custkey"
+    "  GROUP BY 1, 2),"
+    " c AS (SELECT cohort, age, SUM(rev) OVER (PARTITION BY cohort ORDER BY age"
+    "  ROWS UNBOUNDED PRECEDING) AS cum FROM r)"
+    " SELECT c.cohort, c.age, ROUND(c.cum / nc.n, 4) AS avg_ltv FROM c"
+    " JOIN nc USING(cohort) ORDER BY cohort, age"
+)
+ORACLE_SQL["orders_benford"] = (
+    "WITH d AS (SELECT FLOOR(o_totalprice"
+    "  / POWER(10, FLOOR(LOG10(o_totalprice))))::BIGINT AS digit FROM orders),"
+    " o AS (SELECT g.digit, COUNT(d.digit)::BIGINT AS n FROM"
+    "  (SELECT unnest(generate_series(1, 9)) AS digit) g"
+    "  LEFT JOIN d ON d.digit = g.digit GROUP BY g.digit),"
+    " t AS (SELECT SUM(n)::DOUBLE AS tot FROM o)"
+    " SELECT digit, n, ROUND(n / tot, 6) AS share,"
+    " ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford FROM o CROSS JOIN t"
+    " ORDER BY digit"
 )
