@@ -7713,6 +7713,167 @@ def q_orders_benford(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+# ------------------------------------------------------------ wave 28 -------
+
+
+def q_price_iqr_outliers(sf_dir: str) -> pd.DataFrame:
+    """Tukey-fence outlier screen on lineitem price: exact Q1/Q3 via the
+    distributed histogram-refinement selection (_quantile_disc), then one
+    vectorized fence-count scan — the classic robust outlier-rate audit."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_extendedprice"])
+    qd = _quantile_disc(ds, "l_extendedprice", (0.25, 0.75))
+    q1, q3 = float(qd[0.25]), float(qd[0.75])
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+
+    def fold(b: pa.Table) -> pa.Table:
+        v = b["l_extendedprice"].to_numpy()
+        return pa.table(
+            {
+                "nl": pa.array([int((v < lo).sum())], pa.int64()),
+                "nh": pa.array([int((v > hi).sum())], pa.int64()),
+            }
+        )
+
+    parts = _coalesce_partials(ds.map_batches(fold, batch_format="pyarrow")).to_pandas()
+    return pd.DataFrame(
+        [
+            {
+                "q1": round(q1, 4),
+                "q3": round(q3, 4),
+                "n_low": np.int64(int(parts["nl"].sum())),
+                "n_high": np.int64(int(parts["nh"].sum())),
+            }
+        ]
+    )
+
+
+def q_doc_length_anova(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F statistic of document length across languages — the
+    between-group-effect test completing the drift-test family (chi² for
+    categorical, KS/MWU for two-sample, F for k-group means). One scan of
+    per-lang (n, Σx, Σx²) partials; the k-row fold runs on the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = b["n_chars"].to_numpy().astype(np.float64)
+        t = pa.table({"lang": b["lang"], "x": pa.array(x), "x2": pa.array(x * x)})
+        return _partial(t, ["lang"], [("x", "sum"), ("x2", "sum"), ([], "count_all")])
+
+    g = (
+        _coalesce_partials(ds.map_batches(prep, batch_format="pyarrow"))
+        .groupby("lang")
+        .aggregate(
+            Sum("x_sum", alias_name="s"),
+            Sum("x2_sum", alias_name="s2"),
+            Sum("count_all", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    n = g["n"].to_numpy(dtype=np.float64)
+    s = g["s"].to_numpy()
+    s2 = g["s2"].to_numpy()
+    N, k = n.sum(), len(g)
+    mean = s.sum() / N
+    ssb = float((n * (s / n - mean) ** 2).sum())
+    ssw = float((s2 - s * s / n).sum())
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    return pd.DataFrame(
+        [{"f_stat": round(f, 6), "df_between": np.int64(k - 1), "df_within": np.int64(int(N - k))}]
+    )
+
+
+def q_terms_llr_keyness(sf_dir: str) -> pd.DataFrame:
+    """Dunning log-likelihood-ratio keyness: the 20 terms most
+    characteristic of source 'src0' vs the rest of the corpus — the
+    corpus-comparison op of a curation pipeline. Token counts fold per batch
+    into (term, in-src0, elsewhere) partials (vocabulary-sized shuffle);
+    the LLR scoring is per-term scalar math on the aggregated vocabulary
+    with a per-batch partial top-k."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["source", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.DataFrame(
+                {
+                    "in0": pl.Series(
+                        [s == "src0" for s in b["source"].to_pylist()], dtype=pl.Int64
+                    ),
+                    "token": pl.from_arrow(b["text"]).str.split(" "),
+                }
+            )
+            .explode("token")
+            .group_by("token")
+            .agg(pl.col("in0").sum().alias("a"), (1 - pl.col("in0")).sum().alias("b"))
+        )
+        return pa.table(
+            {
+                "token": pa.array(df["token"].to_numpy(), pa.string()),
+                "a": pa.array(df["a"].to_numpy(), pa.int64()),
+                "b": pa.array(df["b"].to_numpy(), pa.int64()),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+    )
+    tot = vocab.map_batches(
+        lambda t: pa.table(
+            {
+                "ca": pa.array([int(pc.sum(t["a"]).as_py() or 0)], pa.int64()),
+                "cb": pa.array([int(pc.sum(t["b"]).as_py() or 0)], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    ca, cb = float(tot["ca"].sum()), float(tot["cb"].sum())
+
+    def xlogx(v):  # 0·ln0 := 0
+        return np.where(v > 0, v * np.log(np.maximum(v, 1e-300)), 0.0)
+
+    def score(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["a"] + df["b"] >= 10]
+        if df.empty:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "llr": pa.array([], pa.float64()),
+                }
+            )
+        a = df["a"].to_numpy(dtype=np.float64)
+        b = df["b"].to_numpy(dtype=np.float64)
+        ea = (a + b) * ca / (ca + cb)
+        eb = (a + b) * cb / (ca + cb)
+        llr = 2.0 * (
+            xlogx(a) - a * np.log(ea) + xlogx(b) - b * np.log(eb)
+        )
+        # keyness: positive enrichment in src0 only
+        llr = np.where(a / ca > (a + b) / (ca + cb), llr, -llr)
+        df["llr"] = llr
+        df = df.sort_values(["llr", "token"], ascending=[False, True]).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        vocab.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["llr", "token"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    out["llr"] = out["llr"].round(6)
+    return out[["token", "a", "b", "llr"]].astype({"a": "int64", "b": "int64"})
+
+
 QUERIES = {
     "global_counts": q_global_counts,
     "events_by_type": q_events_by_type,
@@ -7865,6 +8026,9 @@ QUERIES = {
     "copurchase_link_prediction": q_copurchase_link_prediction,
     "customer_cohort_ltv": q_customer_cohort_ltv,
     "orders_benford": q_orders_benford,
+    "price_iqr_outliers": q_price_iqr_outliers,
+    "doc_length_anova": q_doc_length_anova,
+    "terms_llr_keyness": q_terms_llr_keyness,
 }
 
 ORACLE_SQL = {
@@ -10917,4 +11081,40 @@ ORACLE_SQL["orders_benford"] = (
     " SELECT digit, n, ROUND(n / tot, 6) AS share,"
     " ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford FROM o CROSS JOIN t"
     " ORDER BY digit"
+)
+
+
+ORACLE_SQL["price_iqr_outliers"] = (
+    "WITH q AS (SELECT quantile_disc(l_extendedprice, 0.25) AS q1,"
+    "  quantile_disc(l_extendedprice, 0.75) AS q3 FROM lineitem)"
+    " SELECT ROUND(q.q1, 4) AS q1, ROUND(q.q3, 4) AS q3,"
+    " (SELECT COUNT(*) FROM lineitem"
+    "   WHERE l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1))::BIGINT AS n_low,"
+    " (SELECT COUNT(*) FROM lineitem"
+    "   WHERE l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1))::BIGINT AS n_high FROM q"
+)
+ORACLE_SQL["doc_length_anova"] = (
+    "WITH g AS (SELECT lang, COUNT(*)::DOUBLE AS n, SUM(n_chars::DOUBLE) AS s,"
+    "  SUM(n_chars::DOUBLE * n_chars) AS s2 FROM documents GROUP BY 1),"
+    " t AS (SELECT SUM(n) AS nn, COUNT(*) AS k, SUM(s) / SUM(n) AS mean FROM g)"
+    " SELECT ROUND((SUM(g.n * POWER(g.s / g.n - t.mean, 2)) / (t.k - 1))"
+    "  / (SUM(g.s2 - g.s * g.s / g.n) / (t.nn - t.k)), 6) AS f_stat,"
+    " (t.k - 1)::BIGINT AS df_between, (t.nn - t.k)::BIGINT AS df_within"
+    " FROM g CROSS JOIN t GROUP BY t.k, t.nn"
+)
+ORACLE_SQL["terms_llr_keyness"] = (
+    "WITH tok AS (SELECT source = 'src0' AS in0,"
+    "  unnest(string_split(text, ' ')) AS token FROM documents),"
+    " v AS (SELECT token, SUM(CASE WHEN in0 THEN 1 ELSE 0 END)::DOUBLE AS a,"
+    "  SUM(CASE WHEN in0 THEN 0 ELSE 1 END)::DOUBLE AS b FROM tok GROUP BY 1"
+    "  HAVING COUNT(*) >= 10),"
+    " t AS (SELECT SUM(CASE WHEN in0 THEN 1 ELSE 0 END)::DOUBLE AS ca,"
+    "  SUM(CASE WHEN in0 THEN 0 ELSE 1 END)::DOUBLE AS cb FROM tok),"
+    " s AS (SELECT token, a::BIGINT AS a, b::BIGINT AS b,"
+    "  (CASE WHEN a / t.ca > (a + b) / (t.ca + t.cb) THEN 1 ELSE -1 END) * 2.0 * ("
+    "   (CASE WHEN a > 0 THEN a * ln(a) ELSE 0 END) - a * ln((a + b) * t.ca / (t.ca + t.cb))"
+    "   + (CASE WHEN b > 0 THEN b * ln(b) ELSE 0 END) - b * ln((a + b) * t.cb / (t.ca + t.cb))"
+    "  ) AS llr FROM v CROSS JOIN t)"
+    " SELECT token, a, b, ROUND(llr, 6) AS llr FROM s"
+    " ORDER BY llr DESC, token LIMIT 20"
 )
