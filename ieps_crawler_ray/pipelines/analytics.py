@@ -7874,6 +7874,274 @@ def q_terms_llr_keyness(sf_dir: str) -> pd.DataFrame:
     return out[["token", "a", "b", "llr"]].astype({"a": "int64", "b": "int64"})
 
 
+# ------------------------------------------------------------ wave 29 -------
+
+
+def q_doc_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Term burstiness (Church-Gale): variance-to-mean ratio of per-document
+    counts among documents CONTAINING the term, top-20 over df ≥ 20 — the
+    corpus-linguistics dispersion stat. Each doc lives in one batch, so
+    (token, doc) counts are per-batch exact; the shuffle moves (token,
+    df, Σc, Σc²) moment partials — vocabulary-sized — and the VMR math +
+    partial top-k stay per-batch."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.DataFrame(
+                {
+                    "doc_id": pl.from_arrow(b["doc_id"]),
+                    "token": pl.from_arrow(b["text"]).str.split(" "),
+                }
+            )
+            .explode("token")
+            .group_by(["doc_id", "token"])
+            .len("c")
+            .group_by("token")
+            .agg(
+                pl.len().alias("df"),
+                pl.col("c").sum().alias("s"),
+                (pl.col("c") * pl.col("c")).sum().alias("s2"),
+            )
+        )
+        return pa.table(
+            {
+                "token": pa.array(df["token"].to_numpy(), pa.string()),
+                "df": pa.array(df["df"].to_numpy().astype(np.int64)),
+                "s": pa.array(df["s"].to_numpy().astype(np.int64)),
+                "s2": pa.array(df["s2"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(
+            Sum("df", alias_name="df"), Sum("s", alias_name="s"), Sum("s2", alias_name="s2")
+        )
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["df"] >= 20]
+        if df.empty:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "burstiness": pa.array([], pa.float64()),
+                }
+            )
+        n = df["df"].to_numpy(dtype=np.float64)
+        s = df["s"].to_numpy(dtype=np.float64)
+        s2 = df["s2"].to_numpy(dtype=np.float64)
+        mean = s / n
+        var = (s2 - n * mean * mean) / (n - 1.0)
+        df["burstiness"] = var / mean
+        df = df.sort_values(["burstiness", "token"], ascending=[False, True]).head(20)
+        return pa.Table.from_pandas(df[["token", "df", "burstiness"]], preserve_index=False)
+
+    out = (
+        vocab.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["burstiness", "token"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    out["burstiness"] = out["burstiness"].round(6)
+    return out.astype({"df": "int64"})
+
+
+def q_doc_js_divergence(sf_dir: str) -> pd.DataFrame:
+    """Jensen-Shannon divergence between the unigram distribution of source
+    'src0' and the rest of the corpus — the symmetric information-theoretic
+    drift measure completing the LLR-keyness pair. Token counts fold to a
+    vocabulary-sized (term, a, b) table (same plan as terms_llr_keyness);
+    the JSD fold is per-term scalar math summed over the vocabulary."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["source", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.DataFrame(
+                {
+                    "in0": pl.Series(
+                        [s == "src0" for s in b["source"].to_pylist()], dtype=pl.Int64
+                    ),
+                    "token": pl.from_arrow(b["text"]).str.split(" "),
+                }
+            )
+            .explode("token")
+            .group_by("token")
+            .agg(pl.col("in0").sum().alias("a"), (1 - pl.col("in0")).sum().alias("b"))
+        )
+        return pa.table(
+            {
+                "token": pa.array(df["token"].to_numpy(), pa.string()),
+                "a": pa.array(df["a"].to_numpy(), pa.int64()),
+                "b": pa.array(df["b"].to_numpy(), pa.int64()),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+        .to_pandas()  # vocabulary-sized
+    )
+    a = vocab["a"].to_numpy(dtype=np.float64)
+    b = vocab["b"].to_numpy(dtype=np.float64)
+    p = a / a.sum()
+    q = b / b.sum()
+    m = (p + q) / 2.0
+    kl_p = float(np.where(p > 0, p * np.log(np.maximum(p, 1e-300) / m), 0.0).sum())
+    kl_q = float(np.where(q > 0, q * np.log(np.maximum(q, 1e-300) / m), 0.0).sum())
+    return pd.DataFrame(
+        [{"jsd": round(0.5 * kl_p + 0.5 * kl_q, 6), "n_terms": np.int64(len(vocab))}]
+    )
+
+
+def q_copurchase_adamic_adar(sf_dir: str) -> pd.DataFrame:
+    """Adamic-Adar link prediction on the co-purchase graph: top-10
+    non-edge part pairs by Σ 1/ln(deg(hub)) over shared hubs — the
+    degree-discounted sibling of copurchase_link_prediction, on the same
+    pre-counted pair-hash-bucket wedge plan (each hub's weight rides the
+    wedge emission; the exchange stays a coarse 64-group shuffle)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def with_ob(b: pa.Table) -> pa.Table:
+        ob = (b["l_orderkey"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)).astype(np.int32)
+        return b.append_column("ob", pa.array(ob))
+
+    bucketed = ds.map_batches(with_ob, batch_format="pyarrow").materialize()
+
+    def pairs_seg(g: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            g[["l_orderkey", "l_partkey"]]
+            .drop_duplicates()
+            .sort_values(["l_orderkey", "l_partkey"], kind="stable")
+        )
+        ok = d["l_orderkey"].to_numpy()
+        pk = d["l_partkey"].to_numpy()
+        n = len(ok)
+        if n == 0:
+            return pd.DataFrame({"part_a": [], "part_b": [], "n": []})
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens)
+        rem = np.repeat(lens, lens) - pos - 1
+        total = int(rem.sum())
+        if total == 0:
+            return pd.DataFrame({"part_a": [], "part_b": [], "n": []})
+        a_idx = np.repeat(np.arange(n), rem)
+        off = np.arange(total) - np.repeat(np.cumsum(rem) - rem, rem) + 1
+        out = pd.DataFrame({"part_a": pk[a_idx], "part_b": pk[a_idx + off]})
+        return out.groupby(["part_a", "part_b"]).size().rename("n").reset_index()
+
+    edges = (
+        bucketed.groupby("ob")
+        .map_groups(pairs_seg, batch_format="pandas")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    ekeys = np.sort(
+        edges["part_a"].to_numpy().astype(np.uint64) * np.uint64(1 << 32)
+        + edges["part_b"].to_numpy().astype(np.uint64)
+    )
+    both = pd.concat(
+        [
+            edges.rename(columns={"part_a": "hub", "part_b": "nb"})[["hub", "nb"]],
+            edges.rename(columns={"part_b": "hub", "part_a": "nb"})[["hub", "nb"]],
+        ]
+    )
+    import ray.data as rd
+
+    adj = rd.from_pandas(both).repartition(8)
+
+    def with_hb(b: pa.Table) -> pa.Table:
+        hb = (b["hub"].to_numpy().astype(np.uint64) % np.uint64(_N_UB)).astype(np.int32)
+        return b.append_column("hb", pa.array(hb))
+
+    # hub degrees are part-dimension-sized → broadcast into the wedge stage
+    deg = both.groupby("hub").size()
+    degmap = dict(zip(deg.index, deg.to_numpy(dtype=np.float64)))
+
+    def wedge_seg(g: pd.DataFrame, _deg=degmap) -> pd.DataFrame:
+        d = g[["hub", "nb"]].drop_duplicates().sort_values(["hub", "nb"], kind="stable")
+        hub = d["hub"].to_numpy()
+        nb = d["nb"].to_numpy()
+        n = len(hub)
+        empty = pd.DataFrame(
+            {
+                "pb2": pd.Series([], dtype="int32"),
+                "key": pd.Series([], dtype="uint64"),
+                "w": pd.Series([], dtype="float64"),
+            }
+        )
+        if n == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, hub[1:] != hub[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens)
+        rem = np.repeat(lens, lens) - pos - 1
+        total = int(rem.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), rem)
+        off = np.arange(total) - np.repeat(np.cumsum(rem) - rem, rem) + 1
+        key = nb[a_idx].astype(np.uint64) * np.uint64(1 << 32) + nb[a_idx + off].astype(
+            np.uint64
+        )
+        w = 1.0 / np.log(np.array([_deg[h] for h in hub], dtype=np.float64))
+        w = w[a_idx]
+        agg = pd.DataFrame({"key": key, "w": w}).groupby("key")["w"].sum()
+        uk = agg.index.to_numpy().astype(np.uint64)
+        return pd.DataFrame(
+            {
+                "pb2": (uk % np.uint64(_N_UB)).astype(np.int32),
+                "key": uk,
+                "w": agg.to_numpy(),
+            }
+        )
+
+    def fold_bucket(g: pd.DataFrame, _ek=ekeys) -> pd.DataFrame:
+        agg = g.groupby("key")["w"].sum()
+        key = agg.index.to_numpy().astype(np.uint64)
+        aa = agg.to_numpy()
+        pos = np.searchsorted(_ek, key)
+        is_edge = (pos < len(_ek)) & (_ek[np.clip(pos, 0, len(_ek) - 1)] == key)
+        key, aa = key[~is_edge], np.round(aa[~is_edge], 6)
+        pa_ = (key >> np.uint64(32)).astype(np.int64)
+        pb_ = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        df = pd.DataFrame({"part_a": pa_, "part_b": pb_, "aa": aa})
+        return df.sort_values(
+            ["aa", "part_a", "part_b"], ascending=[False, True, True]
+        ).head(10)
+
+    out = (
+        adj.map_batches(with_hb, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(wedge_seg, batch_format="pandas")
+        .groupby("pb2")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["aa", "part_a", "part_b"], ascending=[False, True, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return out.astype({"part_a": "int64", "part_b": "int64"})
+
+
 QUERIES = {
     "global_counts": q_global_counts,
     "events_by_type": q_events_by_type,
@@ -8029,6 +8297,9 @@ QUERIES = {
     "price_iqr_outliers": q_price_iqr_outliers,
     "doc_length_anova": q_doc_length_anova,
     "terms_llr_keyness": q_terms_llr_keyness,
+    "doc_burstiness": q_doc_burstiness,
+    "doc_js_divergence": q_doc_js_divergence,
+    "copurchase_adamic_adar": q_copurchase_adamic_adar,
 }
 
 ORACLE_SQL = {
@@ -11117,4 +11388,39 @@ ORACLE_SQL["terms_llr_keyness"] = (
     "  ) AS llr FROM v CROSS JOIN t)"
     " SELECT token, a, b, ROUND(llr, 6) AS llr FROM s"
     " ORDER BY llr DESC, token LIMIT 20"
+)
+
+
+ORACLE_SQL["doc_burstiness"] = (
+    "WITH dc AS (SELECT doc_id, token, COUNT(*)::DOUBLE AS c FROM"
+    " (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t"
+    " GROUP BY 1, 2),"
+    " v AS (SELECT token, COUNT(*)::BIGINT AS df, AVG(c) AS mean,"
+    "  VAR_SAMP(c) AS var FROM dc GROUP BY token HAVING COUNT(*) >= 20)"
+    " SELECT token, df, ROUND(var / mean, 6) AS burstiness FROM v"
+    " ORDER BY var / mean DESC, token LIMIT 20"
+)
+ORACLE_SQL["doc_js_divergence"] = (
+    "WITH tok AS (SELECT source = 'src0' AS in0,"
+    "  unnest(string_split(text, ' ')) AS token FROM documents),"
+    " v AS (SELECT token, SUM(CASE WHEN in0 THEN 1 ELSE 0 END)::DOUBLE AS a,"
+    "  SUM(CASE WHEN in0 THEN 0 ELSE 1 END)::DOUBLE AS b FROM tok GROUP BY 1),"
+    " t AS (SELECT SUM(a) AS ca, SUM(b) AS cb FROM v),"
+    " pq AS (SELECT a / t.ca AS p, b / t.cb AS q FROM v CROSS JOIN t)"
+    " SELECT ROUND(0.5 * SUM(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2))"
+    "  ELSE 0 END) + 0.5 * SUM(CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2))"
+    "  ELSE 0 END), 6) AS jsd, COUNT(*)::BIGINT AS n_terms FROM pq"
+)
+ORACLE_SQL["copurchase_adamic_adar"] = (
+    "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+    " e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb FROM d a"
+    "  JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),"
+    " adj AS (SELECT pa AS hub, pb AS nb FROM e UNION SELECT pb, pa FROM e),"
+    " dg AS (SELECT hub, COUNT(*)::DOUBLE AS deg FROM adj GROUP BY 1),"
+    " w AS (SELECT a.nb AS pa, b.nb AS pb, SUM(1.0 / ln(dg.deg)) AS aa FROM adj a"
+    "  JOIN adj b ON a.hub = b.hub AND a.nb < b.nb JOIN dg ON dg.hub = a.hub"
+    "  GROUP BY 1, 2)"
+    " SELECT pa AS part_a, pb AS part_b, ROUND(aa, 6) AS aa FROM w"
+    " WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = w.pa AND e.pb = w.pb)"
+    " ORDER BY ROUND(aa, 6) DESC, pa, pb LIMIT 10"
 )
