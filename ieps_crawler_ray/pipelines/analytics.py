@@ -8142,6 +8142,66 @@ def q_copurchase_adamic_adar(sf_dir: str) -> pd.DataFrame:
     return out.astype({"part_a": "int64", "part_b": "int64"})
 
 
+# ------------------------------------------------------------ wave 30 -------
+
+
+def q_doc_hapax_ratio(sf_dir: str) -> pd.DataFrame:
+    """Lexical richness summary: hapax-legomena share of the vocabulary,
+    type-token ratio, and vocabulary size — the corpus-health scalar trio.
+    One distinct-token-partial scan builds the vocabulary-sized count table;
+    the three scalars fold from (n=1 count, vocab, token mass) partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.DataFrame({"token": pl.from_arrow(b["text"]).str.split(" ")})
+            .explode("token")
+            .group_by("token")
+            .len("c")
+        )
+        return pa.table(
+            {
+                "token": pa.array(df["token"].to_numpy(), pa.string()),
+                "c": pa.array(df["c"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        return pa.table(
+            {
+                "hapax": pa.array([int((n == 1).sum())], pa.int64()),
+                "vocab": pa.array([len(n)], pa.int64()),
+                "tokens": pa.array([int(n.sum())], pa.int64()),
+            }
+        )
+
+    parts = _coalesce_partials(vocab.map_batches(fold, batch_format="pyarrow")).to_pandas()
+    hapax = int(parts["hapax"].sum())
+    v = int(parts["vocab"].sum())
+    toks = int(parts["tokens"].sum())
+    return pd.DataFrame(
+        [
+            {
+                "n_hapax": np.int64(hapax),
+                "n_vocab": np.int64(v),
+                "hapax_ratio": round(hapax / v, 6),
+                "type_token_ratio": round(v / toks, 6),
+            }
+        ]
+    )
+
+
 QUERIES = {
     "global_counts": q_global_counts,
     "events_by_type": q_events_by_type,
@@ -8300,6 +8360,7 @@ QUERIES = {
     "doc_burstiness": q_doc_burstiness,
     "doc_js_divergence": q_doc_js_divergence,
     "copurchase_adamic_adar": q_copurchase_adamic_adar,
+    "doc_hapax_ratio": q_doc_hapax_ratio,
 }
 
 ORACLE_SQL = {
@@ -11423,4 +11484,14 @@ ORACLE_SQL["copurchase_adamic_adar"] = (
     " SELECT pa AS part_a, pb AS part_b, ROUND(aa, 6) AS aa FROM w"
     " WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = w.pa AND e.pb = w.pb)"
     " ORDER BY ROUND(aa, 6) DESC, pa, pb LIMIT 10"
+)
+
+
+ORACLE_SQL["doc_hapax_ratio"] = (
+    "WITH tc AS (SELECT token, COUNT(*)::BIGINT AS n FROM"
+    " (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t GROUP BY 1)"
+    " SELECT SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,"
+    " COUNT(*)::BIGINT AS n_vocab,"
+    " ROUND(SUM(CASE WHEN n = 1 THEN 1.0 ELSE 0 END) / COUNT(*), 6) AS hapax_ratio,"
+    " ROUND(COUNT(*)::DOUBLE / SUM(n), 6) AS type_token_ratio FROM tc"
 )
