@@ -189,6 +189,51 @@ def hamming64_cross(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _POP8[x.view(np.uint8)].reshape(len(a), len(b), 8).sum(axis=2, dtype=np.uint16)
 
 
+def capped_band_pairs(
+    ids: np.ndarray, hashes: np.ndarray, threshold: int, cap: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Verified near-duplicate pair emission for ONE LSH band bucket, with
+    the ``band_key_cap`` flood guard (the same guard the crawl dedup's
+    `_verify_bucket` and `IEPS_SIMHASH_BAND_CAP` apply — reference
+    analogue: the MinHash dup arbitration of oldstufffrompa1/
+    crawler.py:366-410 never compares beyond its cache).
+
+    cap == 0: exact mode — every in-bucket pair is compared (O(n²); safe
+    only when bucket sizes are bounded upstream). cap > 0: each row is
+    verified against at most the ``cap`` OLDEST (smallest-id) rows of the
+    bucket, bounding compares at O(cap·n) so a degenerate hash (e.g.
+    solid-color images all pHashing alike) cannot go quadratic. Because
+    the keep rule downstream is min-id-wins, every flooded row still
+    links to its cluster's winner row, so connected components — and the
+    dedup manifests derived from them — are preserved for identical-hash
+    floods; only redundant far-tail edges are skipped.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, unsorted.
+    """
+    order = np.argsort(ids, kind="stable")
+    idv = np.asarray(ids)[order]
+    h = np.asarray(hashes).view(np.uint64)[order]
+    n = len(idv)
+    empty = (
+        np.empty(0, idv.dtype),
+        np.empty(0, idv.dtype),
+        np.empty(0, np.int64),
+    )
+    if n < 2:
+        return empty
+    if cap and n > cap + 1:
+        k = int(cap)
+        counts = n - 1 - np.arange(k, dtype=np.int64)
+        ia = np.repeat(np.arange(k, dtype=np.int64), counts)
+        seg_starts = np.cumsum(counts) - counts
+        ib = np.arange(counts.sum(), dtype=np.int64) - np.repeat(seg_starts, counts) + ia + 1
+    else:
+        ia, ib = np.triu_indices(n, k=1)
+    ham = hamming64(h[ia], h[ib]).astype(np.int64)
+    keep = ham <= threshold
+    return idv[ia[keep]], idv[ib[keep]], ham[keep]
+
+
 _DCT32 = None
 
 

@@ -4640,25 +4640,23 @@ def q_fuzzy_name_pairs(sf_dir: str) -> pd.DataFrame:
     return out[["name_a", "name_b"]]
 
 
-def q_dedup_clusters_labelprop(sf_dir: str) -> pd.DataFrame:
-    """Near-dup clustering WITHOUT the driver union-find: distributed
-    hash-min LABEL PROPAGATION over the verified LSH edge set — the 100 TB
-    path for when even the dup-rate-bounded edge set outgrows one process
-    (q_dedup_clusters documents the driver-sized variant; both share the
-    recursive-CTE oracle). Labels live in a Dataset keyed by edge node;
-    each round joins labels onto both endpoints, sends min(label_a,
-    label_b) to each, and reduces per node with Min. Every edge node
-    receives ≥ 1 message that already includes its own label in the min,
-    so labels are monotone nonincreasing and an unchanged global label SUM
-    certifies the fixpoint (≤ component-diameter rounds; near-dup
-    components are shallow). Docs outside the edge set are singletons by
-    construction and label themselves."""
+def _labelprop_min_labels(edges) -> pd.DataFrame:
+    """Distributed hash-min LABEL PROPAGATION over an undirected edge set
+    (Dataset or DataFrame with id_a/id_b) → (node, label) where label is
+    the component's min node id — the shared connected-components core of
+    q_dedup_clusters_labelprop and the image pHash cluster ops. Labels
+    live in a Dataset keyed by edge node; each round joins labels onto
+    both endpoints, sends min(label_a, label_b) to each, and reduces per
+    node with Min. Every edge node receives ≥ 1 message that already
+    includes its own label in the min, so labels are monotone
+    nonincreasing and an unchanged global label SUM certifies the
+    fixpoint (≤ component-diameter rounds; near-dup components are
+    shallow). Returns labels for EDGE NODES only (dup-rate bounded)."""
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
-    edges = q_docs_jaccard_pairs(sf_dir)
-    if not hasattr(edges, "join"):
-        edges = rd.from_pandas(edges)
+    if isinstance(edges, pd.DataFrame):
+        edges = rd.from_pandas(edges.reset_index(drop=True))
     edges = edges.select_columns(["id_a", "id_b"]).materialize()
 
     def nodes_of(b: pa.Table) -> pa.Table:
@@ -4708,7 +4706,17 @@ def q_dedup_clusters_labelprop(sf_dir: str) -> pd.DataFrame:
     else:  # pragma: no cover - synthetic components are shallow
         raise RuntimeError("label propagation did not converge in 32 rounds")
 
-    lab = labels.to_pandas()  # edge nodes only: dup-rate bounded
+    return labels.to_pandas()  # edge nodes only: dup-rate bounded
+
+
+def q_dedup_clusters_labelprop(sf_dir: str) -> pd.DataFrame:
+    """Near-dup clustering WITHOUT the driver union-find: distributed
+    hash-min label propagation (`_labelprop_min_labels`) over the verified
+    LSH edge set — the 100 TB path for when even the dup-rate-bounded edge
+    set outgrows one process (q_dedup_clusters documents the driver-sized
+    variant; both share the recursive-CTE oracle). Docs outside the edge
+    set are singletons by construction and label themselves."""
+    lab = _labelprop_min_labels(q_docs_jaccard_pairs(sf_dir))
     m = dict(zip(lab["node"].astype(int), lab["label"].astype(int)))
     ids = np.sort(_dim(sf_dir, "documents", columns=["doc_id"])["doc_id"].to_numpy())
     return pd.DataFrame(
@@ -6770,7 +6778,12 @@ def q_copurchase_bfs(sf_dir: str) -> pd.DataFrame:
     broadcasts into an orderkey-bucket map_groups that emits parts sharing
     an order with a frontier part; the driver keeps the visited set
     (part-dimension-bounded, like the crawl's per-bucket seen filters).
-    3 rounds = 3 bucket shuffles; no recursive all-pairs blowup."""
+    3 rounds = 3 bucket shuffles; no recursive all-pairs blowup. Frontier
+    and visited ship ONCE per round via ray.put — a shared object-store
+    read per task, not a per-task closure copy — and each bucket emits
+    only NOT-yet-visited parts, so driver traffic is new-parts-sized."""
+    import ray
+
     ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
     def with_ob(b: pa.Table) -> pa.Table:
@@ -6789,18 +6802,24 @@ def q_copurchase_bfs(sf_dir: str) -> pd.DataFrame:
     frontier = {seed}
     rows = [{"dist": 0, "n": 1}]
     for dist in (1, 2, 3):
-        fr = frontier  # rides the map_groups closure (ray.put at vocab scale)
+        fr_ref = ray.put(np.fromiter(sorted(frontier), dtype=np.int64))
+        vis_ref = ray.put(np.fromiter(sorted(visited), dtype=np.int64))
 
-        def expand(g: pd.DataFrame, _fr=fr) -> pd.DataFrame:
+        def expand(g: pd.DataFrame, _fr=fr_ref, _vis=vis_ref) -> pd.DataFrame:
+            fr, vis = ray.get(_fr), ray.get(_vis)
             d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
-            hit_orders = d.loc[d["l_partkey"].isin(_fr), "l_orderkey"].unique()
+            pk = d["l_partkey"].to_numpy()
+            hit_orders = d.loc[np.isin(pk, fr), "l_orderkey"].unique()
             nxt = d.loc[d["l_orderkey"].isin(hit_orders), "l_partkey"].unique()
-            return pd.DataFrame({"p": np.sort(nxt)})
+            nxt = nxt[~np.isin(nxt, vis)]  # emit only newly-reached parts
+            return pd.DataFrame({"p": np.sort(nxt).astype(np.int64)})
 
         reached = (
             bucketed.groupby("ob").map_groups(expand, batch_format="pandas").to_pandas()
         )
-        nxt = set(reached["p"].tolist()) - visited
+        nxt = (
+            set(reached["p"].tolist()) - visited if "p" in reached.columns else set()
+        )
         rows.append({"dist": dist, "n": len(nxt)})
         visited |= nxt
         frontier = nxt
@@ -7316,15 +7335,134 @@ def q_events_sliding_30d_revenue(sf_dir: str) -> pd.DataFrame:
 # ------------------------------------------------------------ wave 26 -------
 
 
+IVF_KNN_BCAST_MAX = 200_000  # rows; above this the IVF path replaces broadcast
+
+
+def _knn_ivf_table(sf_dir: str) -> tuple[str, np.ndarray]:
+    """LABELED twin of the IVF assignment table — (vec_id, embedding,
+    label) partitioned by coarse bucket, built once and cached beside the
+    shared unlabeled index (whose schema other ANN queries depend on).
+    One streaming assign pass over the corpus; centroids come from the
+    cached `_ivf_index` k-means fit."""
+    from ..sources import lance_table as lt
+
+    _ipath, cents = _ivf_index(sf_dir)
+    path = _ivf_index_path(sf_dir) + "-labeled"
+    if lt.exists(path):
+        return path, cents
+
+    def assign(b: pa.Table) -> pa.Table:
+        e = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        en = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+        bucket = np.argmax(en @ cents.T, axis=1).astype(np.int32)
+        return b.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+    lt.write_dataset(ds, path, partition_col="bucket")
+    return path, cents
+
+
+def _knn_label_agreement_ivf(sf_dir: str, emit_pairs: bool = False):
+    """IVF-probed leave-one-out 1-NN label agreement — the 100 TB path of
+    q_knn_label_agreement: instead of broadcasting the full corpus matrix,
+    each of the IVF_K coarse buckets is one task that reads ONLY its own
+    partition (queries) plus the IVF_NPROBE centroid-nearest partitions
+    (candidates) from the bucket-partitioned labeled index — a pruned,
+    node-local read, ≈ NPROBE/K of the corpus per task (bucket size is
+    bounded by K ∝ N/target-size, the same partitioning assumption
+    semantic_dedup documents). Candidates are vec_id-sorted so argmax
+    keeps the broadcast path's (sim DESC, vec_id ASC) tiebreak; each task
+    folds to a (hits, n) partial — result-sized driver traffic.
+    Approximate by construction (recall asserted in tests/test_round5.py).
+    ``emit_pairs`` returns per-row (vec_id, nn_id, hit) for tests."""
+    import ray.data as rd
+
+    from ..sources import lance_table as lt
+
+    path, cents = _knn_ivf_table(sf_dir)
+    order = np.argsort(-(cents @ cents.T), axis=1)[:, :IVF_NPROBE]
+    probes = {}
+    for b in range(IVF_K):
+        lst = order[b].tolist()
+        probes[b] = lst if b in lst else [b] + lst[:-1]
+    frag = {b: lt.fragment_paths(path, [b]) for b in range(IVF_K)}
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        out_v, out_nn, out_hit = [], [], []
+        h_tot = n_tot = 0
+        for b in batch["id"].to_pylist():
+            if not frag.get(b):
+                continue
+            q = pa.concat_tables([pq.read_table(p) for p in frag[b]])
+            cand_paths = [p for nb in probes[b] for p in frag.get(int(nb), [])]
+            c = pa.concat_tables([pq.read_table(p) for p in cand_paths])
+            c_ids = c["vec_id"].to_numpy()
+            srt = np.argsort(c_ids, kind="stable")
+            c_ids = c_ids[srt]
+            c_lab = c["label"].to_numpy()[srt]
+            ce = np.array(c["embedding"].to_pylist(), dtype=np.float64)[srt]
+            ce /= np.maximum(np.linalg.norm(ce, axis=1, keepdims=True), 1e-12)
+            q_ids = q["vec_id"].to_numpy()
+            qe = np.array(q["embedding"].to_pylist(), dtype=np.float64)
+            qe /= np.maximum(np.linalg.norm(qe, axis=1, keepdims=True), 1e-12)
+            sims = qe @ ce.T
+            self_pos = np.searchsorted(c_ids, q_ids)  # queries ⊂ candidates
+            sims[np.arange(len(q_ids)), self_pos] = -np.inf
+            nn = np.argmax(sims, axis=1)  # first max = smallest vec_id on ties
+            hit = c_lab[nn] == q["label"].to_numpy()
+            if emit_pairs:
+                out_v.append(q_ids)
+                out_nn.append(c_ids[nn])
+                out_hit.append(hit.astype(np.int64))
+            else:
+                h_tot += int(hit.sum())
+                n_tot += len(hit)
+        if emit_pairs:
+            v = np.concatenate(out_v) if out_v else np.empty(0, np.int64)
+            nn = np.concatenate(out_nn) if out_nn else np.empty(0, np.int64)
+            ht = np.concatenate(out_hit) if out_hit else np.empty(0, np.int64)
+            return pa.table(
+                {
+                    "vec_id": pa.array(v.astype(np.int64)),
+                    "nn_id": pa.array(nn.astype(np.int64)),
+                    "hit": pa.array(ht),
+                }
+            )
+        return pa.table(
+            {"h": pa.array([h_tot], pa.int64()), "n": pa.array([n_tot], pa.int64())}
+        )
+
+    parts = (
+        rd.range(IVF_K, override_num_blocks=IVF_K)
+        .map_batches(per_bucket, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+    )
+    if emit_pairs:
+        return parts.sort_values("vec_id").reset_index(drop=True)
+    h, n = int(parts["h"].sum()), int(parts["n"].sum())
+    return pd.DataFrame([{"acc": round(h / n, 6), "n": np.int64(n)}])
+
+
 def q_knn_label_agreement(sf_dir: str) -> pd.DataFrame:
     """Embedding-space quality probe: leave-one-out 1-NN label agreement
     (does the nearest neighbour share my label?). The corpus matrix ships
     ONCE via ray.put; each batch does one (B×d)·(d×N) matmul against it and
     takes a self-masked argmax — columns are vec_id-ordered, so numpy's
-    first-max tiebreak IS the oracle's (sim DESC, vec_id ASC). At 100 TB
-    the broadcast side swaps for the IVF index (same contract as
-    embedding_topk_ivf); the probe semantics stay per-row."""
+    first-max tiebreak IS the oracle's (sim DESC, vec_id ASC). Above
+    IEPS_KNN_BCAST_MAX_ROWS (default 200k) the broadcast swaps for the
+    IVF-probed path (`_knn_label_agreement_ivf`, same contract as
+    embedding_topk_ivf — partition-pruned reads, no full-matrix ship);
+    the probe semantics stay per-row."""
     import ray
+
+    n_vec = pq.read_metadata(_pq(sf_dir, "embeddings")).num_rows
+    bcast_max = int(
+        os.environ.get("IEPS_KNN_BCAST_MAX_ROWS", str(IVF_KNN_BCAST_MAX)) or 0
+    )
+    if bcast_max and n_vec > bcast_max:
+        return _knn_label_agreement_ivf(sf_dir)
 
     emb = _dim(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
     order = pc.sort_indices(emb["vec_id"])

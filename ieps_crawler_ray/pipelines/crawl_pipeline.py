@@ -8,6 +8,8 @@ tests/test_crawl_parity.py against the sequential oracle crawler.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -681,21 +683,21 @@ def q_image_phash_neardup(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    from ..functions.hashing import hamming64
+    from ..functions.hashing import capped_band_pairs
+
+    # band-bucket flood guard, ON by default (unlike the opt-in simhash
+    # twin): a degenerate pHash — solid-color / uniform images all hashing
+    # alike — can put O(corpus) rows in one band bucket; the cap bounds
+    # in-bucket compares at O(cap·run) while min-id winners (the keep rule
+    # of clusters/manifest downstream) stay linked. 0 disables (exact).
+    CAP = int(os.environ.get("IEPS_PHASH_BAND_CAP", "4096") or 0)
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("img")
         ids = g["img"].to_numpy()
-        ph = g["phash"].to_numpy().view(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64}
-            )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        ham = hamming64(ph[ia], ph[ib]).astype(np.int64)
-        keep = ham <= T
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]}
+        ph = g["phash"].to_numpy()
+        a, b, ham = capped_band_pairs(ids, ph, T, CAP)
+        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": ham}).astype(
+            {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64}
         )
 
     N_PB = 64
@@ -721,21 +723,21 @@ def q_image_phash_neardup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def q_image_phash_clusters(sf_dir: str) -> pd.DataFrame:
-    """Image near-duplicate CLUSTERS: connected components over the verified
-    pHash hamming≤3 pair graph (q_image_phash_neardup — banded LSH, never
-    all-pairs), each non-singleton component labeled with its min image id
-    — the keep-one-per-cluster unit an image-dedup pass drops against
-    (SemDeDup/CC-pipeline analogue for the image modality; reference
-    analogue: the MinHash duplicate handling of oldstufffrompa1/
-    crawler.py:366-410 applied to images). Output is per-CLUSTER (cluster
-    id, member count, max in-cluster pair hamming) — result-sized, so no
-    full image-id column ships to the driver; the component resolution is
-    driver union-find over the dup-rate-bounded EDGE set (≪ corpus), the
-    same scale shape as q_dedup_clusters with q_dedup_clusters_labelprop
-    as the named growth path when edges outgrow one node. Golden-pinned;
-    brute-force recompute in tests/test_wave14.py."""
-    edges = q_image_phash_neardup(sf_dir)
+def _phash_component_labels(edges: pd.DataFrame) -> dict[int, int]:
+    """node → component min-id over the verified pHash pair graph. Driver
+    union-find while the dup-rate-bounded edge list fits one process;
+    at/above IEPS_IMG_LABELPROP_MIN_EDGES edges the distributed hash-min
+    label propagation (`analytics._labelprop_min_labels` — per-round join
+    + Min-reduce over a Dataset) takes over, the same growth path the
+    triangle count's pair-keyed fallback uses. Both return min-id labels,
+    so downstream cluster ids/manifests are path-invariant (asserted in
+    tests/test_round5.py)."""
+    thr = int(os.environ.get("IEPS_IMG_LABELPROP_MIN_EDGES", "2000000") or 0)
+    if thr and len(edges) >= thr:
+        from .analytics import _labelprop_min_labels
+
+        lab = _labelprop_min_labels(edges[["id_a", "id_b"]])
+        return dict(zip(lab["node"].astype(int), lab["label"].astype(int)))
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -749,9 +751,30 @@ def q_image_phash_clusters(sf_dir: str) -> pd.DataFrame:
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
+    nodes = set(edges["id_a"].astype(int)) | set(edges["id_b"].astype(int))
+    return {n: find(n) for n in nodes}
+
+
+def q_image_phash_clusters(sf_dir: str) -> pd.DataFrame:
+    """Image near-duplicate CLUSTERS: connected components over the verified
+    pHash hamming≤3 pair graph (q_image_phash_neardup — banded LSH, never
+    all-pairs), each non-singleton component labeled with its min image id
+    — the keep-one-per-cluster unit an image-dedup pass drops against
+    (SemDeDup/CC-pipeline analogue for the image modality; reference
+    analogue: the MinHash duplicate handling of oldstufffrompa1/
+    crawler.py:366-410 applied to images). Output is per-CLUSTER (cluster
+    id, member count, max in-cluster pair hamming) — result-sized, so no
+    full image-id column ships to the driver; the component resolution is
+    `_phash_component_labels` — driver union-find over the dup-rate-
+    bounded EDGE set (≪ corpus) below IEPS_IMG_LABELPROP_MIN_EDGES,
+    distributed hash-min label propagation above it (both min-id-labeled,
+    path-invariant). Golden-pinned; brute-force recompute in
+    tests/test_wave14.py; forced-labelprop parity in tests/test_round5.py."""
+    edges = q_image_phash_neardup(sf_dir)
+    label = _phash_component_labels(edges)
     rows: dict[int, list] = {}
     for (a, b, h) in zip(edges["id_a"], edges["id_b"], edges["hamming"]):
-        r = find(int(a))
+        r = label[int(a)]
         e = rows.setdefault(r, [set(), 0])
         e[0].update((int(a), int(b)))
         e[1] = max(e[1], int(h))
@@ -775,26 +798,14 @@ def q_image_dedup_manifest(sf_dir: str) -> pd.DataFrame:
     column itself never leaves storage). Scale plan: the drop SET is
     dup-rate-bounded (≈ dup_image_permille of the corpus), so it broadcasts
     to one np.isin per batch of a single (image_id, fmt, w, h) corpus scan;
-    cluster resolution reuses the driver union-find over the bounded edge
-    list with labelprop as the named growth path. Golden-pinned; recompute
-    test in tests/test_wave15.py."""
+    cluster resolution reuses `_phash_component_labels` (union-find below
+    the edge threshold, distributed labelprop above). Golden-pinned;
+    recompute test in tests/test_wave15.py."""
     edges = q_image_phash_neardup(sf_dir)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(edges["id_a"], edges["id_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
+    label = _phash_component_labels(edges)
     members: dict[int, set] = {}
     for a in set(edges["id_a"]) | set(edges["id_b"]):
-        members.setdefault(find(int(a)), set()).add(int(a))
+        members.setdefault(label[int(a)], set()).add(int(a))
     drop = np.array(
         sorted(m for r, ms in members.items() for m in ms if m != min(ms)),
         dtype=np.int64,

@@ -1,0 +1,155 @@
+"""Round-5 regression tests: pHash band-bucket flood guard, IVF-backed
+1-NN label agreement, ray.put BFS frontier, labelprop-backed image clusters
+(VERDICT.md round-4 tasks 1, 2, 3, 5)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_phash_band_cap_bounds_flood_pairs():
+    """A crafted band flood (every row hashing identically) emits at most
+    cap·n pairs instead of n², every row still links to the min-id winner
+    (so downstream min-id-wins clusters/manifests are preserved), and the
+    result is deterministic under input permutation — the image twin of
+    test_band_key_cap_bounds_flood_verify."""
+    from ieps_crawler_ray.functions.hashing import capped_band_pairs
+
+    m = 500
+    ids = np.arange(m, dtype=np.int64)
+    ph = np.full(m, 7, dtype=np.uint64)  # identical → every pair hamming 0
+
+    a0, b0, h0 = capped_band_pairs(ids, ph, 3, cap=0)
+    assert len(a0) == m * (m - 1) // 2  # exact mode is all-pairs
+
+    cap = 10
+    a, b, h = capped_band_pairs(ids, ph, 3, cap=cap)
+    assert len(a) == sum(m - 1 - i for i in range(cap))  # O(cap·n) bound
+    assert (a < b).all() and (h == 0).all()
+    # every non-winner row still has an edge to the min-id winner
+    assert set(b[a == 0]) == set(range(1, m))
+    # deterministic under permutation of the input rows
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(m)
+    a2, b2, _ = capped_band_pairs(ids[perm], ph[perm], 3, cap=cap)
+    key = lambda x, y: set(zip(x.tolist(), y.tolist()))
+    assert key(a, b) == key(a2, b2)
+
+
+def test_phash_band_cap_respects_threshold():
+    from ieps_crawler_ray.functions.hashing import capped_band_pairs
+
+    ids = np.array([5, 1, 9, 3], dtype=np.int64)
+    ph = np.array([0b111, 0b000, 0b111, 0b11110000], dtype=np.uint64)
+    a, b, h = capped_band_pairs(ids, ph, 3, cap=0)
+    got = set(zip(a.tolist(), b.tolist(), h.tolist()))
+    # (1,5): ham 3 in; (5,9): ham 0 in; (1,9): ham 3 in; pairs with 0xF0 out
+    assert got == {(1, 5, 3), (5, 9, 0), (1, 9, 3)}
+    # capped at 1: only the oldest row (id 1) anchors pairs
+    a, b, h = capped_band_pairs(ids, ph, 3, cap=1)
+    assert set(zip(a.tolist(), b.tolist())) == {(1, 5), (1, 9)}
+
+
+def _exact_nn(sf_dir):
+    """Brute-force leave-one-out 1-NN over the embeddings parquet (numpy,
+    driver-side — test oracle only)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    order = np.argsort(t["vec_id"].to_numpy())
+    ids = t["vec_id"].to_numpy()[order]
+    labels = t["label"].to_numpy()[order]
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    nn = np.argmax(sims, axis=1)
+    return ids, ids[nn], labels, labels[nn]
+
+
+def test_knn_label_agreement_ivf_forced(ray_session, monkeypatch):
+    """Forced-IVF path (tiny broadcast threshold): runs green, per-row 1-NN
+    recall vs the exact brute force is high, and the agreement statistic
+    lands within the recall-miss envelope of the broadcast-path answer."""
+    from ieps_crawler_ray.pipelines.analytics import (
+        _knn_label_agreement_ivf,
+        q_knn_label_agreement,
+    )
+
+    exact = q_knn_label_agreement(SF)  # broadcast path (threshold not hit)
+    monkeypatch.setenv("IEPS_KNN_BCAST_MAX_ROWS", "1")
+    got = q_knn_label_agreement(SF)  # routed to IVF
+    assert list(got.columns) == ["acc", "n"]
+    assert int(got["n"].iloc[0]) == int(exact["n"].iloc[0])
+
+    pairs = _knn_label_agreement_ivf(SF, emit_pairs=True)
+    ids, nn_exact, labels, nn_labels = _exact_nn(SF)
+    assert np.array_equal(pairs["vec_id"].to_numpy(), ids)
+
+    # Split misses into probe misses (exact NN lives in an unprobed
+    # partition — inherent IVF approximation, distribution-dependent) vs
+    # compute errors (exact NN WAS probed but a different id came back —
+    # must never happen). The synthetic embeddings are near-uniform on the
+    # sphere, ANN's worst case, so the overall recall floor is loose; the
+    # in-probe exactness is the sharp assertion.
+    from ieps_crawler_ray.pipelines.analytics import (
+        IVF_K,
+        IVF_NPROBE,
+        _ivf_index,
+    )
+
+    _path, cents = _ivf_index(SF)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy())
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    bucket = np.argmax(m @ cents.T, axis=1)
+    cord = np.argsort(-(cents @ cents.T), axis=1)[:, :IVF_NPROBE]
+    probes = {}
+    for b in range(IVF_K):
+        lst = cord[b].tolist()
+        probes[b] = set(lst if b in lst else [b] + lst[:-1])
+    pos = {int(i): k for k, i in enumerate(ids)}
+    nn_probed = np.array(
+        [
+            bucket[pos[int(nx)]] in probes[int(bucket[k])]
+            for k, nx in enumerate(nn_exact)
+        ]
+    )
+    got_nn = pairs["nn_id"].to_numpy()
+    # sharp: every probed exact-NN is found verbatim
+    assert np.array_equal(got_nn[nn_probed], nn_exact[nn_probed])
+    recall = float((got_nn == nn_exact).mean())
+    assert recall >= 0.5, recall  # loose floor for uniform-sphere data
+    # agreement can only differ where the probed NN differs from the exact
+    assert abs(float(got["acc"].iloc[0]) - float(exact["acc"].iloc[0])) <= (
+        1.0 - recall
+    ) + 1e-9
+    # and the IVF acc must equal its own emitted pairs' hit rate
+    assert float(got["acc"].iloc[0]) == round(float(pairs["hit"].mean()), 6)
+
+
+def test_image_clusters_labelprop_path_matches_unionfind(ray_session, monkeypatch):
+    """Forcing the distributed labelprop growth path (tiny edge threshold)
+    yields byte-identical image clusters and dedup manifest to the driver
+    union-find path."""
+    from ieps_crawler_ray.pipelines.crawl_pipeline import (
+        q_image_dedup_manifest,
+        q_image_phash_clusters,
+    )
+
+    base_c = q_image_phash_clusters(SF)
+    base_m = q_image_dedup_manifest(SF)
+    assert len(base_c) > 0  # planted dups guarantee non-trivial clusters
+    monkeypatch.setenv("IEPS_IMG_LABELPROP_MIN_EDGES", "1")
+    got_c = q_image_phash_clusters(SF)
+    got_m = q_image_dedup_manifest(SF)
+    pd.testing.assert_frame_equal(got_c, base_c)
+    pd.testing.assert_frame_equal(got_m, base_m)
