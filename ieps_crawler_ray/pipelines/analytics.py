@@ -11633,3 +11633,511 @@ ORACLE_SQL["doc_hapax_ratio"] = (
     " ROUND(SUM(CASE WHEN n = 1 THEN 1.0 ELSE 0 END) / COUNT(*), 6) AS hapax_ratio,"
     " ROUND(COUNT(*)::DOUBLE / SUM(n), 6) AS type_token_ratio FROM tc"
 )
+
+
+# ----------------- wave 31 (round 5): rank correlations / coverage / -------
+# ----------------- A/B inference / inequality / mode / interval join -------
+
+
+def q_price_qty_spearman(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation of (l_extendedprice, l_quantity) with
+    average-rank ties — the nonparametric sibling of qty_price_corr.
+    Ranks depend only on VALUES, so no per-row global sort: quantity has a
+    bounded distinct domain (≤ 50) → its avg-rank map is a tiny driver
+    table shipped in the closure; price reuses the value-bucket two-pass
+    prefix plan (q_revenue_gini): per-bucket counts → driver exclusive
+    cumsum → per-bucket sorted scan assigns tie-run average ranks (tie
+    runs never span buckets: equal values share a bucket). Each bucket
+    folds to the six Pearson partials (n, Σrx, Σry, Σrx², Σry², Σrxry) —
+    driver merge is bucket-count-sized."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    qcnt = (
+        _coalesce_partials(
+            ds.map_batches(
+                lambda b: _partial(b.select(["l_quantity"]), ["l_quantity"], [([], "count_all")]),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("l_quantity")
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()
+        .sort_values("l_quantity")
+    )
+    cum = np.concatenate(([0], np.cumsum(qcnt["c"].to_numpy())[:-1]))
+    qmap = dict(
+        zip(qcnt["l_quantity"], cum + (qcnt["c"].to_numpy() + 1) / 2.0)
+    )
+
+    _W = 1000.0
+
+    def with_vb(b: pa.Table) -> pa.Table:
+        vb = (b["l_extendedprice"].to_numpy() // _W).astype(np.int64)
+        return b.append_column("vb", pa.array(vb))
+
+    rows = ds.map_batches(with_vb, batch_format="pyarrow").materialize()
+    bsums = (
+        _coalesce_partials(
+            rows.map_batches(
+                lambda b: _partial(b.select(["vb"]), ["vb"], [([], "count_all")]),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("vb")
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()
+        .sort_values("vb")
+    )
+    offs = dict(
+        zip(
+            bsums["vb"].astype(int),
+            np.concatenate(([0], np.cumsum(bsums["c"].to_numpy())[:-1])),
+        )
+    )
+
+    def bucket_fold(g: pd.DataFrame, _qmap=qmap) -> pd.DataFrame:
+        g = g.sort_values("l_extendedprice", kind="stable")
+        x = g["l_extendedprice"].to_numpy()
+        off = float(offs[int(g["vb"].iloc[0])])
+        starts = np.flatnonzero(np.r_[True, x[1:] != x[:-1]])
+        lens = np.diff(np.r_[starts, len(x)])
+        # tie-run average rank: off + (first_pos + last_pos)/2, 1-based
+        run_avg = off + (starts + 1 + starts + lens) / 2.0
+        rx = np.repeat(run_avg, lens)
+        ry = np.array([_qmap[q] for q in g["l_quantity"]], dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "n": [len(x)],
+                "sx": [rx.sum()],
+                "sy": [ry.sum()],
+                "sxx": [(rx * rx).sum()],
+                "syy": [(ry * ry).sum()],
+                "sxy": [(rx * ry).sum()],
+            }
+        )
+
+    p = rows.groupby("vb").map_groups(bucket_fold, batch_format="pandas").to_pandas()
+    n = float(p["n"].sum())
+    sx, sy = float(p["sx"].sum()), float(p["sy"].sum())
+    sxx, syy, sxy = float(p["sxx"].sum()), float(p["syy"].sum()), float(p["sxy"].sum())
+    rho = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return pd.DataFrame([{"spearman": round(rho, 6), "n": np.int64(int(n))}])
+
+
+QUERIES["price_qty_spearman"] = q_price_qty_spearman
+ORACLE_SQL["price_qty_spearman"] = (
+    "SELECT ROUND(CORR(rx, ry), 6) AS spearman, COUNT(*)::BIGINT AS n FROM ("
+    " SELECT (RANK() OVER (ORDER BY l_extendedprice)"
+    "   + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0) AS rx,"
+    "  (RANK() OVER (ORDER BY l_quantity)"
+    "   + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0) AS ry"
+    " FROM lineitem) t"
+)
+
+
+def q_qty_discount_kendall(sf_dir: str) -> pd.DataFrame:
+    """Kendall τ-b of (l_quantity, l_discount) — concordance-based rank
+    correlation. Both domains are bounded (≤ 50 × ≤ 11 distinct), so the
+    whole statistic folds through the JOINT CONTINGENCY table: one
+    distributed groupby((q,d)) count (partials inside map_batches), then
+    concordant/discordant pair mass and tie corrections are O(cells²)
+    numpy on ≤ 550 driver rows. The row count never ships — only cell
+    counts do (the same bounded-domain trick as value_buckets)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+    cells = (
+        _coalesce_partials(
+            ds.map_batches(
+                lambda b: _partial(b, ["l_quantity", "l_discount"], [([], "count_all")]),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby(["l_quantity", "l_discount"])
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    q = cells["l_quantity"].to_numpy()
+    d = cells["l_discount"].to_numpy()
+    w = cells["n"].to_numpy().astype(np.float64)
+    gq = np.sign(q[:, None] - q[None, :])
+    gd = np.sign(d[:, None] - d[None, :])
+    ww = w[:, None] * w[None, :]
+    conc = float(ww[(gq * gd) > 0].sum()) / 2.0
+    disc = float(ww[(gq * gd) < 0].sum()) / 2.0
+    n = float(w.sum())
+    n0 = n * (n - 1) / 2.0
+    tx = float(sum(c * (c - 1) / 2.0 for c in pd.Series(w).groupby(q).sum()))
+    ty = float(sum(c * (c - 1) / 2.0 for c in pd.Series(w).groupby(d).sum()))
+    tau = (conc - disc) / np.sqrt((n0 - tx) * (n0 - ty))
+    return pd.DataFrame([{"tau": round(tau, 6), "n": np.int64(int(n))}])
+
+
+QUERIES["qty_discount_kendall"] = q_qty_discount_kendall
+ORACLE_SQL["qty_discount_kendall"] = (
+    "WITH g AS (SELECT l_quantity AS q, l_discount AS d, COUNT(*)::DOUBLE AS n"
+    "  FROM lineitem GROUP BY 1, 2),"
+    " cd AS (SELECT"
+    "  COALESCE(SUM(a.n * b.n) FILTER ((b.q > a.q AND b.d > a.d)"
+    "    OR (b.q < a.q AND b.d < a.d)), 0) / 2.0 AS c,"
+    "  COALESCE(SUM(a.n * b.n) FILTER ((b.q > a.q AND b.d < a.d)"
+    "    OR (b.q < a.q AND b.d > a.d)), 0) / 2.0 AS dd FROM g a, g b),"
+    " t AS (SELECT SUM(n) AS nn FROM g),"
+    " tx AS (SELECT SUM(cn * (cn - 1) / 2.0) AS v FROM"
+    "   (SELECT SUM(n) AS cn FROM g GROUP BY q) s),"
+    " ty AS (SELECT SUM(cn * (cn - 1) / 2.0) AS v FROM"
+    "   (SELECT SUM(n) AS cn FROM g GROUP BY d) s)"
+    " SELECT ROUND((cd.c - cd.dd) / SQRT((t.nn * (t.nn - 1) / 2.0 - tx.v)"
+    "   * (t.nn * (t.nn - 1) / 2.0 - ty.v)), 6) AS tau,"
+    "  t.nn::BIGINT AS n FROM cd, t, tx, ty"
+)
+
+
+def q_vocab_coverage_curve(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary coverage curve — what fraction of all token OCCURRENCES
+    the top-k most frequent terms cover, for k ∈ {10, 100, 1000}: the
+    statistic a tokenizer-vocabulary or stopword-list decision reads.
+    Distributed term counts (per-batch polars explode → pyarrow partial →
+    one vocab-sized groupby); the ranked cumsum runs on the VOCAB table
+    (≪ corpus, the same vocabulary-bounded assumption as zipf/TTR).
+    Deterministic rank tiebreak: freq DESC, term ASC on both sides."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def tok_f(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(b["text"]).str.split(" ").explode()
+        vc = s.value_counts()
+        cols = vc.columns  # [value_col, 'count']
+        return pa.table(
+            {
+                "token": pa.array(vc[cols[0]].to_list(), pa.string()),
+                "c": pa.array(vc["count"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    tc = (
+        ds.map_batches(tok_f, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    tc = tc.sort_values(["c", "token"], ascending=[False, True], kind="stable")
+    cum = np.cumsum(tc["c"].to_numpy(), dtype=np.float64)
+    tot = float(cum[-1])
+    ks = [10, 100, 1000]
+    return pd.DataFrame(
+        {
+            "k": np.array(ks, dtype=np.int64),
+            "coverage": [
+                round(float(cum[min(k, len(cum)) - 1] / tot), 6) for k in ks
+            ],
+        }
+    )
+
+
+QUERIES["vocab_coverage_curve"] = q_vocab_coverage_curve
+ORACLE_SQL["vocab_coverage_curve"] = (
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),"
+    " tc AS (SELECT t, COUNT(*)::DOUBLE AS c FROM tok GROUP BY t),"
+    " r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn,"
+    "   SUM(c) OVER () AS tot FROM tc)"
+    " SELECT k::BIGINT AS k,"
+    "  ROUND(SUM(c) FILTER (rn <= k) / ANY_VALUE(tot), 6) AS coverage"
+    " FROM r, (VALUES (10), (100), (1000)) v(k) GROUP BY k ORDER BY k"
+)
+
+
+def q_ab_conversion_ztest(sf_dir: str) -> pd.DataFrame:
+    """Two-proportion A/B conversion test: variant = user_id parity (the
+    deterministic split an experiment framework would hash), conversion =
+    user fired ≥ 1 'purchase' event. Per-user flags fold distributed
+    (per-batch (user, max) partials → one user groupby), variant rollups
+    are 2 rows, and the pooled two-proportion z-score is driver
+    arithmetic. The z column repeats on both rows so the result is one
+    self-contained relation."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def flag_f(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "conv": pa.array(
+                    (np.asarray(b["event_type"].to_pandas()) == "purchase").astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+        return _partial(t, ["user_id"], [("conv", "max")])
+
+    per_user = (
+        ds.map_batches(flag_f, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("conv_max", alias_name="conv"))
+    )
+
+    def var_f(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "variant": pa.array(
+                    (b["user_id"].to_numpy() % 2).astype(np.int64)
+                ),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "conv": b["conv"],
+            }
+        )
+        return _partial(t, ["variant"], [("one", "sum"), ("conv", "sum")])
+
+    s = (
+        _coalesce_partials(per_user.map_batches(var_f, batch_format="pyarrow"))
+        .groupby("variant")
+        .aggregate(
+            Sum("one_sum", alias_name="n_users"),
+            Sum("conv_sum", alias_name="n_converted"),
+        )
+        .to_pandas()
+        .sort_values("variant")
+        .reset_index(drop=True)
+    )
+    n0, n1 = float(s["n_users"].iloc[0]), float(s["n_users"].iloc[1])
+    c0, c1 = float(s["n_converted"].iloc[0]), float(s["n_converted"].iloc[1])
+    p = (c0 + c1) / (n0 + n1)
+    z = (c0 / n0 - c1 / n1) / np.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
+    s["conv_rate"] = (s["n_converted"] / s["n_users"]).round(6)
+    s["z"] = round(float(z), 6)
+    return s.astype({"variant": "int64", "n_users": "int64", "n_converted": "int64"})
+
+
+QUERIES["ab_conversion_ztest"] = q_ab_conversion_ztest
+ORACLE_SQL["ab_conversion_ztest"] = (
+    "WITH u AS (SELECT user_id, (user_id % 2)::BIGINT AS variant,"
+    "  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv"
+    "  FROM events GROUP BY 1),"
+    " s AS (SELECT variant, COUNT(*)::BIGINT AS n_users,"
+    "  SUM(conv)::BIGINT AS n_converted FROM u GROUP BY 1),"
+    " a AS (SELECT MAX(CASE WHEN variant = 0 THEN n_converted * 1.0 / n_users END) AS r0,"
+    "  MAX(CASE WHEN variant = 1 THEN n_converted * 1.0 / n_users END) AS r1,"
+    "  MAX(CASE WHEN variant = 0 THEN n_users END)::DOUBLE AS n0,"
+    "  MAX(CASE WHEN variant = 1 THEN n_users END)::DOUBLE AS n1,"
+    "  SUM(n_converted)::DOUBLE / SUM(n_users) AS p FROM s)"
+    " SELECT s.variant, s.n_users, s.n_converted,"
+    "  ROUND(s.n_converted * 1.0 / s.n_users, 6) AS conv_rate,"
+    "  ROUND((a.r0 - a.r1) / SQRT(a.p * (1 - a.p) * (1.0 / a.n0 + 1.0 / a.n1)), 6) AS z"
+    " FROM s, a ORDER BY s.variant"
+)
+
+
+def q_revenue_theil(sf_dir: str) -> pd.DataFrame:
+    """Theil T inequality index of per-customer revenue — the
+    information-theoretic sibling of revenue_gini, and cheaper at scale:
+    T = Σ x·ln(x) / (n·μ) − ln(μ) needs only the mergeable partials
+    (n, Σx, Σx·lnx) — NO ranks, NO sort, one shuffle (the per-customer
+    rollup) then per-batch scalar partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per_cust = (
+        ds.map_batches(
+            lambda b: _partial(b, ["o_custkey"], [("o_totalprice", "sum")]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice_sum", alias_name="rev"))
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        x = b["rev"].to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([float(x.sum())], pa.float64()),
+                "sxlx": pa.array([float((x * np.log(x)).sum())], pa.float64()),
+            }
+        )
+
+    p = _coalesce_partials(per_cust.map_batches(fold, batch_format="pyarrow")).to_pandas()
+    n = float(p["n"].sum())
+    mu = float(p["sx"].sum()) / n
+    theil = float(p["sxlx"].sum()) / (n * mu) - np.log(mu)
+    return pd.DataFrame([{"theil": round(theil, 6), "n_customers": np.int64(int(n))}])
+
+
+QUERIES["revenue_theil"] = q_revenue_theil
+ORACLE_SQL["revenue_theil"] = (
+    "WITH pc AS (SELECT o_custkey, SUM(o_totalprice) AS x FROM orders GROUP BY 1),"
+    " s AS (SELECT COUNT(*)::DOUBLE AS n, SUM(x)::DOUBLE AS sx,"
+    "  SUM(x * LN(x)) AS sxlx FROM pc)"
+    " SELECT ROUND(sxlx / (n * (sx / n)) - LN(sx / n), 6) AS theil,"
+    "  n::BIGINT AS n_customers FROM s"
+)
+
+
+def q_priority_mode_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Per-group MODE: the most frequent order priority per customer
+    nation (ties → lexicographically smallest priority). Broadcast-dim
+    join (J2) maps orders to nation names, counts fold distributed to a
+    ≤ nations×priorities cell table, and the per-group argmax is a
+    result-sized driver pick — the bounded-domain shape shared with
+    value_buckets/kendall."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    cust = _dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nk = nation.column("n_nationkey").to_numpy()
+    order = np.argsort(nk)
+    names = nation.column("n_name").take(pa.array(order))
+    pos = np.searchsorted(nk[order], cust.column("c_nationkey").to_numpy())
+    dim = pa.table(
+        {"o_custkey": cust["c_custkey"], "n_name": names.take(pa.array(pos, pa.int64()))}
+    )
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    joined = broadcast_join(ds, dim, "o_custkey", ["n_name"])
+    cnt = (
+        _coalesce_partials(
+            joined.map_batches(
+                lambda b: _partial(
+                    b.select(["n_name", "o_orderpriority"]),
+                    ["n_name", "o_orderpriority"],
+                    [([], "count_all")],
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby(["n_name", "o_orderpriority"])
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    cnt = cnt.sort_values(
+        ["n_name", "n", "o_orderpriority"], ascending=[True, False, True], kind="stable"
+    )
+    out = cnt.groupby("n_name", as_index=False).first()
+    out = out.rename(columns={"o_orderpriority": "mode_priority"})
+    return out[["n_name", "mode_priority", "n"]].astype({"n": "int64"}).reset_index(drop=True)
+
+
+QUERIES["priority_mode_by_nation"] = q_priority_mode_by_nation
+ORACLE_SQL["priority_mode_by_nation"] = (
+    "WITH cnt AS (SELECT n_name, o_orderpriority, COUNT(*)::BIGINT AS n"
+    " FROM orders JOIN customer ON o_custkey = c_custkey"
+    " JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),"
+    " r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name"
+    "   ORDER BY n DESC, o_orderpriority) AS rn FROM cnt)"
+    " SELECT n_name, o_orderpriority AS mode_priority, n FROM r WHERE rn = 1"
+    " ORDER BY n_name"
+)
+
+
+def q_session_overlap_pairs(sf_dir: str) -> pd.DataFrame:
+    """INTERVAL-OVERLAP JOIN: pairs of users whose (1 h-gap) sessions
+    overlapped in time, with the count of overlapping session pairs — the
+    range-join shape Ray Data lacks natively, composed as: sessionize
+    (user-bucket shuffle + segmented scan, the user_sessions plan) →
+    REPLICATE each session to every DAY it touches → per-day map_groups
+    emits pairs whose overlap STARTS that day (max(start_a, start_b)
+    falls in exactly one day, so cross-day pairs dedup by construction) →
+    one (user_a, user_b) groupby sums. Partitioning assumption: sessions
+    alive on one day fit one task (densify the bucket key to hours for
+    hotter streams)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sess_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap = np.concatenate(([False], (ts[1:] - ts[:-1]) > 3600 * 1_000_000_000))
+        starts = np.flatnonzero(new_user | gap)
+        ends = np.concatenate((starts[1:], [len(ts)])) - 1
+        return pd.DataFrame(
+            {"user_id": uid[starts], "st": ts[starts], "en": ts[ends]}
+        )
+
+    sessions = (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(sess_seg, batch_format="pandas")
+    )
+
+    DAY = 86_400 * 1_000_000_000
+
+    def to_days(b: pa.Table) -> pa.Table:
+        st = b["st"].to_numpy()
+        en = b["en"].to_numpy()
+        uid = b["user_id"].to_numpy()
+        d0 = st // DAY
+        d1 = en // DAY
+        reps = (d1 - d0 + 1).astype(np.int64)
+        day = np.repeat(d0, reps) + (
+            np.arange(int(reps.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        return pa.table(
+            {
+                "day": pa.array(day),
+                "user_id": pa.array(np.repeat(uid, reps)),
+                "st": pa.array(np.repeat(st, reps)),
+                "en": pa.array(np.repeat(en, reps)),
+            }
+        )
+
+    def day_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        day = int(g["day"].iloc[0])
+        uid = g["user_id"].to_numpy()
+        st = g["st"].to_numpy()
+        en = g["en"].to_numpy()
+        k = len(uid)
+        ia, ib = np.triu_indices(k, 1)
+        ov_st = np.maximum(st[ia], st[ib])
+        keep = (
+            (uid[ia] != uid[ib])
+            & (ov_st < np.minimum(en[ia], en[ib]))  # strict overlap
+            & (ov_st // DAY == day)  # this day OWNS the pair
+        )
+        ua = np.minimum(uid[ia[keep]], uid[ib[keep]])
+        ub = np.maximum(uid[ia[keep]], uid[ib[keep]])
+        t = pa.table(
+            {
+                "user_a": pa.array(ua.astype(np.int64)),
+                "user_b": pa.array(ub.astype(np.int64)),
+                "one": pa.array(np.ones(len(ua), np.int64)),
+            }
+        )
+        return _partial(t, ["user_a", "user_b"], [("one", "sum")]).to_pandas()
+
+    out = (
+        sessions.map_batches(to_days, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(day_pairs, batch_format="pandas")
+        .groupby(["user_a", "user_b"])
+        .aggregate(Sum("one_sum", alias_name="n_overlaps"))
+        .to_pandas()
+        .sort_values(["user_a", "user_b"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"user_a": "int64", "user_b": "int64", "n_overlaps": "int64"})
+
+
+QUERIES["session_overlap_pairs"] = q_session_overlap_pairs
+ORACLE_SQL["session_overlap_pairs"] = (
+    "WITH e AS (SELECT user_id, ts, event_id,"
+    "  CASE WHEN ts - LAG(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk"
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " s AS (SELECT user_id, ts, SUM(brk) OVER"
+    "   (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM e),"
+    " iv AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en FROM s GROUP BY 1, 2)"
+    " SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*)::BIGINT AS n_overlaps"
+    " FROM iv a JOIN iv b ON a.user_id < b.user_id"
+    "  AND GREATEST(a.st, b.st) < LEAST(a.en, b.en)"
+    " GROUP BY 1, 2 ORDER BY 1, 2"
+)

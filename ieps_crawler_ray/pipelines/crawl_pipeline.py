@@ -583,25 +583,15 @@ def q_image_thumbnails(sf_dir: str) -> pd.DataFrame:
     return out[["fmt", "n", "luma_total", "thumb_check"]]
 
 
-def q_host_pagerank(sf_dir: str) -> pd.DataFrame:
-    """PageRank over the corpus link graph, aggregated to host level — the
-    iterative-graph-algorithm shape (no SQL oracle; deterministic, golden-
-    pinned in tests/test_golden_values.py, plus an independent dense-matrix
-    recomputation check in tests/test_wave3.py).
-
-    Scale plan: the page→page edge list (n_pages × ~7.5 links) never leaves
-    the cluster — edges are generated and folded to weighted host→host
-    partial counts INSIDE map_batches, so the shuffle moves at most
-    n_hosts² × n_batches partial rows. The rank vector is host-sized
-    (result-sized by construction, like a groupby result), so the power
-    iteration runs on the driver over the aggregated matrix; at web scale
-    (10⁸ hosts) the same plan swaps the driver loop for a per-iteration
-    broadcast-ranks + edges-map_batches + groupby(dst) sum, which this code
-    path is shaped to become (edges stay a Dataset until the final fold)."""
+def _host_edge_weights(spec) -> pd.DataFrame:
+    """Weighted host→host edge table, host²-bounded: page→page links are
+    generated and folded to (h_src, h_dst, w) partials INSIDE map_batches,
+    so the shuffle moves at most n_hosts² × n_batches partial rows and the
+    page-level edge list never leaves the cluster. Shared by
+    q_host_pagerank and q_host_hits."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    spec = _spec_for_sf(sf_dir)
     nh = spec.n_hosts
 
     def edge_partials(b: pa.Table) -> pa.Table:
@@ -618,13 +608,33 @@ def q_host_pagerank(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    edges = (
+    return (
         rd.range(spec.n_images)
         .map_batches(edge_partials, batch_format="pyarrow")
         .groupby(["h_src", "h_dst"])
         .aggregate(Sum("w", alias_name="w"))
         .to_pandas()
     )
+
+
+def q_host_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the corpus link graph, aggregated to host level — the
+    iterative-graph-algorithm shape (no SQL oracle; deterministic, golden-
+    pinned in tests/test_golden_values.py, plus an independent dense-matrix
+    recomputation check in tests/test_wave3.py).
+
+    Scale plan: the page→page edge list (n_pages × ~7.5 links) never leaves
+    the cluster — edges are generated and folded to weighted host→host
+    partial counts INSIDE map_batches, so the shuffle moves at most
+    n_hosts² × n_batches partial rows. The rank vector is host-sized
+    (result-sized by construction, like a groupby result), so the power
+    iteration runs on the driver over the aggregated matrix; at web scale
+    (10⁸ hosts) the same plan swaps the driver loop for a per-iteration
+    broadcast-ranks + edges-map_batches + groupby(dst) sum, which this code
+    path is shaped to become (edges stay a Dataset until the final fold)."""
+    spec = _spec_for_sf(sf_dir)
+    nh = spec.n_hosts
+    edges = _host_edge_weights(spec)
     hs = edges["h_src"].to_numpy()
     hd = edges["h_dst"].to_numpy()
     w = edges["w"].to_numpy().astype(np.float64)
@@ -639,6 +649,44 @@ def q_host_pagerank(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame({"host": np.arange(nh, dtype=np.int64), "rank": rank.round(8)})
     return (
         out.sort_values(["rank", "host"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+def q_host_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs-and-authorities over the host link graph (Kleinberg's
+    public formulation: a = Wᵀh, h = Wa, L2-normalize each, 20 rounds) —
+    the query-independent twin of q_host_pagerank, sharing its ONE
+    distributed edge aggregation (`_host_edge_weights`, host²-bounded
+    shuffle); the power iteration runs driver-side on the host-dimension-
+    bounded weight matrix, the same scale plan as pagerank. Top-10 hosts
+    by authority (tie → host asc). No SQL oracle (iterative); golden-
+    pinned + dense numpy recompute in tests/test_round5.py."""
+    spec = _spec_for_sf(sf_dir)
+    nh = spec.n_hosts
+    edges = _host_edge_weights(spec)
+    hs = edges["h_src"].to_numpy()
+    hd = edges["h_dst"].to_numpy()
+    w = edges["w"].to_numpy().astype(np.float64)
+    auth = np.full(nh, 1.0 / np.sqrt(nh))
+    hub = np.full(nh, 1.0 / np.sqrt(nh))
+    for _ in range(20):
+        auth = np.zeros(nh)
+        np.add.at(auth, hd, w * hub[hs])
+        auth /= max(np.linalg.norm(auth), 1e-300)
+        hub = np.zeros(nh)
+        np.add.at(hub, hs, w * auth[hd])
+        hub /= max(np.linalg.norm(hub), 1e-300)
+    out = pd.DataFrame(
+        {
+            "host": np.arange(nh, dtype=np.int64),
+            "authority": auth.round(8),
+            "hub": hub.round(8),
+        }
+    )
+    return (
+        out.sort_values(["authority", "host"], ascending=[False, True])
         .head(10)
         .reset_index(drop=True)
     )
@@ -1141,6 +1189,7 @@ QUERIES = {
     "image_phash_neardup": q_image_phash_neardup,
     "image_phash_clusters": q_image_phash_clusters,
     "host_pagerank": q_host_pagerank,
+    "host_hits": q_host_hits,
     "image_thumbnails": q_image_thumbnails,
     "crawl_audit": q_crawl_audit,
     "crawl_pages": q_crawl_pages,

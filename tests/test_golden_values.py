@@ -84,6 +84,9 @@ GOLDEN = {
     # greedy MMR diverse rerank (iterative argmax not SQL-expressible;
     # diversity property additionally gated in test_wave26)
     "mmr_diverse_topk": (10, "41de3d0ee25f065aa0102e330e99328c"),
+    # iterative HITS hubs/authorities (not SQL-expressible; dense numpy
+    # recompute in test_round5)
+    "host_hits": (10, "85bc490c01b8107dda891aa9d71f60a2"),
 }
 
 

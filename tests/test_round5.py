@@ -153,3 +153,45 @@ def test_image_clusters_labelprop_path_matches_unionfind(ray_session, monkeypatc
     got_m = q_image_dedup_manifest(SF)
     pd.testing.assert_frame_equal(got_c, base_c)
     pd.testing.assert_frame_equal(got_m, base_m)
+
+
+def test_host_hits_matches_dense_recompute(ray_session):
+    """Independent check for the HITS scores: rebuild the host weight
+    matrix from the per-page oracle link enumeration (the same API the
+    sequential parity crawler uses) and run the dense Kleinberg
+    iteration — mirrors the host_pagerank recompute in test_wave3."""
+    from ieps_crawler_ray.pipelines.crawl_pipeline import _spec_for_sf, q_host_hits
+    from ieps_crawler_ray.sources import corpus as C
+
+    spec = _spec_for_sf(SF)
+    nh = spec.n_hosts
+    W = np.zeros((nh, nh))
+    for i in range(spec.n_images):
+        targets, _anchors = C.out_links_of_index(spec, i)
+        hs = int(C.host_of_index(spec, np.array([i]))[0])
+        for t in targets:
+            hd = int(C.host_of_index(spec, np.array([t]))[0])
+            W[hs, hd] += 1.0
+    auth = np.full(nh, 1.0 / np.sqrt(nh))
+    hub = np.full(nh, 1.0 / np.sqrt(nh))
+    for _ in range(20):
+        auth = W.T @ hub
+        auth /= np.linalg.norm(auth)
+        hub = W @ auth
+        hub /= np.linalg.norm(hub)
+    expect = pd.DataFrame(
+        {
+            "host": np.arange(nh, dtype=np.int64),
+            "authority": auth.round(8),
+            "hub": hub.round(8),
+        }
+    )
+    expect = (
+        expect.sort_values(["authority", "host"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    got = q_host_hits(SF)
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False, atol=1e-8)
+    # scores are L2-normalized and non-negative
+    assert (got["authority"] >= 0).all() and (got["hub"] >= 0).all()

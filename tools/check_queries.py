@@ -61,7 +61,13 @@ def compare(name: str, ours: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     import ray
 
     if not ray.is_initialized():
@@ -79,8 +85,9 @@ def main():
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    only = set(sys.argv[2:])
+    only = set(argv[1:])
     n_pass = n_fail = 0
+    results = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -88,26 +95,50 @@ def main():
             ours = to_pandas(fn(sf_dir))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            results[name] = {"status": "FAIL", "err": f"{type(e).__name__}: {e}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(ours)} rows)")
+            results[name] = {"status": "rows_only", "rows": len(ours)}
             n_pass += 1
             continue
         try:
             oracle = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle SQL raised {e}")
+            results[name] = {"status": "FAIL", "err": f"oracle SQL raised {e}"}
             n_fail += 1
             continue
         problems = compare(name, ours, oracle)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name] = {"status": "FAIL", "err": "; ".join(problems)}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(ours)} rows)")
+            results[name] = {"status": "PASS", "rows": len(ours)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_oracled": sum(
+                        1 for r in results.values() if r["status"] in ("PASS", "FAIL")
+                    ),
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
