@@ -12141,3 +12141,403 @@ ORACLE_SQL["session_overlap_pairs"] = (
     "  AND GREATEST(a.st, b.st) < LEAST(a.en, b.en)"
     " GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+# ----------------- wave 32 (round 5): dependence measures / survival -------
+# ----------------- / grouped trend / phrase search / CUPED ------------------
+
+
+def q_source_lang_dependence(sf_dir: str) -> pd.DataFrame:
+    """Association measures between document source and language from ONE
+    distributed contingency fold: mutual information (nats), conditional
+    entropy H(lang|source) and Cramér's V — the drift metrics a corpus-
+    composition monitor reads next to chi² (q_source_lang_chi2). The
+    (source, lang) cell table is result-sized, so every measure is driver
+    numpy over it; zero cells cancel algebraically in all three (MI/H via
+    0·ln 0 = 0, chi² via the Σo²/e − n identity), so only observed cells
+    ever ship."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["source", "lang"])
+    cells = (
+        _coalesce_partials(
+            ds.map_batches(
+                lambda b: _partial(b, ["source", "lang"], [([], "count_all")]),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby(["source", "lang"])
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    n = cells["n"].to_numpy(dtype=np.float64)
+    tot = n.sum()
+    rs = cells.groupby("source")["n"].transform("sum").to_numpy(dtype=np.float64)
+    cs = cells.groupby("lang")["n"].transform("sum").to_numpy(dtype=np.float64)
+    p = n / tot
+    mi = float((p * np.log(n * tot / (rs * cs))).sum())
+    hcond = float(-(p * np.log(n / rs)).sum())
+    chi2 = float((n * n * tot / (rs * cs)).sum() - tot)
+    k = min(cells["source"].nunique(), cells["lang"].nunique())
+    v = float(np.sqrt(chi2 / (tot * (k - 1))))
+    return pd.DataFrame(
+        [
+            {
+                "mutual_info": round(mi, 6),
+                "h_lang_given_source": round(hcond, 6),
+                "cramers_v": round(v, 6),
+            }
+        ]
+    )
+
+
+QUERIES["source_lang_dependence"] = q_source_lang_dependence
+ORACLE_SQL["source_lang_dependence"] = (
+    "WITH c AS (SELECT source, lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY 1, 2),"
+    " t AS (SELECT SUM(n) AS tot, COUNT(DISTINCT source) AS nr,"
+    "  COUNT(DISTINCT lang) AS nc FROM c),"
+    " r AS (SELECT source, SUM(n) AS rs FROM c GROUP BY 1),"
+    " l AS (SELECT lang, SUM(n) AS cs FROM c GROUP BY 1)"
+    " SELECT ROUND(SUM(n / tot * LN(n * tot / (rs * cs))), 6) AS mutual_info,"
+    "  ROUND(-SUM(n / tot * LN(n / rs)), 6) AS h_lang_given_source,"
+    "  ROUND(SQRT((SUM(n * n * tot / (rs * cs)) - ANY_VALUE(tot))"
+    "   / (ANY_VALUE(tot) * (LEAST(ANY_VALUE(nr), ANY_VALUE(nc)) - 1))), 6) AS cramers_v"
+    " FROM c JOIN r USING (source) JOIN l USING (lang) CROSS JOIN t"
+)
+
+
+def q_conversion_survival(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier survival curve for view→purchase conversion latency with
+    RIGHT-CENSORING — the time-to-event estimator naive conversion averages
+    bias (users who never purchased still inform the at-risk set). Per user:
+    duration = whole days from first 'view' to first purchase AT-OR-AFTER it
+    (event) or to their last event (censored). Censoring at day d keeps the
+    user at risk THROUGH d (standard convention: censoring after same-time
+    events). Distributed shape: user-bucket groupby → vectorized per-user
+    fold INSIDE the group task → each bucket emits a ≤2×31-row (dur, ev)
+    partial contingency (the day domain is calendar-bounded), so the final
+    shuffle and the driver KM product both run on result-sized tables —
+    no per-user rows ever reach the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["user_id", "ts", "event_type"]]
+        fv = (
+            g[g["event_type"] == "view"]
+            .groupby("user_id")["ts"]
+            .min()
+            .rename("fv")
+        )
+        last = g.groupby("user_id")["ts"].max().rename("last")
+        u = pd.concat([fv, last], axis=1).dropna(subset=["fv"])
+        pur = g[g["event_type"] == "purchase"].merge(
+            u["fv"], left_on="user_id", right_index=True
+        )
+        fp = (
+            pur[pur["ts"] >= pur["fv"]]
+            .groupby("user_id")["ts"]
+            .min()
+            .rename("fp")
+        )
+        u = u.join(fp)
+        ev = u["fp"].notna()
+        end = u["fp"].where(ev, u["last"])
+        dur = ((end - u["fv"]).dt.total_seconds() // 86400).astype(np.int64)
+        vc = (
+            pd.DataFrame({"dur": dur, "ev": ev.astype(np.int64)})
+            .value_counts()
+            .reset_index(name="n")
+        )
+        return vc
+
+    cells = (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["dur", "ev"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("dur")
+    )
+    piv = (
+        cells.pivot_table(index="dur", columns="ev", values="n", fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    tot = piv.sum(axis=1).to_numpy(dtype=np.float64)
+    e = piv[1].to_numpy(dtype=np.float64)
+    risk = np.cumsum(tot[::-1])[::-1]
+    surv = np.cumprod(1.0 - e / risk)
+    keep = e > 0
+    return pd.DataFrame(
+        {
+            "day": piv.index.to_numpy(dtype=np.int64)[keep],
+            "n_risk": risk[keep].astype(np.int64),
+            "n_event": e[keep].astype(np.int64),
+            "survival": np.round(surv[keep], 6),
+        }
+    ).reset_index(drop=True)
+
+
+QUERIES["conversion_survival"] = q_conversion_survival
+ORACLE_SQL["conversion_survival"] = (
+    "WITH u AS (SELECT user_id, MIN(ts) FILTER (event_type = 'view') AS fv,"
+    "  MAX(ts) AS last FROM events GROUP BY 1),"
+    " p AS (SELECT e.user_id, MIN(e.ts) AS fp FROM events e JOIN u USING (user_id)"
+    "  WHERE e.event_type = 'purchase' AND e.ts >= u.fv GROUP BY 1),"
+    " d AS (SELECT u.user_id,"
+    "  FLOOR(EPOCH(COALESCE(p.fp, u.last) - u.fv) / 86400)::BIGINT AS dur,"
+    "  CASE WHEN p.fp IS NOT NULL THEN 1 ELSE 0 END AS ev"
+    "  FROM u LEFT JOIN p USING (user_id) WHERE u.fv IS NOT NULL),"
+    " g AS (SELECT dur, SUM(ev)::DOUBLE AS e, COUNT(*)::DOUBLE AS tot FROM d GROUP BY 1),"
+    " r AS (SELECT dur, e, SUM(tot) OVER (ORDER BY dur DESC) AS risk FROM g),"
+    " s AS (SELECT dur, e, risk,"
+    "  EXP(SUM(LN(GREATEST(1 - e / risk, 1e-300))) OVER (ORDER BY dur)) AS surv FROM r)"
+    " SELECT dur AS day, risk::BIGINT AS n_risk, e::BIGINT AS n_event,"
+    "  ROUND(surv, 6) AS survival FROM s WHERE e > 0 ORDER BY day"
+)
+
+
+def q_nation_revenue_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-group OLS trend: slope and intercept of daily revenue vs epoch-day
+    for each customer nation — the grouped sibling of q_price_qty_regression
+    (grouped regr_slope/regr_intercept, which Ray Data has no native
+    aggregate for). Orders map to nations via the broadcast dim join (J2);
+    the fact folds to a (nation × day) rollup — calendar-bounded, like
+    every daily series here — and the per-nation closed-form normal
+    equations run on that result-sized table."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    cust = _dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nk = nation.column("n_nationkey").to_numpy()
+    order = np.argsort(nk)
+    names = nation.column("n_name").take(pa.array(order))
+    pos = np.searchsorted(nk[order], cust.column("c_nationkey").to_numpy())
+    dim = pa.table(
+        {"o_custkey": cust["c_custkey"], "n_name": names.take(pa.array(pos, pa.int64()))}
+    )
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    joined = broadcast_join(ds, dim, "o_custkey", ["n_name"])
+
+    def f(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(pc.cast(b["o_orderdate"], pa.int64()), 86_400_000_000)), pa.int64())
+        t = pa.table({"n_name": b["n_name"], "day": day, "rev": b["o_totalprice"]})
+        return _partial(t, ["n_name", "day"], [("rev", "sum")])
+
+    daily = (
+        joined.map_batches(f, batch_format="pyarrow")
+        .groupby(["n_name", "day"])
+        .aggregate(Sum("rev_sum", alias_name="rev"))
+        .to_pandas()
+    )
+
+    def ols(g: pd.DataFrame) -> pd.Series:
+        x = g["day"].to_numpy(dtype=np.float64)
+        y = g["rev"].to_numpy(dtype=np.float64)
+        n = len(x)
+        sx, sy = x.sum(), y.sum()
+        sxx, sxy = (x * x).sum(), (x * y).sum()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return pd.Series(
+            {
+                "slope": round(slope, 6),
+                "intercept": round((sy - slope * sx) / n, 4),
+                "n_days": np.int64(n),
+            }
+        )
+
+    out = daily.groupby("n_name").apply(ols, include_groups=False).reset_index()
+    return out.sort_values("n_name").reset_index(drop=True).astype({"n_days": "int64"})
+
+
+QUERIES["nation_revenue_trend"] = q_nation_revenue_trend
+ORACLE_SQL["nation_revenue_trend"] = (
+    "WITH d AS (SELECT n_name, FLOOR(EPOCH(o_orderdate) / 86400)::DOUBLE AS day,"
+    "  SUM(o_totalprice) AS rev FROM orders"
+    "  JOIN customer ON o_custkey = c_custkey"
+    "  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2)"
+    " SELECT n_name, ROUND(REGR_SLOPE(rev, day), 6) AS slope,"
+    "  ROUND(REGR_INTERCEPT(rev, day), 4) AS intercept,"
+    "  COUNT(*)::BIGINT AS n_days FROM d GROUP BY 1 ORDER BY 1"
+)
+
+
+def q_top_bigram_docs(sf_dir: str) -> pd.DataFrame:
+    """PHRASE SEARCH seeded by corpus statistics: find the single most
+    frequent adjacent-token bigram (freq desc, lex asc — the top_bigrams
+    fold), then a second streaming scan returns how many documents contain
+    it as an exact phrase plus the 10 smallest matching doc_ids. Both scans
+    are per-batch vectorized (polars contains on space-padded text — token
+    adjacency ⟺ padded substring for single-space corpora); the phrase
+    rides the closure (one string). The doc-id head folds as a per-batch
+    partial top-k, the same distributed-limit shape as orders_topk_price."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bigram_counts(b: pa.Table) -> pa.Table:
+        toks = [t.split() for t in b["text"].to_pylist()]
+        pairs = [
+            " ".join(p)
+            for ts in toks
+            for p in zip(ts, ts[1:])
+        ]
+        vc = pd.Series(pairs, dtype=object).value_counts()
+        return pa.table(
+            {
+                "bigram": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    bi = (
+        ds.map_batches(bigram_counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "bigram"], ascending=[False, True], kind="stable")
+    )
+    phrase = str(bi["bigram"].iloc[0])
+
+    def match_f(b: pa.Table, _p=phrase) -> pa.Table:
+        import polars as pl
+
+        txt = pl.from_arrow(b["text"])
+        hit = (" " + txt + " ").str.contains(" " + _p + " ", literal=True).to_numpy()
+        ids = b["doc_id"].to_numpy()[hit]
+        ids.sort()
+        # batch hit total rides the FIRST row only (summable partial)
+        cnt = np.zeros(min(len(ids), 10), np.int64)
+        if len(cnt):
+            cnt[0] = int(hit.sum())
+        return pa.table({"doc_id": pa.array(ids[:10]), "n_sub": pa.array(cnt)})
+
+    m = ds.map_batches(match_f, batch_format="pyarrow").to_pandas()
+    n_docs = int(m["n_sub"].sum()) if len(m) else 0
+    ids = np.sort(m["doc_id"].to_numpy())[:10]
+    return pd.DataFrame(
+        {
+            "bigram": [phrase] * len(ids),
+            "n_docs": np.full(len(ids), n_docs, np.int64),
+            "doc_id": ids.astype(np.int64),
+        }
+    )
+
+
+QUERIES["top_bigram_docs"] = q_top_bigram_docs
+ORACLE_SQL["top_bigram_docs"] = (
+    "WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents),"
+    " bi AS (SELECT t[i] || ' ' || t[i+1] AS bigram"
+    "  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),"
+    " top1 AS (SELECT bigram FROM bi GROUP BY 1"
+    "  ORDER BY COUNT(*) DESC, bigram LIMIT 1),"
+    " hits AS (SELECT doc_id FROM documents, top1"
+    "  WHERE ' ' || text || ' ' LIKE '% ' || bigram || ' %'),"
+    " n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM hits)"
+    " SELECT top1.bigram, n.n_docs, doc_id FROM hits, top1, n"
+    " ORDER BY doc_id LIMIT 10"
+)
+
+
+def q_ab_cuped(sf_dir: str) -> pd.DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13 — public
+    formulation): outcome y = a user's purchase value in the experiment
+    window (second half of the observed month), covariate x = the same
+    metric in the pre-period (first half); variant = user_id parity.
+    θ = cov(x,y)/var(x) is estimated POOLED, and each variant reports its
+    raw and adjusted mean (y − θ·(x − x̄)). Distributed shape: the per-user
+    (x, y) rollup is ONE keyed groupby of per-batch partials; the five
+    scalar moments and the 2-row variant rollup fold per batch after it —
+    nothing user-sized reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+    mid = np.datetime64("2024-01-16T00:00:00")
+
+    def xy_f(b: pa.Table) -> pa.Table:
+        isp = pc.equal(b["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        ts = b["ts"].to_numpy()
+        v = b["value"].to_numpy() * isp
+        pre = ts < mid
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "x": pa.array(np.where(pre, v, 0.0)),
+                "y": pa.array(np.where(~pre, v, 0.0)),
+            }
+        )
+        return _partial(t, ["user_id"], [("x", "sum"), ("y", "sum")])
+
+    per_user = (
+        ds.map_batches(xy_f, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("x_sum", alias_name="x"), Sum("y_sum", alias_name="y"))
+    )
+
+    def mom_f(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy()
+        y = b["y"].to_numpy()
+        var = (b["user_id"].to_numpy() % 2).astype(np.int64)
+        t = pa.table(
+            {
+                "variant": pa.array(var),
+                "one": pa.array(np.ones(len(x), np.int64)),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "xx": pa.array(x * x),
+                "xy": pa.array(x * y),
+            }
+        )
+        return _partial(
+            t,
+            ["variant"],
+            [("one", "sum"), ("x", "sum"), ("y", "sum"), ("xx", "sum"), ("xy", "sum")],
+        )
+
+    s = (
+        _coalesce_partials(per_user.map_batches(mom_f, batch_format="pyarrow"))
+        .groupby("variant")
+        .aggregate(
+            Sum("one_sum", alias_name="n_users"),
+            Sum("x_sum", alias_name="sx"),
+            Sum("y_sum", alias_name="sy"),
+            Sum("xx_sum", alias_name="sxx"),
+            Sum("xy_sum", alias_name="sxy"),
+        )
+        .to_pandas()
+        .sort_values("variant")
+        .reset_index(drop=True)
+    )
+    n = float(s["n_users"].sum())
+    sx, sy = float(s["sx"].sum()), float(s["sy"].sum())
+    sxx, sxy = float(s["sxx"].sum()), float(s["sxy"].sum())
+    theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    xbar = sx / n
+    s["mean_y"] = (s["sy"] / s["n_users"]).round(6)
+    s["mean_adj"] = (
+        s["sy"] / s["n_users"] - theta * (s["sx"] / s["n_users"] - xbar)
+    ).round(6)
+    s["theta"] = round(float(theta), 6)
+    return s[["variant", "n_users", "mean_y", "mean_adj", "theta"]].astype(
+        {"variant": "int64", "n_users": "int64"}
+    )
+
+
+QUERIES["ab_cuped"] = q_ab_cuped
+ORACLE_SQL["ab_cuped"] = (
+    "WITH u AS (SELECT user_id, (user_id % 2)::BIGINT AS variant,"
+    "  SUM(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'"
+    "   THEN value ELSE 0 END) AS x,"
+    "  SUM(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'"
+    "   THEN value ELSE 0 END) AS y FROM events GROUP BY 1, 2),"
+    " g AS (SELECT COVAR_POP(x, y) / VAR_POP(x) AS theta, AVG(x) AS xbar FROM u)"
+    " SELECT variant, COUNT(*)::BIGINT AS n_users, ROUND(AVG(y), 6) AS mean_y,"
+    "  ROUND(AVG(y) - ANY_VALUE(g.theta) * (AVG(x) - ANY_VALUE(g.xbar)), 6) AS mean_adj,"
+    "  ROUND(ANY_VALUE(g.theta), 6) AS theta"
+    " FROM u CROSS JOIN g GROUP BY variant ORDER BY variant"
+)
