@@ -12541,3 +12541,217 @@ ORACLE_SQL["ab_cuped"] = (
     "  ROUND(ANY_VALUE(g.theta), 6) AS theta"
     " FROM u CROSS JOIN g GROUP BY variant ORDER BY variant"
 )
+
+
+# ----------------- wave 33 (round 5): split assignment / incremental -------
+# ----------------- maintenance / isotonic regression ------------------------
+
+
+def q_docs_split_assign(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10) with
+    per-source stratification counts — the reproducible-split primitive a
+    training pipeline needs (row identity, not position, decides the split:
+    stable under resharding, re-runs and engine changes). Bucket =
+    int(md5(doc_id)[:8 hex], 16) % 100, chosen over a cheap 64-bit mix
+    because it is bit-identical across engines (the DuckDB oracle recomputes
+    it in SQL). Per-batch C-speed md5 + one (source, split)-bounded
+    groupby of partials; no per-doc rows reach the driver."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "source"])
+    names = np.array(["train", "val", "test"], dtype=object)
+
+    def split_f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        buck = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big") % 100
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        split = names[(buck >= 80).astype(np.int64) + (buck >= 90)]
+        t = pa.table(
+            {
+                "source": b["source"],
+                "split": pa.array(split, pa.string()),
+                "one": pa.array(np.ones(len(ids), np.int64)),
+            }
+        )
+        return _partial(t, ["source", "split"], [("one", "sum")])
+
+    out = (
+        _coalesce_partials(ds.map_batches(split_f, batch_format="pyarrow"))
+        .groupby(["source", "split"])
+        .aggregate(Sum("one_sum", alias_name="n"))
+        .to_pandas()
+        .sort_values(["source", "split"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"n": "int64"})
+
+
+QUERIES["docs_split_assign"] = q_docs_split_assign
+ORACLE_SQL["docs_split_assign"] = (
+    "WITH b AS (SELECT source,"
+    "  ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bk"
+    "  FROM documents)"
+    " SELECT source, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'"
+    "  ELSE 'test' END AS split, COUNT(*)::BIGINT AS n"
+    " FROM b GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+def q_events_incremental_daily(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL AGGREGATE MAINTENANCE: daily (events, revenue, users-HLL
+    is overkill here — count) rollups where the closed base period
+    (ts < 2024-01-21) folds ONCE into a persisted partial-aggregate manifest
+    (partitioned parquet under /tmp, atomic rename commit — the same
+    manifest discipline as the lance sink) and every subsequent run scans
+    ONLY the open delta partition (predicate pushed to the parquet read) and
+    merges calendar-bounded partials. At 100 TB this is the difference
+    between reprocessing history daily and touching just the open day;
+    correctness gate: result ≡ the full-scan oracle, cold or warm."""
+    import hashlib as _h
+
+    from ray.data.aggregate import Sum
+
+    cutoff = np.datetime64("2024-01-21T00:00:00")
+    tag = _h.md5(f"incr-daily|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    base_dir = f"/tmp/ieps_crawler_ray/incr-{tag}"
+
+    def day_fold(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        t = pa.table(
+            {
+                "day": day,
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "rev": b["value"],
+            }
+        )
+        return _partial(t, ["day"], [("one", "sum"), ("rev", "sum")])
+
+    def folded(ds):
+        return (
+            _coalesce_partials(ds.map_batches(day_fold, batch_format="pyarrow"))
+            .groupby("day")
+            .aggregate(
+                Sum("one_sum", alias_name="n_events"),
+                Sum("rev_sum", alias_name="revenue"),
+            )
+            .to_pandas()
+        )
+
+    import pyarrow.dataset as pads
+
+    if not os.path.isdir(base_dir):  # cold: fold the closed period once
+        base = folded(
+            _tbl(
+                sf_dir,
+                "events",
+                columns=["ts", "value"],
+                filter=pads.field("ts") < pa.scalar(cutoff.item()),
+            )
+        )
+        tmp = base_dir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(base, preserve_index=False), f"{tmp}/base.parquet")
+        os.replace(tmp, base_dir)  # atomic manifest commit
+    base = pq.read_table(f"{base_dir}/base.parquet").to_pandas()
+
+    delta = folded(
+        _tbl(
+            sf_dir,
+            "events",
+            columns=["ts", "value"],
+            filter=pads.field("ts") >= pa.scalar(cutoff.item()),
+        )
+    )
+    out = (
+        pd.concat([base, delta])
+        .groupby("day", as_index=False)
+        .sum()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    out["revenue"] = out["revenue"].round(4)
+    return out.astype({"n_events": "int64"})
+
+
+QUERIES["events_incremental_daily"] = q_events_incremental_daily
+ORACLE_SQL["events_incremental_daily"] = (
+    "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*)::BIGINT AS n_events,"
+    " ROUND(SUM(value), 4) AS revenue FROM events GROUP BY 1 ORDER BY 1"
+)
+
+
+def q_discount_isotonic(sf_dir: str) -> pd.DataFrame:
+    """Isotonic regression (PAVA, pool-adjacent-violators) of mean extended
+    price against discount level — the monotone-calibration primitive
+    (price should not increase with discount; PAVA finds the least-squares
+    nondecreasing fit of the REVERSED order). The discount domain is
+    bounded (≤ 11 levels), so the distributed part is one (discount)-keyed
+    fold of (n, Σprice) partials; PAVA runs on the result-sized table.
+    Not SQL-expressible (iterative pooling): golden-pinned + independent
+    PAVA recompute and monotonicity/weighted-mean invariants in
+    tests/test_round5.py."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_discount", "l_extendedprice"])
+    cells = (
+        _coalesce_partials(
+            ds.map_batches(
+                lambda b: _partial(
+                    pa.table(
+                        {
+                            "l_discount": b["l_discount"],
+                            "one": pa.array(np.ones(b.num_rows, np.int64)),
+                            "p": b["l_extendedprice"],
+                        }
+                    ),
+                    ["l_discount"],
+                    [("one", "sum"), ("p", "sum")],
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("l_discount")
+        .aggregate(Sum("one_sum", alias_name="n"), Sum("p_sum", alias_name="s"))
+        .to_pandas()
+        .sort_values("l_discount")
+        .reset_index(drop=True)
+    )
+    w = cells["n"].to_numpy(dtype=np.float64)
+    y = (cells["s"] / cells["n"]).to_numpy(dtype=np.float64)
+    # fit NONINCREASING in discount = nondecreasing on the reversed axis
+    iso = _pava(y[::-1], w[::-1])[::-1]
+    return pd.DataFrame(
+        {
+            "l_discount": cells["l_discount"],
+            "n": cells["n"].astype(np.int64),
+            "mean_price": np.round(y, 4),
+            "iso_price": np.round(iso, 4),
+        }
+    )
+
+
+def _pava(y: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Pool-adjacent-violators: least-squares nondecreasing fit (public
+    textbook algorithm; stack-based O(n))."""
+    means, wts, sizes = [], [], []
+    for yi, wi in zip(y, w):
+        means.append(float(yi))
+        wts.append(float(wi))
+        sizes.append(1)
+        while len(means) > 1 and means[-2] > means[-1]:
+            m2, w2, s2 = means.pop(), wts.pop(), sizes.pop()
+            means[-1] = (means[-1] * wts[-1] + m2 * w2) / (wts[-1] + w2)
+            wts[-1] += w2
+            sizes[-1] += s2
+    return np.repeat(means, sizes)
+
+
+QUERIES["discount_isotonic"] = q_discount_isotonic

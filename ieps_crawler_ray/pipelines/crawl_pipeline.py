@@ -692,6 +692,46 @@ def q_host_hits(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_host_closeness(sf_dir: str) -> pd.DataFrame:
+    """Harmonic closeness centrality over the directed host link graph:
+    C(u) = sum over reachable v != u of 1/d(u, v) (the disconnected-safe
+    closeness variant) — completes the host-graph family (pagerank, HITS)
+    with a distance-based score. Shares the ONE distributed edge fold
+    (`_host_edge_weights`, host^2-bounded shuffle); the all-sources BFS runs
+    driver-side on the host-dimension-bounded boolean adjacency (levelwise
+    numpy frontier sweeps, no per-page work — the same result-sized-graph
+    placement argument as pagerank/HITS). Top-10 by centrality (tie -> host
+    asc). No SQL oracle (iterative); golden-pinned + dense recompute in
+    tests/test_round5.py."""
+    spec = _spec_for_sf(sf_dir)
+    nh = spec.n_hosts
+    edges = _host_edge_weights(spec)
+    adj = np.zeros((nh, nh), dtype=bool)
+    adj[edges["h_src"].to_numpy(), edges["h_dst"].to_numpy()] = True
+    cent = np.zeros(nh)
+    for s in range(nh):
+        dist = np.full(nh, -1, np.int64)
+        dist[s] = 0
+        frontier = np.zeros(nh, dtype=bool)
+        frontier[s] = True
+        d = 0
+        while frontier.any():
+            d += 1
+            nxt = adj[frontier].any(axis=0) & (dist < 0)
+            dist[nxt] = d
+            frontier = nxt
+        reach = dist > 0
+        cent[s] = float((1.0 / dist[reach]).sum())
+    out = pd.DataFrame(
+        {"host": np.arange(nh, dtype=np.int64), "closeness": cent.round(8)}
+    )
+    return (
+        out.sort_values(["closeness", "host"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
 def q_image_phash_neardup(sf_dir: str) -> pd.DataFrame:
     """Image-level near-duplicate PAIRS (pHash hamming ≤ 3) via banded LSH —
     the image-modality twin of ``q_simhash_neardup_pairs``: 4 bands × 16
@@ -1190,6 +1230,7 @@ QUERIES = {
     "image_phash_clusters": q_image_phash_clusters,
     "host_pagerank": q_host_pagerank,
     "host_hits": q_host_hits,
+    "host_closeness": q_host_closeness,
     "image_thumbnails": q_image_thumbnails,
     "crawl_audit": q_crawl_audit,
     "crawl_pages": q_crawl_pages,

