@@ -12755,3 +12755,250 @@ def _pava(y: np.ndarray, w: np.ndarray) -> np.ndarray:
 
 
 QUERIES["discount_isotonic"] = q_discount_isotonic
+
+
+# ----------------- wave 34 (round 5): change-point / novelty / textrank ----
+
+
+def q_events_change_point(sf_dir: str) -> pd.DataFrame:
+    """CUSUM change-point detection on the daily event-count series — the
+    level-shift monitor a pipeline-health dashboard runs over ingest
+    volumes. The fact folds to the calendar-bounded daily table (per-batch
+    partials → one keyed groupby); the cumulative-deviation scan and the
+    argmax |S_k| pick (tie → earliest day; break falls AFTER the picked
+    day) run driver-side on the result-sized series, with the before/after
+    level means reported for the picked break."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["ts"])
+
+    def f(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        t = pa.table({"day": day, "one": pa.array(np.ones(b.num_rows, np.int64))})
+        return _partial(t, ["day"], [("one", "sum")])
+
+    d = (
+        _coalesce_partials(ds.map_batches(f, batch_format="pyarrow"))
+        .groupby("day")
+        .aggregate(Sum("one_sum", alias_name="n"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    n = d["n"].to_numpy(dtype=np.float64)
+    s = np.cumsum(n - n.mean())
+    k = int(np.lexsort((np.arange(len(s)), -np.abs(s)))[0])
+    return pd.DataFrame(
+        [
+            {
+                "change_day": d["day"].iloc[k],
+                "cusum": round(float(s[k]), 6),
+                "mean_before": round(float(n[: k + 1].mean()), 6),
+                "mean_after": round(float(n[k + 1 :].mean()), 6),
+            }
+        ]
+    )
+
+
+QUERIES["events_change_point"] = q_events_change_point
+ORACLE_SQL["events_change_point"] = (
+    "WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*)::DOUBLE AS n"
+    "  FROM events GROUP BY 1),"
+    " c AS (SELECT day, SUM(n - (SELECT AVG(n) FROM d)) OVER (ORDER BY day) AS s"
+    "  FROM d),"
+    " pick AS (SELECT day AS cp, s FROM c ORDER BY ABS(s) DESC, day LIMIT 1)"
+    " SELECT pick.cp AS change_day, ROUND(pick.s, 6) AS cusum,"
+    "  ROUND(AVG(n) FILTER (day <= pick.cp), 6) AS mean_before,"
+    "  ROUND(AVG(n) FILTER (day > pick.cp), 6) AS mean_after"
+    " FROM d CROSS JOIN pick GROUP BY pick.cp, pick.s"
+)
+
+
+def q_doc_ngram_novelty(sf_dir: str) -> pd.DataFrame:
+    """N-GRAM NOVELTY scoring by source: for each document, the fraction of
+    its distinct 8-token shingles that no SMALLER doc_id contains — the
+    freshness signal a crawl-scheduling / corpus-growth monitor reads
+    (near-1 means new material, near-0 means the source is re-serving known
+    text). Two keyed shuffles, both vocabulary/gram-bounded: (1) distinct
+    (gram, doc_id, source) rows group by GRAM and each group marks its
+    min-doc_id owner (per-group segmented numpy, no pairs), (2) the
+    (doc_id, novel, total) partials fold per DOC, then to the (source)-
+    bounded rollup: avg novelty and the count of fully-novel docs. Docs
+    shorter than 8 tokens carry no grams and are excluded (both sides)."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def grams_f(b: pa.Table) -> pa.Table:
+        ids, srcs, grams = [], [], []
+        for did, src, txt in zip(
+            b["doc_id"].to_pylist(), b["source"].to_pylist(), b["text"].to_pylist()
+        ):
+            t = txt.split()
+            gs = {" ".join(t[i : i + 8]) for i in range(len(t) - 7)}
+            ids.extend([did] * len(gs))
+            srcs.extend([src] * len(gs))
+            grams.extend(gs)
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+
+    def mark_f(g: pd.DataFrame) -> pd.DataFrame:
+        # rows of ONE gram bucket; vectorized per-gram min over the segment
+        mn = g.groupby("gram")["doc_id"].transform("min")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "source": g["source"],
+                "novel": (g["doc_id"] == mn).astype(np.int64),
+                "one": np.ones(len(g), np.int64),
+            }
+        )
+
+    def gb_key(b: pa.Table) -> pa.Table:
+        gb = (hashing.hash64(b["gram"].to_numpy(zero_copy_only=False)) & 255).astype(
+            np.int64
+        )
+        return b.append_column("gb", pa.array(gb))
+
+    def src_f(b: pa.Table) -> pa.Table:
+        nov = b["n_novel"].to_numpy().astype(np.float64)
+        tot = b["n_grams"].to_numpy().astype(np.float64)
+        t = pa.table(
+            {
+                "source": b["source"],
+                "one": pa.array(np.ones(len(nov), np.int64)),
+                "nv": pa.array(nov / tot),
+                "full": pa.array((nov == tot).astype(np.int64)),
+            }
+        )
+        return _partial(t, ["source"], [("one", "sum"), ("nv", "sum"), ("full", "sum")])
+
+    # re-attach source per doc: carry it through the per-doc fold via Max
+    # (source is functionally dependent on doc_id, so Max == the value)
+    from ray.data.aggregate import Max
+
+    per_doc_src = (
+        ds.map_batches(grams_f, batch_format="pyarrow")
+        .map_batches(gb_key, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(mark_f, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("novel", alias_name="n_novel"),
+            Sum("one", alias_name="n_grams"),
+            Max("source", alias_name="source"),
+        )
+    )
+    out = (
+        _coalesce_partials(per_doc_src.map_batches(src_f, batch_format="pyarrow"))
+        .groupby("source")
+        .aggregate(
+            Sum("one_sum", alias_name="n_docs"),
+            Sum("nv_sum", alias_name="nv"),
+            Sum("full_sum", alias_name="n_fully_novel"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["avg_novelty"] = (out["nv"] / out["n_docs"]).round(6)
+    return out[["source", "n_docs", "avg_novelty", "n_fully_novel"]].astype(
+        {"n_docs": "int64", "n_fully_novel": "int64"}
+    )
+
+
+QUERIES["doc_ngram_novelty"] = q_doc_ngram_novelty
+ORACLE_SQL["doc_ngram_novelty"] = (
+    "WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),"
+    " g AS (SELECT DISTINCT doc_id, source, array_to_string(t[i:i+7], ' ') AS gram"
+    "  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)),"
+    " m AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1),"
+    " nov AS (SELECT g.doc_id, ANY_VALUE(g.source) AS source,"
+    "   SUM(CASE WHEN m.first_doc = g.doc_id THEN 1 ELSE 0 END) AS nn,"
+    "   COUNT(*) AS ng FROM g JOIN m USING (gram) GROUP BY 1)"
+    " SELECT source, COUNT(*)::BIGINT AS n_docs,"
+    "  ROUND(AVG(nn::DOUBLE / ng), 6) AS avg_novelty,"
+    "  SUM(CASE WHEN nn = ng THEN 1 ELSE 0 END)::BIGINT AS n_fully_novel"
+    " FROM nov GROUP BY 1 ORDER BY 1"
+)
+
+
+def q_textrank_keywords(sf_dir: str) -> pd.DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau '04, public
+    formulation): PageRank with damping 0.85 over the undirected
+    adjacent-token co-occurrence graph, 30 iterations, scores rounded to 8.
+    Distributed part = the SAME bigram-count fold as pmi_bigrams (per-batch
+    distinct pairs shuffle); the rank iteration runs driver-side on the
+    VOCABULARY-bounded sparse edge list (at web scale this becomes the
+    per-iteration broadcast-ranks plan documented on host_pagerank — the
+    edge table is already the Dataset this path folds from). Top-10 terms
+    (score desc, term asc). No SQL oracle (iterative); golden-pinned +
+    independent dense recompute in tests/test_round5.py."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        cnt: dict[tuple, int] = {}
+        for txt in b["text"].to_pylist():
+            t = txt.split()
+            for a_, b_ in zip(t, t[1:]):
+                k = (a_, b_) if a_ <= b_ else (b_, a_)
+                cnt[k] = cnt.get(k, 0) + 1
+        if not cnt:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ks = list(cnt)
+        return pa.table(
+            {
+                "w1": pa.array([k[0] for k in ks], pa.string()),
+                "w2": pa.array([k[1] for k in ks], pa.string()),
+                "n": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    edges = (
+        ds.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # vocabulary-bounded
+    )
+    # drop self-loops (repeated token); symmetrize
+    edges = edges[edges["w1"] != edges["w2"]]
+    vocab = pd.Index(
+        pd.unique(pd.concat([edges["w1"], edges["w2"]], ignore_index=True))
+    ).sort_values()
+    idx = {w: i for i, w in enumerate(vocab)}
+    a = edges["w1"].map(idx).to_numpy()
+    b = edges["w2"].map(idx).to_numpy()
+    w = edges["n"].to_numpy(dtype=np.float64)
+    nv = len(vocab)
+    deg = np.zeros(nv)
+    np.add.at(deg, a, w)
+    np.add.at(deg, b, w)
+    r = np.full(nv, 1.0 / nv)
+    d = 0.85
+    for _ in range(30):
+        contrib = np.zeros(nv)
+        np.add.at(contrib, b, w * r[a] / deg[a])
+        np.add.at(contrib, a, w * r[b] / deg[b])
+        r = (1 - d) / nv + d * contrib
+    out = pd.DataFrame({"term": vocab.to_numpy(), "score": np.round(r, 8)})
+    return (
+        out.sort_values(["score", "term"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["textrank_keywords"] = q_textrank_keywords

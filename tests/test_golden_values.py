@@ -93,6 +93,9 @@ GOLDEN = {
     # all-sources BFS harmonic centrality (iterative; dense Floyd-Warshall
     # recompute in test_round5)
     "host_closeness": (10, "46456cc56abb6490f61a1f23dc71f64d"),
+    # TextRank keyword scores (iterative; dense-matrix recompute in
+    # test_round5)
+    "textrank_keywords": (10, "7807d01359d716d05fac1f225b932a62"),
 }
 
 

@@ -292,3 +292,41 @@ def test_events_incremental_daily_warm_matches_cold(ray_session):
     assert os.path.isdir(base_dir) and not os.path.isdir(base_dir + ".tmp")
     warm = q_events_incremental_daily(SF)
     pd.testing.assert_frame_equal(cold, warm)
+
+
+def test_textrank_matches_dense_recompute(ray_session):
+    """Independent dense-matrix recompute of TextRank: co-occurrence matrix
+    from a driver-side read of the raw parquet, rank iteration as a matrix
+    product (vs the engine's scatter-add over the sparse edge fold)."""
+    import pyarrow.parquet as pq
+
+    from ieps_crawler_ray.pipelines.analytics import q_textrank_keywords
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])["text"].to_pylist()
+    pairs = {}
+    for txt in texts:
+        t = txt.split()
+        for x, y in zip(t, t[1:]):
+            if x == y:
+                continue
+            k = (x, y) if x <= y else (y, x)
+            pairs[k] = pairs.get(k, 0) + 1
+    vocab = sorted({w for k in pairs for w in k})
+    idx = {w: i for i, w in enumerate(vocab)}
+    n = len(vocab)
+    W = np.zeros((n, n))
+    for (x, y), c in pairs.items():
+        W[idx[x], idx[y]] += c
+        W[idx[y], idx[x]] += c
+    deg = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(30):
+        r = (1 - 0.85) / n + 0.85 * (W @ (r / deg))
+    expect = (
+        pd.DataFrame({"term": np.array(vocab, dtype=object), "score": np.round(r, 8)})
+        .sort_values(["score", "term"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    got = q_textrank_keywords(SF)
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False, atol=1e-8)
