@@ -13002,3 +13002,207 @@ def q_textrank_keywords(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["textrank_keywords"] = q_textrank_keywords
+
+
+# ----------------- wave 35 (round 5): skew report / markov eval / BPE ------
+
+
+def q_events_user_skew(sf_dir: str) -> pd.DataFrame:
+    """Activity-skew report over users — the hot-key diagnostic a pipeline
+    operator reads before choosing salting/bucketing (SCALE.md "skew"):
+    p50/p99 per-user event counts (PERCENTILE_DISC semantics), the top-1
+    user's share of all events, and the Gini of activity. One user-keyed
+    fold, then everything reduces through the COUNT-DOMAIN table (count
+    value → #users, bounded by max events/user — the bounded-domain trick
+    of value_buckets): quantiles walk its cumsum, Gini folds per tie-run
+    with the (2i−n−1) rank identity (tie-invariant), nothing user-sized
+    reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["user_id"])
+    per_user = (
+        ds.map_batches(
+            lambda b: _partial(b, ["user_id"], [([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .aggregate(Sum("count_all", alias_name="c"))
+    )
+    dom = (
+        _coalesce_partials(
+            per_user.map_batches(
+                lambda b: _partial(b.select(["c"]), ["c"], [([], "count_all")]),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("c")
+        .aggregate(Sum("count_all", alias_name="m"))
+        .to_pandas()
+        .sort_values("c")
+        .reset_index(drop=True)
+    )
+    c = dom["c"].to_numpy(dtype=np.float64)
+    m = dom["m"].to_numpy(dtype=np.float64)
+    n = float(m.sum())
+    cum = np.cumsum(m)
+
+    def pdisc(q: float) -> int:
+        k = int(np.ceil(q * n))  # 1-based rank, PERCENTILE_DISC semantics
+        return int(c[int(np.searchsorted(cum, max(k, 1)))])
+
+    tot = float((c * m).sum())
+    # Gini via Σ(2i−n−1)·x_i over users sorted by count; a tie run of m_j
+    # users at count c_j occupies ranks (s_j, s_j+m_j]:
+    s = cum - m  # exclusive run starts
+    run_rank_sum = m * (2 * s + m + 1) - m * n - m  # Σ(2i−n−1) within run
+    gini = float((c * run_rank_sum).sum()) / (n * tot)
+    return pd.DataFrame(
+        [
+            {
+                "n_users": np.int64(int(n)),
+                "p50_events": np.int64(pdisc(0.5)),
+                "p99_events": np.int64(pdisc(0.99)),
+                "top_share": round(float(c[-1] / tot), 6),
+                "gini": round(gini, 6),
+            }
+        ]
+    )
+
+
+QUERIES["events_user_skew"] = q_events_user_skew
+ORACLE_SQL["events_user_skew"] = (
+    "WITH u AS (SELECT user_id, COUNT(*)::DOUBLE AS c FROM events GROUP BY 1),"
+    " r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS i,"
+    "   COUNT(*) OVER () AS n, SUM(c) OVER () AS tot FROM u)"
+    " SELECT ANY_VALUE(n)::BIGINT AS n_users,"
+    "  PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c)::BIGINT AS p50_events,"
+    "  PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY c)::BIGINT AS p99_events,"
+    "  ROUND(MAX(c) / ANY_VALUE(tot), 6) AS top_share,"
+    "  ROUND(SUM((2 * i - n - 1) * c) / (ANY_VALUE(n) * ANY_VALUE(tot)), 6) AS gini"
+    " FROM r"
+)
+
+
+def q_markov_next_accuracy(sf_dir: str) -> pd.DataFrame:
+    """Next-event prediction EVALUATION for the first-order Markov model:
+    predicted next type = argmax transition count from each prev type (tie →
+    lexicographically smallest), hit rate = the probability mass that
+    prediction captures. Because accuracy over all consecutive pairs
+    decomposes as Σ_prev count(prev, argmax)/Σ count, the whole evaluation
+    folds through the SAME 25-cell transition table as q_markov_transitions
+    — no second scoring pass over the data. Per-prev rows + hit rate."""
+    trans = q_markov_transitions(sf_dir).to_pandas()
+    trans = trans.sort_values(
+        ["prev_type", "n", "next_type"], ascending=[True, False, True], kind="stable"
+    )
+    best = trans.groupby("prev_type", as_index=False).first()
+    tot = trans.groupby("prev_type", as_index=False)["n"].sum().rename(columns={"n": "n_pairs"})
+    out = best.merge(tot, on="prev_type")
+    out["hit_rate"] = (out["n"] / out["n_pairs"]).round(6)
+    out = out.rename(columns={"next_type": "predicted_next"})
+    return (
+        out[["prev_type", "predicted_next", "n_pairs", "hit_rate"]]
+        .sort_values("prev_type")
+        .reset_index(drop=True)
+        .astype({"n_pairs": "int64"})
+    )
+
+
+QUERIES["markov_next_accuracy"] = q_markov_next_accuracy
+ORACLE_SQL["markov_next_accuracy"] = (
+    "WITH p AS (SELECT event_type AS prev_type,"
+    "  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type"
+    "  FROM events),"
+    " t AS (SELECT prev_type, next_type, COUNT(*)::BIGINT AS n FROM p"
+    "  WHERE next_type IS NOT NULL GROUP BY 1, 2),"
+    " r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY prev_type"
+    "   ORDER BY n DESC, next_type) AS rn,"
+    "  SUM(n) OVER (PARTITION BY prev_type) AS n_pairs FROM t)"
+    " SELECT prev_type, next_type AS predicted_next, n_pairs::BIGINT AS n_pairs,"
+    "  ROUND(n::DOUBLE / n_pairs, 6) AS hit_rate FROM r WHERE rn = 1"
+    " ORDER BY prev_type"
+)
+
+
+def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """ITERATIVE BPE vocabulary induction (Sennrich et al. '16, public
+    formulation): 5 merge rounds, each = one distributed pair-count fold
+    over the current symbol sequences + a driver-side merge pick (count
+    desc, pair lex asc — deterministic). Round r re-derives symbols by
+    applying the ≤ r-entry merge list inside map_batches (stateless
+    recompute — no corpus-sized intermediate is ever materialized between
+    rounds; the merge list broadcasts in the closure). Pair counting and
+    greedy left-to-right merge application are numpy over flattened
+    int-symbol arrays with token-boundary masks — the overlap rule (aaa +
+    (a,a) → (aa),a) is reproduced by keeping every other position inside
+    each run of consecutive matches. The shuffle each round moves per-batch
+    DISTINCT (pair, n) partials, vocabulary²-bounded. Not SQL-expressible
+    (iterative); golden-pinned + pure-python reference BPE recompute in
+    tests/test_round5.py."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+    merges: list[tuple[int, int, int]] = []  # (a, b, new_id); new ids ≥ 256
+
+    def symbols(texts: list[str], _merges) -> tuple[np.ndarray, np.ndarray]:
+        """Flattened symbol array + boundary mask (True = pair (i, i+1) spans
+        a token boundary) after applying the merge list in order."""
+        buf = " ".join(texts).encode("ascii", "replace")
+        s = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+        for a_, b_, nid in _merges:
+            if len(s) < 2:
+                break
+            m = (s[:-1] == a_) & (s[1:] == b_) & (s[:-1] != 32) & (s[1:] != 32)
+            if not m.any():
+                continue
+            # greedy left-to-right: inside each run of consecutive matches,
+            # keep every other match starting from the run head
+            idx = np.flatnonzero(m)
+            run_start = np.r_[True, np.diff(idx) != 1]
+            run_id = np.cumsum(run_start) - 1
+            starts = idx[run_start]
+            keep = idx[(idx - starts[run_id]) % 2 == 0]
+            s[keep] = nid
+            s = np.delete(s, keep + 1)
+        return s
+
+    def pair_counts(b: pa.Table, _merges=tuple(merges)) -> pa.Table:
+        s = symbols(b["text"].to_pylist(), _merges)
+        if len(s) < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        ok = (s[:-1] != 32) & (s[1:] != 32)
+        key = s[:-1][ok] << 20 | s[1:][ok]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "a": pa.array(uk >> 20),
+                "b": pa.array(uk & ((1 << 20) - 1)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    rows = []
+    for r in range(5):
+        frozen = tuple(merges)
+        cnt = (
+            ds.map_batches(
+                lambda b, _m=frozen: pair_counts(b, _m), batch_format="pyarrow"
+            )
+            .groupby(["a", "b"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+            .sort_values(["n", "a", "b"], ascending=[False, True, True], kind="stable")
+        )
+        a_, b_, n_ = int(cnt["a"].iloc[0]), int(cnt["b"].iloc[0]), int(cnt["n"].iloc[0])
+        nid = 256 + r
+        merges.append((a_, b_, nid))
+        rows.append({"round": r, "pair_a": a_, "pair_b": b_, "n": n_, "new_id": nid})
+    return pd.DataFrame(rows).astype(
+        {"round": "int64", "pair_a": "int64", "pair_b": "int64", "n": "int64", "new_id": "int64"}
+    )
+
+
+QUERIES["bpe_merges"] = q_bpe_merges

@@ -96,6 +96,9 @@ GOLDEN = {
     # TextRank keyword scores (iterative; dense-matrix recompute in
     # test_round5)
     "textrank_keywords": (10, "7807d01359d716d05fac1f225b932a62"),
+    # iterative 5-round BPE merge picks (pure-python reference BPE
+    # recompute in test_round5)
+    "bpe_merges": (5, "fb04e2485b565b12b3930d92712b49ab"),
 }
 
 

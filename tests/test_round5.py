@@ -330,3 +330,59 @@ def test_textrank_matches_dense_recompute(ray_session):
     )
     got = q_textrank_keywords(SF)
     pd.testing.assert_frame_equal(got, expect, check_dtype=False, atol=1e-8)
+
+
+def test_bpe_merges_matches_reference_bpe(ray_session):
+    """Pure-python reference BPE (token-by-token dict counting, greedy
+    left-to-right merge application) over a driver-side read of the raw
+    corpus must produce the same 5 merge picks and counts."""
+    import pyarrow.parquet as pq
+
+    from ieps_crawler_ray.pipelines.analytics import q_bpe_merges
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])["text"].to_pylist()
+    toks = [
+        [ord(c) for c in w]
+        for t in texts
+        for w in t.encode("ascii", "replace").decode().split()
+    ]
+    rows = []
+    for r in range(5):
+        cnt = {}
+        for w in toks:
+            for x, y in zip(w, w[1:]):
+                cnt[(x, y)] = cnt.get((x, y), 0) + 1
+        (a, b), n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        nid = 256 + r
+        rows.append({"round": r, "pair_a": a, "pair_b": b, "n": n, "new_id": nid})
+        new_toks = []
+        for w in toks:
+            out, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                    out.append(nid)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            new_toks.append(out)
+        toks = new_toks
+    expect = pd.DataFrame(rows)
+    got = q_bpe_merges(SF)
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_markov_next_accuracy_hit_rate_bounds(ray_session):
+    """Sanity invariants: the argmax prediction's hit rate is at least the
+    uniform-over-observed-successors floor and at most 1."""
+    from ieps_crawler_ray.pipelines.analytics import (
+        q_markov_next_accuracy,
+        q_markov_transitions,
+    )
+
+    got = q_markov_next_accuracy(SF)
+    trans = q_markov_transitions(SF).to_pandas()
+    succ = trans.groupby("prev_type").size()
+    for _, row in got.iterrows():
+        k = int(succ[row["prev_type"]])
+        assert 1.0 / k - 1e-9 <= row["hit_rate"] <= 1.0
