@@ -12829,40 +12829,86 @@ def q_doc_ngram_novelty(sf_dir: str) -> pd.DataFrame:
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "source"])
 
+    # source domain is bounded: dictionary-encode it ONCE (tiny distinct
+    # fold) so every shuffled row carries an int8-sized id, the per-gram
+    # group blocks stay all-integer Arrow (a pandas object column here made
+    # the doc-keyed sort groupby 8× slower), and the final rollup maps back.
+    srcs = sorted(
+        _coalesce_partials(
+            ds.map_batches(
+                lambda b: _partial(b.select(["source"]), ["source"], [([], "count_all")]),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("source")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()["source"]
+        .tolist()
+    )
+    sid = {s: i for i, s in enumerate(srcs)}
+
+    # gram identity = a 64-bit position-weighted combination of the 8 token
+    # hashes (distinct odd multipliers per offset) — collision odds are
+    # ~(n_grams)²/2⁶⁴, negligible, and 8-byte ints keep BOTH shuffles ~7×
+    # narrower than shipping gram strings (measured 20.4 s → ~4 s at sf0.1).
+    _GC = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+         0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D,
+         0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53],
+        dtype=np.uint64,
+    )
+
     def grams_f(b: pa.Table) -> pa.Table:
-        ids, srcs, grams = [], [], []
-        for did, src, txt in zip(
-            b["doc_id"].to_pylist(), b["source"].to_pylist(), b["text"].to_pylist()
-        ):
-            t = txt.split()
-            gs = {" ".join(t[i : i + 8]) for i in range(len(t) - 7)}
-            ids.extend([did] * len(gs))
-            srcs.extend([src] * len(gs))
-            grams.extend(gs)
+        import polars as pl
+
+        toks = pl.from_arrow(b["text"]).str.split(" ")
+        lens = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode()
+        th = hashing.hash64(flat).astype(np.uint64)
+        didx = np.repeat(np.arange(len(lens)), lens)
+        if len(th) < 8:
+            return pa.table(
+                {"gh": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                 "source": pa.array([], pa.string())}
+            )
+        m = len(th) - 7
+        with np.errstate(over="ignore"):
+            gh = np.zeros(m, dtype=np.uint64)
+            for k in range(8):
+                gh += th[k : k + m] * _GC[k]
+        valid = didx[:m] == didx[7:]  # window stays inside one doc
+        gh, gdoc = gh[valid], didx[:m][valid]
+        # distinct (doc, gram): sort by (doc, gh) once, drop adjacent dups
+        order = np.lexsort((gh, gdoc))
+        gh, gdoc = gh[order], gdoc[order]
+        keep = np.r_[True, (gh[1:] != gh[:-1]) | (gdoc[1:] != gdoc[:-1])]
+        gh, gdoc = gh[keep], gdoc[keep]
+        src_ids = np.array(
+            [sid[s] for s in b["source"].to_pylist()], dtype=np.int64
+        )
         return pa.table(
             {
-                "gram": pa.array(grams, pa.string()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "source": pa.array(srcs, pa.string()),
+                "gh": pa.array(gh.view(np.int64)),
+                "doc_id": b["doc_id"].take(pa.array(gdoc)),
+                "sid": pa.array(src_ids[gdoc]),
             }
         )
 
-    def mark_f(g: pd.DataFrame) -> pd.DataFrame:
-        # rows of ONE gram bucket; vectorized per-gram min over the segment
-        mn = g.groupby("gram")["doc_id"].transform("min")
-        return pd.DataFrame(
+    def mark_f(g: pd.DataFrame) -> pa.Table:
+        # rows of ONE gram bucket; vectorized per-gram min over the segment;
+        # all-integer Arrow out so downstream blocks never go object-dtype
+        mn = g.groupby("gh")["doc_id"].transform("min")
+        return pa.table(
             {
-                "doc_id": g["doc_id"],
-                "source": g["source"],
-                "novel": (g["doc_id"] == mn).astype(np.int64),
-                "one": np.ones(len(g), np.int64),
+                "doc_id": pa.array(g["doc_id"].to_numpy()),
+                "sid": pa.array(g["sid"].to_numpy()),
+                "novel": pa.array((g["doc_id"] == mn).to_numpy().astype(np.int64)),
+                "one": pa.array(np.ones(len(g), np.int64)),
             }
         )
 
     def gb_key(b: pa.Table) -> pa.Table:
-        gb = (hashing.hash64(b["gram"].to_numpy(zero_copy_only=False)) & 255).astype(
-            np.int64
-        )
+        gb = (b["gh"].to_numpy() & 255).astype(np.int64)
         return b.append_column("gb", pa.array(gb))
 
     def src_f(b: pa.Table) -> pa.Table:
@@ -12870,16 +12916,16 @@ def q_doc_ngram_novelty(sf_dir: str) -> pd.DataFrame:
         tot = b["n_grams"].to_numpy().astype(np.float64)
         t = pa.table(
             {
-                "source": b["source"],
+                "sid": b["sid"],
                 "one": pa.array(np.ones(len(nov), np.int64)),
                 "nv": pa.array(nov / tot),
                 "full": pa.array((nov == tot).astype(np.int64)),
             }
         )
-        return _partial(t, ["source"], [("one", "sum"), ("nv", "sum"), ("full", "sum")])
+        return _partial(t, ["sid"], [("one", "sum"), ("nv", "sum"), ("full", "sum")])
 
-    # re-attach source per doc: carry it through the per-doc fold via Max
-    # (source is functionally dependent on doc_id, so Max == the value)
+    # re-attach source id per doc via Max (sid is functionally dependent on
+    # doc_id, so Max == the value)
     from ray.data.aggregate import Max
 
     per_doc_src = (
@@ -12891,21 +12937,22 @@ def q_doc_ngram_novelty(sf_dir: str) -> pd.DataFrame:
         .aggregate(
             Sum("novel", alias_name="n_novel"),
             Sum("one", alias_name="n_grams"),
-            Max("source", alias_name="source"),
+            Max("sid", alias_name="sid"),
         )
     )
     out = (
         _coalesce_partials(per_doc_src.map_batches(src_f, batch_format="pyarrow"))
-        .groupby("source")
+        .groupby("sid")
         .aggregate(
             Sum("one_sum", alias_name="n_docs"),
             Sum("nv_sum", alias_name="nv"),
             Sum("full_sum", alias_name="n_fully_novel"),
         )
         .to_pandas()
-        .sort_values("source")
+        .sort_values("sid")
         .reset_index(drop=True)
     )
+    out["source"] = [srcs[int(i)] for i in out["sid"]]
     out["avg_novelty"] = (out["nv"] / out["n_docs"]).round(6)
     return out[["source", "n_docs", "avg_novelty", "n_fully_novel"]].astype(
         {"n_docs": "int64", "n_fully_novel": "int64"}
