@@ -11677,10 +11677,13 @@ def q_price_qty_spearman(sf_dir: str) -> pd.DataFrame:
         vb = (b["l_extendedprice"].to_numpy() // _W).astype(np.int64)
         return b.append_column("vb", pa.array(vb))
 
-    rows = ds.map_batches(with_vb, batch_format="pyarrow").materialize()
+    # two STREAMING scans (bucket counts, then the bucket fold) instead of a
+    # mid-pipeline materialize of the whole fact table: one extra read beats
+    # holding N rows in the object store at 100 TB
+    rows = ds.map_batches(with_vb, batch_format="pyarrow")
     bsums = (
         _coalesce_partials(
-            rows.map_batches(
+            ds.map_batches(with_vb, batch_format="pyarrow").map_batches(
                 lambda b: _partial(b.select(["vb"]), ["vb"], [([], "count_all")]),
                 batch_format="pyarrow",
             )
