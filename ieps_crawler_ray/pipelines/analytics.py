@@ -13256,3 +13256,177 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["bpe_merges"] = q_bpe_merges
+
+
+# ----------------- wave 36 (round 5): Poisson bootstrap / ANN eval / -------
+# ----------------- bounce rate ----------------------------------------------
+
+
+def q_revenue_bootstrap_ci(sf_dir: str) -> pd.DataFrame:
+    """POISSON BOOTSTRAP confidence interval for mean order price — the
+    standard single-pass distributed bootstrap (Chamandy et al., 'Estimating
+    Uncertainty for Massive Data Streams', public formulation): classical
+    resampling needs the row count up front and a shared sample index, but
+    giving each row an INDEPENDENT Poisson(1) weight per replicate
+    reproduces the multinomial bootstrap to O(1/n) and folds as plain
+    mergeable partials (Σw·x, Σw per replicate). Weights are DETERMINISTIC:
+    a splitmix64 of (o_orderkey, replicate) inverts to a uniform that walks
+    the Poisson CDF — so the result is seed-stable across engines, batch
+    sizes and cluster shapes. B = 200 replicates; the driver sees a B×2
+    partial table and reports the percentile CI (2.5/97.5). Not
+    SQL-expressible (hash-seeded resampling); golden-pinned + an
+    independent numpy recompute and a coverage sanity gate in
+    tests/test_round5.py."""
+    B = 200
+
+    ds = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    # Poisson(1) CDF steps, enough mass for k ≤ 8 (P(k>8) < 1e-6)
+    import math as _math
+
+    _CDF = np.cumsum([np.exp(-1.0) / _math.factorial(k) for k in range(9)])
+
+    def boot(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_numpy().astype(np.uint64)
+        x = b["o_totalprice"].to_numpy()
+        sw = np.zeros(B)
+        swx = np.zeros(B)
+        with np.errstate(over="ignore"):
+            for r in range(B):
+                z = keys * np.uint64(0x9E3779B97F4A7C15) + np.uint64(
+                    (r * 0xC2B2AE3D27D4EB4F) % 2**64
+                )
+                z ^= z >> np.uint64(30)
+                z *= np.uint64(0xBF58476D1CE4E5B9)
+                z ^= z >> np.uint64(27)
+                z *= np.uint64(0x94D049BB133111EB)
+                z ^= z >> np.uint64(31)
+                u = z.astype(np.float64) / float(2**64)
+                w = np.searchsorted(_CDF, u).astype(np.float64)
+                sw[r] = w.sum()
+                swx[r] = (w * x).sum()
+        return pa.table(
+            {
+                "r": pa.array(np.arange(B, dtype=np.int64)),
+                "sw": pa.array(sw),
+                "swx": pa.array(swx),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    reps = (
+        _coalesce_partials(ds.map_batches(boot, batch_format="pyarrow"))
+        .groupby("r")
+        .aggregate(Sum("sw", alias_name="sw"), Sum("swx", alias_name="swx"))
+        .to_pandas()
+    )
+    means = (reps["swx"] / reps["sw"]).to_numpy()
+    means.sort()
+    lo = float(means[int(np.floor(0.025 * (B - 1)))])
+    hi = float(means[int(np.ceil(0.975 * (B - 1)))])
+    agg = ds.aggregate(
+        Sum("o_totalprice", alias_name="s"),
+    )
+    n = ds.count()
+    mean = float(agg["s"]) / n
+    return pd.DataFrame(
+        [
+            {
+                "mean_price": round(mean, 4),
+                "ci_lo": round(lo, 4),
+                "ci_hi": round(hi, 4),
+                "n_replicates": np.int64(B),
+            }
+        ]
+    )
+
+
+QUERIES["revenue_bootstrap_ci"] = q_revenue_bootstrap_ci
+
+
+def q_ann_recall_report(sf_dir: str) -> pd.DataFrame:
+    """ANN EVALUATION operator: recall@10 and rank-overlap of each
+    approximate index family (IVF, sign-LSH, int8, PQ) against the exact
+    brute-force top-10 for the shared benchmark query — the index-health
+    readout a retrieval service monitors after each rebuild. Reuses the
+    existing distributed paths verbatim (each is its own gated query); this
+    op only intersects their 10-row outputs, so its cost is the sum of the
+    probes, not a new scan shape. Golden-pinned (deterministic seeds all
+    the way down)."""
+    exact = set(q_embedding_topk(sf_dir)["vec_id"].tolist())
+    out = []
+    for name, fn in (
+        ("ivf", q_embedding_topk_ivf),
+        ("lsh", q_embedding_topk_lsh),
+        ("int8", q_embedding_topk_int8),
+        ("pq", q_embedding_topk_pq),
+    ):
+        got = fn(sf_dir)["vec_id"].tolist()
+        out.append(
+            {
+                "index": name,
+                "recall_at_10": round(len(exact & set(got)) / 10.0, 6),
+                "n_results": np.int64(len(got)),
+            }
+        )
+    return pd.DataFrame(out)
+
+
+QUERIES["ann_recall_report"] = q_ann_recall_report
+
+
+def q_session_bounce_rate(sf_dir: str) -> pd.DataFrame:
+    """Per-day session bounce rate: share of (1 h-gap) sessions containing
+    exactly one event, keyed by the session's start day — the engagement
+    rollup every web-analytics stack computes. Rides the user-bucket
+    sessionize plan (user_sessions); each bucket emits calendar-bounded
+    (day, bounces, sessions) partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sess_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap = np.concatenate(([False], (ts[1:] - ts[:-1]) > 3600 * 1_000_000_000))
+        starts = np.flatnonzero(new_user | gap)
+        lens = np.diff(np.r_[starts, len(ts)])
+        day = np.datetime_as_string(
+            (ts[starts] // (86_400 * 1_000_000_000)).astype("datetime64[D]")
+        )
+        df = pd.DataFrame({"day": day, "bounce": (lens == 1).astype(np.int64)})
+        out = df.groupby("day", as_index=False).agg(
+            bounces=("bounce", "sum"), sessions=("bounce", "size")
+        )
+        return out
+
+    out = (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(sess_fold, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("bounces", alias_name="bounces"), Sum("sessions", alias_name="sessions"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    out["bounce_rate"] = (out["bounces"] / out["sessions"]).round(6)
+    return out.astype({"bounces": "int64", "sessions": "int64"})
+
+
+QUERIES["session_bounce_rate"] = q_session_bounce_rate
+ORACLE_SQL["session_bounce_rate"] = (
+    "WITH e AS (SELECT user_id, ts, event_id,"
+    "  CASE WHEN ts - LAG(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk"
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " s AS (SELECT user_id, ts, SUM(brk) OVER"
+    "   (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM e),"
+    " iv AS (SELECT user_id, sid, MIN(ts) AS st, COUNT(*) AS n FROM s GROUP BY 1, 2)"
+    " SELECT strftime(st, '%Y-%m-%d') AS day,"
+    "  SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS bounces,"
+    "  COUNT(*)::BIGINT AS sessions,"
+    "  ROUND(SUM(CASE WHEN n = 1 THEN 1.0 ELSE 0 END) / COUNT(*), 6) AS bounce_rate"
+    " FROM iv GROUP BY 1 ORDER BY 1"
+)

@@ -99,6 +99,12 @@ GOLDEN = {
     # iterative 5-round BPE merge picks (pure-python reference BPE
     # recompute in test_round5)
     "bpe_merges": (5, "fb04e2485b565b12b3930d92712b49ab"),
+    # Poisson-bootstrap CI (hash-seeded resampling; numpy recompute +
+    # bracketing invariants in test_round5)
+    "revenue_bootstrap_ci": (1, "b96fc0836995f1df42585ecfb669c957"),
+    # ANN recall@10 report (intersections of already-gated deterministic
+    # index outputs)
+    "ann_recall_report": (4, "97f3ddbabce8c702fb0008064fc3c730"),
 }
 
 

@@ -386,3 +386,45 @@ def test_markov_next_accuracy_hit_rate_bounds(ray_session):
     for _, row in got.iterrows():
         k = int(succ[row["prev_type"]])
         assert 1.0 / k - 1e-9 <= row["hit_rate"] <= 1.0
+
+
+def test_revenue_bootstrap_ci_matches_numpy_recompute(ray_session):
+    """Independent recompute of the Poisson bootstrap from a driver-side
+    parquet read with the same splitmix64 seeding — the distributed fold
+    must be batch-size-invariant, and the CI must bracket the true mean."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ieps_crawler_ray.pipelines.analytics import q_revenue_bootstrap_ci
+
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    keys = t["o_orderkey"].to_numpy().astype(np.uint64)
+    x = t["o_totalprice"].to_numpy()
+    cdf = np.cumsum([np.exp(-1.0) / math.factorial(k) for k in range(9)])
+    B = 200
+    means = np.empty(B)
+    with np.errstate(over="ignore"):
+        for r in range(B):
+            z = keys * np.uint64(0x9E3779B97F4A7C15) + np.uint64(
+                (r * 0xC2B2AE3D27D4EB4F) % 2**64
+            )
+            z ^= z >> np.uint64(30)
+            z *= np.uint64(0xBF58476D1CE4E5B9)
+            z ^= z >> np.uint64(27)
+            z *= np.uint64(0x94D049BB133111EB)
+            z ^= z >> np.uint64(31)
+            u = z.astype(np.float64) / float(2**64)
+            w = np.searchsorted(cdf, u).astype(np.float64)
+            means[r] = (w * x).sum() / w.sum()
+    means.sort()
+    lo = round(float(means[int(np.floor(0.025 * (B - 1)))]), 4)
+    hi = round(float(means[int(np.ceil(0.975 * (B - 1)))]), 4)
+    got = q_revenue_bootstrap_ci(SF)
+    assert float(got["ci_lo"].iloc[0]) == lo
+    assert float(got["ci_hi"].iloc[0]) == hi
+    mean = float(got["mean_price"].iloc[0])
+    assert lo <= mean <= hi  # CI brackets the point estimate
+    assert round(float(x.mean()), 4) == mean
